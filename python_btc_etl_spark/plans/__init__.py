@@ -1,0 +1,8 @@
+"""Query plan registry. Importing this package registers every query."""
+
+from __future__ import annotations
+
+from . import relational, timeseries  # noqa: F401  (registration side-effect)
+from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F401
+
+__all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "query"]

@@ -1,0 +1,315 @@
+"""Time-series operator coverage: OHLCV bar (re-)aggregation, VWAP,
+moving averages, as-of join, range/interval join, sessionization.
+
+This is the reference's home turf re-expressed as queries: its data is
+1-minute OHLCV bars (SURVEY.md §2.A "Aggregation, implicit"), so the
+natural query surface is bar aggregation at coarser grains plus the
+time-series joins the reference lacks (SURVEY.md §2.B).
+
+Determinism: OHLC open/close are order-sensitive; we use
+``min_by/max_by`` keyed on a (ts, event_id) struct so ties are broken by
+the unique event id — DuckDB mirrors this with ordered-set aggregates
+``first(x ORDER BY ts, event_id)``.
+
+Scale notes:
+- bar aggregation is a single hash aggregate keyed on (bucket, type):
+  map-side partial agg means each executor emits one row per bar before
+  the shuffle — at 100 TB the shuffle carries bars, not ticks;
+- the as-of join avoids a per-row subquery by the union + running-last
+  trick: one sort-shuffle keyed by user, no N×M comparison;
+- the range join pre-filters with an equi-key (user_id) so Catalyst
+  plans a hash join + residual range predicate, not a nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .registry import query
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _ord_key():
+    return F.struct(F.col("ts"), F.col("event_id"))
+
+
+@query(
+    "ohlcv_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS bucket,
+           event_type,
+           round(first(value ORDER BY ts, event_id), 2)      AS open,
+           round(max(value), 2)                              AS high,
+           round(min(value), 2)                              AS low,
+           round(last(value ORDER BY ts, event_id), 2)       AS close,
+           round(sum(value), 2)                              AS volume,
+           count(*)                                          AS n_trades
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+    doc="OHLCV bar aggregation at 1-hour grain (E-AGG, SURVEY.md §2): "
+    "open/close via min_by/max_by on (ts, event_id) — single hash "
+    "aggregate, no window needed.",
+)
+def ohlcv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", _ord_key()), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", _ord_key()), 2).alias("close"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+@query(
+    "ohlcv_daily_vwap",
+    oracle="""
+    SELECT CAST(ts AS DATE)                                   AS day,
+           round(first(value ORDER BY ts, event_id), 2)       AS open,
+           round(max(value), 2)                               AS high,
+           round(min(value), 2)                               AS low,
+           round(last(value ORDER BY ts, event_id), 2)        AS close,
+           round(sum(value), 2)                               AS volume,
+           round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                 / nullif(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 0), 4) AS vwap,
+           count(*)                                           AS n_trades
+    FROM events
+    GROUP BY 1
+    ORDER BY day
+    """,
+    doc="Flagship: daily OHLCV + VWAP (sum(px*qty)/sum(qty), the "
+    "Weighted_Price definition implied by the reference's data — "
+    "SURVEY.md §2.A) with qty drawn from the JSON props column.",
+)
+def ohlcv_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    qty = F.get_json_object("props", "$.k").cast("double")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.min_by("value", _ord_key()), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", _ord_key()), 2).alias("close"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.round(F.sum(F.col("value") * qty) / F.nullif(F.sum(qty), F.lit(0)), 4).alias("vwap"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "moving_avg_events",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS n_so_far
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    doc="Moving average over a ROWS frame per user — the bar-smoothing "
+    "window pattern on a uniquely-ordered event stream.",
+)
+def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("ma4"),
+            F.count(F.lit(1)).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("n_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}')        AS purchase_ts,
+           strftime(c.click_ts, '{TS_FMT_DUCK}')  AS click_ts,
+           c.click_id,
+           round(p.value, 2)                      AS purchase_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join (Spark has no native one — SURVEY.md §2.B): for each "
+    "purchase, the most recent click by the same user at or before it. "
+    "Implemented with the union + running last(ignorenulls) trick: one "
+    "sort per user partition, no per-row subquery, scales linearly.",
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    # Deduplicate clicks to one row per (user_id, ts) so the as-of match is
+    # well-defined under timestamp ties (mirrors the oracle CTE).
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("click_ts").alias("ts"),
+            "click_ts",
+            "click_id",
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        "value",
+    )
+    # Order clicks before purchases at equal ts so an exactly-simultaneous
+    # click is visible to the purchase (ASOF's >= semantics).
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "click_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+            F.date_format("last_click_ts", TS_FMT_SPARK).alias("click_ts"),
+            F.col("last_click_id").alias("click_id"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "range_join_error_context",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           count(x.event_id)                 AS n_nearby,
+           round(sum(x.value), 2)            AS nearby_value
+    FROM events e
+    LEFT JOIN events x
+      ON x.user_id = e.user_id
+     AND x.event_id <> e.event_id
+     AND x.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id
+    """,
+    doc="Range/interval join (SURVEY.md §2.B): activity within ±5 minutes "
+    "of each error by the same user. The user_id equi-key makes Catalyst "
+    "plan a hash join with a residual range predicate — never a "
+    "cartesian nested loop.",
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    others = e.select(
+        F.col("event_id").alias("x_id"), F.col("user_id").alias("x_user"), F.col("ts").alias("x_ts"),
+        F.col("value").alias("x_value"),
+    )
+    cond = (
+        (F.col("x_user") == F.col("e_user"))
+        & (F.col("x_id") != F.col("e_id"))
+        & (F.col("x_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("x_ts") <= F.col("e_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        errors.join(others, cond, "left")
+        .groupBy(F.col("e_id").alias("event_id"), F.col("e_user").alias("user_id"))
+        .agg(F.count("x_id").alias("n_nearby"), F.round(F.sum("x_value"), 2).alias("nearby_value"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*)                            AS n_events,
+           strftime(min(ts), '{TS_FMT_DUCK}')  AS session_start,
+           strftime(max(ts), '{TS_FMT_DUCK}')  AS session_end,
+           round(sum(value), 2)                AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Sessionization: 30-minute inactivity gap via lag + running sum "
+    "(the batch form; the streaming module uses session_window). One "
+    "sort-shuffle keyed by user — linear at scale.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap test (casting to seconds would truncate and
+    # disagree with the oracle's INTERVAL comparison on sub-second gaps).
+    gap_ok = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) <= 30 * 60 * 1_000_000
+    sessions = (
+        e.withColumn("new_session", F.when(gap_ok, 0).otherwise(1))
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
