@@ -1,0 +1,117 @@
+"""Reference-parity ingest queries over the actual reference CSV corpus
+(/root/reference/dataset-test, 732 daily files — read-only input).
+
+These differential-test the WHOLE reference pipeline (EP2, reference
+btc_etl.py:137-182): the DuckDB oracle re-reads the same CSVs with its own
+reader, so filename validation, the all-null-row filter, timestamp
+assembly and the rename/projection are all cross-checked value-by-value.
+
+``sf_dir`` is ignored: the corpus is fixed (like the reference's own
+benchmark, reference tests/benchmark.py:40-45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.csv_bars import ingest_bars
+from .exprs import dsum
+from .registry import query
+
+CORPUS = "/root/reference/dataset-test"
+
+# DuckDB-side equivalent of read_bars+transform_bars: explicit columns,
+# filename→date, all-null filter.
+_DUCK_RAW = f"""
+    SELECT CAST(regexp_extract(filename, 'btcusd-(\\d{{4}}-\\d{{2}}-\\d{{2}})\\.csv$', 1) AS DATE)
+               AS file_date,
+           CAST(file_date || ' ' || "Time" AS TIMESTAMP) AS date_time,
+           "Open"              AS open_price,
+           "High"              AS high_price,
+           "Low"               AS low_price,
+           "Close"             AS close_price,
+           "Volume_(BTC)"      AS volume_btc,
+           "Volume_(Currency)" AS volume_currency,
+           "Weighted_Price"    AS weighted_price
+    FROM read_csv('{CORPUS}/*.csv', header=true, filename=true,
+                  columns={{'Time': 'VARCHAR', 'Open': 'DOUBLE', 'High': 'DOUBLE',
+                           'Low': 'DOUBLE', 'Close': 'DOUBLE', 'Volume_(BTC)': 'DOUBLE',
+                           'Volume_(Currency)': 'DOUBLE', 'Weighted_Price': 'DOUBLE'}})
+    WHERE NOT ("Open" IS NULL AND "High" IS NULL AND "Low" IS NULL AND "Close" IS NULL
+               AND "Volume_(BTC)" IS NULL AND "Volume_(Currency)" IS NULL
+               AND "Weighted_Price" IS NULL)
+"""
+
+
+@query(
+    "btc_daily_summary",
+    oracle=f"""
+    WITH bars AS ({_DUCK_RAW})
+    SELECT CAST(date_time AS DATE)           AS day,
+           count(*)                          AS n_bars,
+           CAST(CAST(sum(CAST(CAST(volume_btc AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)      AS total_btc,
+           CAST(CAST(sum(CAST(CAST(volume_currency AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)  AS total_currency,
+           min(low_price)                                               AS day_low,
+           max(high_price)                                              AS day_high
+    FROM bars
+    GROUP BY 1
+    ORDER BY day
+    """,
+    doc="Reference EP2 pipeline end-to-end (scan→validate→null-filter→"
+    "timestamp assembly→project) + daily rollup. Differential-checks the "
+    "ingest semantics of reference btc_etl.py:137-182 against an "
+    "independent reader.",
+)
+def btc_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = ingest_bars(spark, CORPUS)
+    return (
+        bars.groupBy(F.col("date_time").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            dsum("volume_btc", 12).alias("total_btc"),
+            dsum("volume_currency", 12).alias("total_currency"),
+            F.min("low_price").alias("day_low"),
+            F.max("high_price").alias("day_high"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "btc_hourly_ohlcv",
+    oracle=f"""
+    WITH bars AS ({_DUCK_RAW})
+    SELECT strftime(date_trunc('hour', date_time), '%Y-%m-%d %H:%M:%S') AS bucket,
+           first(open_price ORDER BY date_time)                        AS open,
+           max(high_price)                                              AS high,
+           min(low_price)                                               AS low,
+           last(close_price ORDER BY date_time)                         AS close,
+           CAST(CAST(sum(CAST(CAST(volume_btc AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)       AS volume_btc,
+           CAST(CAST(sum(CAST(CAST(volume_currency AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+             / nullif(CAST(CAST(sum(CAST(CAST(volume_btc AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE), 0) AS vwap,
+           count(*)                                         AS n_bars
+    FROM bars
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="1-min → 1-hour OHLCV re-aggregation with VWAP = "
+    "sum(volume_currency)/sum(volume_btc) — the aggregation implied by "
+    "the reference's data model (SURVEY.md §2.A, E-AGG). date_time is "
+    "unique per minute so open/close ties cannot occur.",
+)
+def btc_hourly_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = ingest_bars(spark, CORPUS)
+    return (
+        bars.groupBy(F.date_format(F.date_trunc("hour", "date_time"), "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+        .agg(
+            F.min_by("open_price", F.col("date_time")).alias("open"),
+            F.max("high_price").alias("high"),
+            F.min("low_price").alias("low"),
+            F.max_by("close_price", F.col("date_time")).alias("close"),
+            dsum("volume_btc", 12).alias("volume_btc"),
+            (dsum("volume_currency", 12) / F.nullif(dsum("volume_btc", 12), F.lit(0.0))).alias("vwap"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .orderBy("bucket")
+    )

@@ -8,6 +8,9 @@ Catalyst plans them (predicate pushdown, column pruning, broadcast
 selection, partial aggregation all come from the optimizer — see
 SURVEY.md §4).
 
+Float determinism follows the decimal-sum policy in ``exprs.py`` (no
+rounding anywhere — see that module's rationale).
+
 Scale notes:
 - joins against ``BROADCAST_DIMS`` use an explicit ``F.broadcast`` hint —
   at 100 TB the fact side never shuffles for dimension joins;
@@ -24,12 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
+from .exprs import davg, dsum, sql_davg, sql_dsum
 from .registry import query
-
-
-def _r2(c):
-    return F.round(c, 2)
-
 
 # ---------------------------------------------------------------------------
 # Aggregation
@@ -38,16 +37,16 @@ def _r2(c):
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           {sql_dsum('l_quantity')}                                        AS sum_qty,
+           {sql_dsum('l_extendedprice')}                                   AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+           {sql_davg('l_quantity')}                                        AS avg_qty,
+           {sql_davg('l_extendedprice')}                                   AS avg_price,
+           {sql_davg('l_discount')}                                        AS avg_disc,
+           count(*)                                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -62,13 +61,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -77,13 +76,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_distinct_orders",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           count(*)                         AS n_orders,
-           count(DISTINCT o_custkey)        AS n_customers,
-           round(sum(o_totalprice), 2)      AS total_price,
-           round(min(o_totalprice), 2)      AS min_price,
-           round(max(o_totalprice), 2)      AS max_price
+           count(*)                    AS n_orders,
+           count(DISTINCT o_custkey)   AS n_customers,
+           {sql_dsum('o_totalprice')}  AS total_price,
+           min(o_totalprice)           AS min_price,
+           max(o_totalprice)           AS max_price
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -97,9 +96,9 @@ def agg_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            _r2(F.sum("o_totalprice")).alias("total_price"),
-            _r2(F.min("o_totalprice")).alias("min_price"),
-            _r2(F.max("o_totalprice")).alias("max_price"),
+            dsum("o_totalprice").alias("total_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -126,11 +125,11 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_region_nation",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(r_name, 'ALL')  AS region,
            coalesce(n_name, 'ALL')  AS nation,
            count(*)                 AS n_customers,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           {sql_dsum('c_acctbal')}  AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -148,7 +147,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), _r2(F.sum("c_acctbal")).alias("total_acctbal"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("total_acctbal"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -161,11 +160,11 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_status_priority",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(o_orderstatus, 'ALL')   AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*)                         AS n_orders,
-           round(sum(o_totalprice), 2)      AS total_price
+           {sql_dsum('o_totalprice')}       AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -176,7 +175,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), _r2(F.sum("o_totalprice")).alias("total_price"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -194,10 +193,10 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_top_orders",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(o_orderdate AS DATE)                         AS orderdate,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE)                        AS orderdate,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -222,7 +221,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o.filter(F.col("o_orderdate") < cut), c.c_custkey == o.o_custkey)
         .join(li.filter(F.col("l_shipdate") > cut), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -231,9 +230,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_region_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -268,18 +267,18 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 @query(
     "broadcast_brand_revenue",
-    oracle="""
+    oracle=f"""
     SELECT p_brand,
-           count(*)                                          AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           round(avg(p_retailprice), 4)                      AS avg_retail
+           count(*)                                         AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {sql_davg('p_retailprice')}                      AS avg_retail
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE p_type = 'PROMO'
@@ -297,8 +296,8 @@ def broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            davg("p_retailprice").alias("avg_retail"),
         )
         .orderBy("p_brand")
     )
@@ -307,7 +306,7 @@ def broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semi_join_urgent_customers",
     oracle="""
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    SELECT c_custkey, c_name, c_acctbal AS acctbal
     FROM customer
     WHERE EXISTS (
         SELECT 1 FROM orders
@@ -323,7 +322,7 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", _r2(F.col("c_acctbal")).alias("acctbal"))
+        .select("c_custkey", "c_name", F.col("c_acctbal").alias("acctbal"))
         .orderBy("c_custkey")
     )
 
@@ -387,16 +386,18 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER w, 2)             AS running_total,
-           round(lag(o_totalprice)  OVER w, 2)            AS prev_price,
-           round(lead(o_totalprice) OVER w, 2)            AS next_price
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE) AS running_total,
+           lag(o_totalprice)  OVER w2                                      AS prev_price,
+           lead(o_totalprice) OVER w2                                      AS next_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderkey
     """,
-    doc="Analytic window functions: running sum + lag/lead over an "
-    "explicit ROWS frame with a unique ordering.",
+    doc="Analytic window functions: running sum (decimal-exact, engines "
+    "may use different frame accumulation structures) + lag/lead over a "
+    "unique ordering.",
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -406,9 +407,9 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_orderkey",
             "o_custkey",
-            _r2(F.sum("o_totalprice").over(frame)).alias("running_total"),
-            _r2(F.lag("o_totalprice").over(w)).alias("prev_price"),
-            _r2(F.lead("o_totalprice").over(w)).alias("next_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(frame).cast("double").alias("running_total"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -417,7 +418,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_parts_per_brand",
     oracle="""
-    SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS retailprice
+    SELECT p_brand, p_partkey, p_name, p_retailprice AS retailprice
     FROM (
         SELECT *, row_number() OVER (PARTITION BY p_brand
                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
@@ -435,7 +436,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("p_brand", "p_partkey", "p_name", _r2(F.col("p_retailprice")).alias("retailprice"))
+        .select("p_brand", "p_partkey", "p_name", F.col("p_retailprice").alias("retailprice"))
         .orderBy("p_brand", F.desc("retailprice"), "p_partkey")
     )
 
@@ -486,8 +487,8 @@ def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
            substr(p_name, 1, 5)                            AS name_prefix,
            concat(p_brand, ':', p_type)                    AS brand_type,
            regexp_extract(p_name, '([a-z]+)$', 1)          AS last_word,
-           round(p_retailprice * 1.1, 2)                   AS price_up,
-           round(sqrt(CAST(p_size AS DOUBLE)), 6)          AS size_sqrt,
+           p_retailprice * CAST(1.1 AS DOUBLE)             AS price_up,
+           sqrt(CAST(p_size AS DOUBLE))                    AS size_sqrt,
            abs(p_size - 25)                                AS size_dist,
            CAST(p_size % 7 AS INTEGER)                     AS size_mod,
            CASE WHEN p_retailprice > 1500 THEN 'premium'
@@ -498,7 +499,8 @@ def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="String / math scalar function coverage — all JVM-codegen'd "
     "expressions, no UDFs (replaces the reference's row-at-a-time lambda, "
-    "reference btc_etl.py:163).",
+    "reference btc_etl.py:163). IEEE ops on identical inputs are "
+    "bit-identical across engines, so no rounding.",
 )
 def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -510,8 +512,8 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("p_name", 1, 5).alias("name_prefix"),
             F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
             F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
-            _r2(F.col("p_retailprice") * 1.1).alias("price_up"),
-            F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+            (F.col("p_retailprice") * F.lit(1.1)).alias("price_up"),
+            F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
             F.abs(F.col("p_size") - 25).alias("size_dist"),
             (F.col("p_size") % 7).cast("int").alias("size_mod"),
             F.when(F.col("p_retailprice") > 1500, "premium")
@@ -565,9 +567,10 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_event_props",
     oracle="""
     SELECT event_type,
-           count(*)                                                      AS n_events,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)       AS avg_k
+           count(*)                                                                  AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)    AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / count(*)                                                            AS avg_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -583,7 +586,7 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(k.cast("bigint")).cast("bigint").alias("sum_k"),
-            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+            (F.sum(k.cast("bigint")).cast("double") / F.count(F.lit(1))).alias("avg_k"),
         )
         .orderBy("event_type")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
+from .exprs import dsum
 from .registry import query
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -43,11 +44,11 @@ def _ord_key():
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS bucket,
            event_type,
-           round(first(value ORDER BY ts, event_id), 2)      AS open,
-           round(max(value), 2)                              AS high,
-           round(min(value), 2)                              AS low,
-           round(last(value ORDER BY ts, event_id), 2)       AS close,
-           round(sum(value), 2)                              AS volume,
+           first(value ORDER BY ts, event_id)                AS open,
+           max(value)                                        AS high,
+           min(value)                                        AS low,
+           last(value ORDER BY ts, event_id)                 AS close,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS volume,
            count(*)                                          AS n_trades
     FROM events
     GROUP BY 1, 2
@@ -65,11 +66,11 @@ def ohlcv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(
-            F.round(F.min_by("value", _ord_key()), 2).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", _ord_key()), 2).alias("close"),
-            F.round(F.sum("value"), 2).alias("volume"),
+            F.min_by("value", _ord_key()).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", _ord_key()).alias("close"),
+            dsum("value").alias("volume"),
             F.count(F.lit(1)).alias("n_trades"),
         )
         .orderBy("bucket", "event_type")
@@ -80,13 +81,13 @@ def ohlcv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ohlcv_daily_vwap",
     oracle="""
     SELECT CAST(ts AS DATE)                                   AS day,
-           round(first(value ORDER BY ts, event_id), 2)       AS open,
-           round(max(value), 2)                               AS high,
-           round(min(value), 2)                               AS low,
-           round(last(value ORDER BY ts, event_id), 2)        AS close,
-           round(sum(value), 2)                               AS volume,
-           round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
-                 / nullif(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 0), 4) AS vwap,
+           first(value ORDER BY ts, event_id)                 AS open,
+           max(value)                                         AS high,
+           min(value)                                         AS low,
+           last(value ORDER BY ts, event_id)                  AS close,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)  AS volume,
+           CAST(sum(CAST(value * CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+             / nullif(CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE), 0) AS vwap,
            count(*)                                           AS n_trades
     FROM events
     GROUP BY 1
@@ -102,12 +103,12 @@ def ohlcv_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.col("ts").cast("date").alias("day"))
         .agg(
-            F.round(F.min_by("value", _ord_key()), 2).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", _ord_key()), 2).alias("close"),
-            F.round(F.sum("value"), 2).alias("volume"),
-            F.round(F.sum(F.col("value") * qty) / F.nullif(F.sum(qty), F.lit(0)), 4).alias("vwap"),
+            F.min_by("value", _ord_key()).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", _ord_key()).alias("close"),
+            dsum("value").alias("volume"),
+            (dsum(F.col("value") * qty) / F.nullif(dsum(qty), F.lit(0.0))).alias("vwap"),
             F.count(F.lit(1)).alias("n_trades"),
         )
         .orderBy("day")
@@ -118,8 +119,11 @@ def ohlcv_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_events",
     oracle="""
     SELECT event_id, user_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4,
+           CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)         AS ma4,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS n_so_far
     FROM events
@@ -135,7 +139,10 @@ def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "event_id",
             "user_id",
-            F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("ma4"),
+            (
+                F.sum(F.col("value").cast("decimal(25,6)")).over(w.rowsBetween(-3, 0)).cast("double")
+                / F.count(F.lit(1)).over(w.rowsBetween(-3, 0))
+            ).alias("ma4"),
             F.count(F.lit(1)).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("n_so_far"),
         )
         .orderBy("user_id", "event_id")
@@ -157,7 +164,7 @@ def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(p.ts, '{TS_FMT_DUCK}')        AS purchase_ts,
            strftime(c.click_ts, '{TS_FMT_DUCK}')  AS click_ts,
            c.click_id,
-           round(p.value, 2)                      AS purchase_value
+           p.value                                AS purchase_value
     FROM purchases p
     ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts >= c.click_ts
@@ -213,7 +220,7 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
             F.date_format("last_click_ts", TS_FMT_SPARK).alias("click_ts"),
             F.col("last_click_id").alias("click_id"),
-            F.round("value", 2).alias("purchase_value"),
+            F.col("value").alias("purchase_value"),
         )
         .orderBy("event_id")
     )
@@ -225,7 +232,7 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id,
            e.user_id,
            count(x.event_id)                 AS n_nearby,
-           round(sum(x.value), 2)            AS nearby_value
+           CAST(CAST(sum(CAST(CAST(x.value AS VARCHAR) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS nearby_value
     FROM events e
     LEFT JOIN events x
       ON x.user_id = e.user_id
@@ -258,7 +265,7 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         errors.join(others, cond, "left")
         .groupBy(F.col("e_id").alias("event_id"), F.col("e_user").alias("user_id"))
-        .agg(F.count("x_id").alias("n_nearby"), F.round(F.sum("x_value"), 2).alias("nearby_value"))
+        .agg(F.count("x_id").alias("n_nearby"), dsum("x_value").alias("nearby_value"))
         .orderBy("event_id")
     )
 
@@ -281,7 +288,7 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                            AS n_events,
            strftime(min(ts), '{TS_FMT_DUCK}')  AS session_start,
            strftime(max(ts), '{TS_FMT_DUCK}')  AS session_end,
-           round(sum(value), 2)                AS session_value
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
@@ -309,7 +316,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
             F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            dsum("value").alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
