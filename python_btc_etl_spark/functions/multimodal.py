@@ -1,0 +1,58 @@
+"""Multimodal column support (E-MM, SURVEY.md §2.B): opaque binary
+payloads with typed metadata, and Arrow-batched feature extraction.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+:func:`decode_image` raises ``NotImplementedError`` (the real
+integration point), and :func:`fake_decode_features` is the
+deterministic stand-in used by the feature-extraction pipeline so the
+Spark-side plumbing — BinaryType schema, ``mapInPandas`` batch shape,
+Arrow transfer — is real and tested end-to-end.
+
+Scale notes: feature extraction is ``mapInPandas`` (Arrow columnar
+batches, not pickled rows); batch size follows
+``spark.sql.execution.arrow.maxRecordsPerBatch``. Binary payloads stay
+opaque to the JVM: no shuffle touches the bytes unless a repartition is
+explicitly requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+FEATURE_BANDS = 4
+CHECKSUM_MOD = 9973
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload to pixels. STUB — no codec libraries in
+    this environment; wire Pillow/opencv here on a real cluster."""
+    raise NotImplementedError(
+        "image decoding requires a codec library (Pillow/opencv), not "
+        "available in this environment; use fake_decode_features for the "
+        "pipeline plumbing"
+    )
+
+
+def fake_decode_features(payload: bytes) -> dict[str, int]:
+    """Deterministic stand-in for decode→feature-extract: byte length,
+    modular checksum, and per-band (position mod 4) byte sums."""
+    n = len(payload)
+    checksum = sum(payload) % CHECKSUM_MOD
+    bands = [0] * FEATURE_BANDS
+    for i, b in enumerate(payload):
+        bands[i % FEATURE_BANDS] += b
+    out = {"n_bytes": n, "checksum": checksum}
+    for k, v in enumerate(bands):
+        out[f"band{k}"] = v
+    return out
+
+
+def extract_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id, payload) Arrow batches → feature rows."""
+    for pdf in batches:
+        feats = [fake_decode_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(feats)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out

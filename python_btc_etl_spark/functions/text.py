@@ -1,0 +1,181 @@
+"""Text-analysis expression builders: tokenization, shingling, hashing,
+MinHash signatures, SimHash — each as a Spark ``Column`` builder plus the
+mirrored DuckDB SQL fragment built from the SAME constants.
+
+Cross-engine hashing: every content hash bottoms out in SHA-256 hex
+(identical lowercase hex in Spark ``sha2`` and DuckDB ``sha256``), from
+which fixed-width integer hashes are carved by hex-prefix → integer
+conversion. All derived arithmetic (LCG permutations, banding, SimHash
+bit sums) is exact int64 math, so signatures agree bit-for-bit.
+
+Scale notes (100 TB):
+- everything here is built-in higher-order functions (``transform`` /
+  ``aggregate`` / ``filter``) evaluated JVM-side inside WholeStageCodegen
+  — no Python UDFs in any text path;
+- MinHash signatures are computed per-row with NO shuffle (array fold
+  inside the projection); only the subsequent band-bucket join shuffles,
+  and it shuffles 16 short band keys per doc, not the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Shared constants (both engines derive everything from these)
+# --------------------------------------------------------------------------
+
+SHINGLE_N = 3  # word-trigram shingles
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne); a*h stays < 2^59
+SHINGLE_HEX_DIGITS = 7  # 28-bit base hash => a*h can't overflow int64
+LCG_A1, LCG_B1 = 1_103_515_245, 12_345
+LCG_A2, LCG_B2 = 1_140_671_485, 12_820_163
+SIMHASH_BITS = 60  # from 15 hex digits of sha256
+TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"  # BPE-ish: words or single punctuation
+
+
+# --------------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------------
+
+
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def tokens_bpe(text: Column) -> Column:
+    """BPE-ish tokens: alnum runs or single punctuation marks."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def shingles(w: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles; empty array when fewer than n words."""
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])  # noqa: E731
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(w) - n + 1), gram))
+    )
+
+
+def hash60(s: Column) -> Column:
+    """60-bit integer content hash: first 15 hex digits of sha256."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def hash28(s: Column) -> Column:
+    """28-bit integer hash for MinHash bases (no overflow under LCG mult)."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, SHINGLE_HEX_DIGITS), 16, 10).cast("bigint")
+
+
+def minhash_signature(shingle_arr: Column) -> Column:
+    """64-perm MinHash signature of a shingle array (array<bigint>).
+
+    perm_i(h) = (a_i*h + b_i) mod p with a_i,b_i from two LCG streams —
+    exact int64 math, identical in DuckDB. Computed entirely inside one
+    projection (no shuffle, no UDF).
+    """
+    hashes = F.transform(shingle_arr, hash28)
+
+    def perm_min(i: Column) -> Column:
+        # bigint casts: int32 literals would overflow under ANSI arithmetic
+        a = (F.lit(LCG_A1).cast("bigint") * i + F.lit(LCG_B1)) % F.lit(MINHASH_PRIME)
+        b = (F.lit(LCG_A2).cast("bigint") * i + F.lit(LCG_B2)) % F.lit(MINHASH_PRIME)
+        return F.array_min(F.transform(hashes, lambda h: (a * h + b) % F.lit(MINHASH_PRIME)))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)), perm_min)
+
+
+def lsh_band_keys(sig: Column) -> Column:
+    """Array of LSH_BANDS strings, each joining LSH_ROWS signature slots."""
+
+    def band(b: Column) -> Column:
+        return F.concat_ws(
+            "-", *[F.element_at(sig, b * LSH_ROWS + k + 1).cast("string") for k in range(LSH_ROWS)]
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)), band)
+
+
+def simhash(w: Column) -> Column:
+    """60-bit SimHash over distinct word hashes (unit weights).
+
+    bit j is set iff sum over words of (+1 if bit j of hash60(word) else
+    -1) is positive. Pure int64 fold — identical in DuckDB. Bit tests use
+    bitwiseAND against a literal powers-of-two array (Spark's shift
+    functions take only Python-int shift amounts, and double division
+    would lose exactness above 2^53).
+    """
+    hashes = F.transform(F.array_distinct(w), hash60)
+    pow2 = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
+
+    def bit_val(j: Column) -> Column:
+        pw = F.element_at(pow2, j + 1)
+        s = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(pw) != 0, 1).otherwise(-1),
+        )
+        return F.when(s > 0, pw).otherwise(F.lit(0).cast("bigint"))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc + bit_val(j),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB mirrors (SQL fragments; `{w}`/`{s}`/etc. are caller-provided exprs)
+# --------------------------------------------------------------------------
+
+
+def sql_words(text: str) -> str:
+    return f"string_split_regex(lower({text}), '\\s+')"
+
+
+def sql_tokens_bpe(text: str) -> str:
+    return f"regexp_extract_all(lower({text}), '{TOKEN_RE}')"
+
+
+def sql_shingles(w: str, n: int = SHINGLE_N) -> str:
+    gram = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({w}) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_distinct(list_transform(range(1, len({w}) - {n} + 2), i -> {gram})) END"
+    )
+
+
+def sql_hash60(s: str) -> str:
+    return f"('0x' || substr(sha256({s}), 1, 15))::BIGINT"
+
+
+def sql_hash28(s: str) -> str:
+    return f"('0x' || substr(sha256({s}), 1, {SHINGLE_HEX_DIGITS}))::BIGINT"
+
+
+def sql_minhash_signature(shingle_arr: str) -> str:
+    p = MINHASH_PRIME
+    return (
+        f"list_transform(range(0, {MINHASH_PERMS}), i -> "
+        f"list_min(list_transform({shingle_arr}, s -> "
+        f"((({LCG_A1}::BIGINT * i + {LCG_B1}) % {p}) * {sql_hash28('s')} "
+        f"+ (({LCG_A2}::BIGINT * i + {LCG_B2}) % {p})) % {p})))"
+    )
+
+
+def sql_lsh_band_keys(sig: str) -> str:
+    parts = " || '-' || ".join(f"{sig}[b*{LSH_ROWS}+{k + 1}]::VARCHAR" for k in range(LSH_ROWS))
+    return f"list_transform(range(0, {LSH_BANDS}), b -> {parts})"
+
+
+def sql_simhash(w: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(0, {SIMHASH_BITS}), j -> "
+        f"CASE WHEN list_reduce(list_transform(list_distinct({w}), t -> "
+        f"CASE WHEN ({sql_hash60('t')} >> j) & 1 = 1 THEN 1 ELSE -1 END), (x,y) -> x+y) > 0 "
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END), (x,y) -> x+y)"
+    )

@@ -2,7 +2,15 @@
 
 from __future__ import annotations
 
-from . import ingest, relational, timeseries  # noqa: F401  (registration side-effect)
+from . import (  # noqa: F401  (registration side-effect)
+    dedup,
+    ingest,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    timeseries,
+)
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "query"]

@@ -1,0 +1,420 @@
+"""Deduplication operator coverage (E-DEDUP, SURVEY.md §2.B): exact
+hash dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — the dedup suite of a training-data pipeline.
+
+The reference deduplicates only at file granularity via a Redis set
+(reference utils.py:24-36); content-level dedup is the planned extension
+its README hints at ("store hash values of the data in Redis",
+reference README.md:32-33), realized here relationally.
+
+**Planted duplicates.** The synthetic corpus is duplicate-free at small
+scale factors, so each query would emit zero rows — true but useless as
+a differential test. Both the Spark plan AND the DuckDB oracle therefore
+augment ``documents``/``embeddings`` with deterministic planted copies
+(exact copies, 80%%-prefix truncations, scaled vectors) built from the
+same arithmetic, then find them. The planting is part of the query
+definition, not test scaffolding — parity covers the whole pipeline.
+
+Scale design (100 TB):
+- exact dedup: one hash-partitioned window/aggregate on sha256 — the
+  canonical shuffle-once exact dedup;
+- n-gram Jaccard: inverted-index join on shingles with hot-shingle
+  pruning (doc-freq ≤ DF_MAX) — prefix-filtering, the standard way to
+  keep the shingle join from exploding on stop-shingles; candidates are
+  then exact-verified with full array intersect/union;
+- MinHash-LSH: signatures are computed per-row with NO shuffle; only
+  16-slot band keys shuffle for the bucket join. The classic
+  sub-quadratic near-dup path (Broder '97 shape);
+- SimHash: per-row 60-bit signature; candidates via 4×15-bit chunk
+  equality (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) — again an
+  equi-join, never a cross product;
+- embedding near-dup: label-blocked cosine — blocking key stands in for
+  the IVF/LSH bucketing used at real scale (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from ..functions import text as TX
+from ..functions import vectors as VX
+from .registry import query
+
+# Planting parameters (shared by Spark and SQL sides).
+EXACT_EVERY = 100  # docs with doc_id % 100 == 0 get an exact copy
+TRUNC_EVERY = 50  # docs with doc_id % 50 == 0 get an 80%-prefix copy
+VEC_EVERY = 25  # vectors with vec_id % 25 == 0 get a scaled copy
+EXACT_OFFSET = 2_000_000
+TRUNC_OFFSET = 1_000_000
+VEC_OFFSET = 1_000_000
+DF_MAX = 50  # hot-shingle pruning threshold for the inverted-index join
+JACCARD_T = 0.3
+MINHASH_JACCARD_T = 0.5
+SIMHASH_HAMMING_T = 8
+COSINE_T = 0.99
+
+
+# --------------------------------------------------------------------------
+# Planted-duplicate corpora (Spark + SQL mirrors)
+# --------------------------------------------------------------------------
+
+
+def docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    copies = d.filter(F.col("doc_id") % EXACT_EVERY == 0).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+SQL_DOCS_EXACT = f"""
+    SELECT doc_id, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + {EXACT_OFFSET}, lower(text) FROM documents WHERE doc_id % {EXACT_EVERY} = 0
+"""
+
+
+def docs_with_truncated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus 80%-word-prefix copies — controlled shingle-Jaccard
+    ≈ 0.8 pairs for the near-dup detectors to find."""
+    d = load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    w = TX.words(F.col("text"))
+    keep = F.greatest(F.lit(3), F.floor(F.size(w) * F.lit(4) / F.lit(5)).cast("int"))
+    copies = d.filter(F.col("doc_id") % TRUNC_EVERY == 0).select(
+        (F.col("doc_id") + TRUNC_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(w, 1, keep), " ").alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+SQL_DOCS_TRUNC = f"""
+    SELECT doc_id, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + {TRUNC_OFFSET},
+           array_to_string(w[1:greatest(3, (len(w) * 4) // 5)], ' ')
+    FROM (SELECT doc_id, {TX.sql_words('text')} AS w FROM documents)
+    WHERE doc_id % {TRUNC_EVERY} = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_EXACT})
+    SELECT doc_id,
+           sha256(text)                                      AS content_sha,
+           min(doc_id) OVER (PARTITION BY sha256(text))      AS canonical_id,
+           count(*)    OVER (PARTITION BY sha256(text))      AS n_copies
+    FROM aug
+    ORDER BY doc_id
+    """,
+    doc="Exact content dedup: sha256 hash groups, min-id canonical "
+    "election, copy counts — one hash-partitioned window, the "
+    "shuffle-once exact dedup at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_exact_copies(spark, sf_dir).withColumn("content_sha", F.sha2("text", 256))
+    win = W.partitionBy("content_sha")
+    return (
+        d.select(
+            "doc_id",
+            "content_sha",
+            F.min("doc_id").over(win).alias("canonical_id"),
+            F.count(F.lit(1)).over(win).alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard (inverted-index join + verify)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    inv AS (
+        SELECT doc_id, unnest(sh) AS s FROM sh
+    ),
+    rare AS (
+        SELECT s FROM inv GROUP BY s HAVING count(*) <= {DF_MAX}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN rare r ON a.s = r.s
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(x.sh || y.sh)) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(x.sh || y.sh)) >= {JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="N-gram (word-trigram) Jaccard near-dup: inverted-index shingle "
+    "join with hot-shingle pruning (df ≤ 50, prefix-filtering) for "
+    "candidates, exact set intersect/union verify, threshold 0.3. The "
+    "planted 80%-prefix copies surface at jaccard ≈ 0.8.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    w = TX.words(F.col("text"))
+    sh = (
+        aug.filter(F.size(w) >= TX.SHINGLE_N)
+        .select("doc_id", TX.shingles(w).alias("sh"))
+    )
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    rare = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_MAX).select("s")
+    cand = (
+        inv.join(rare, "s")
+        .alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    sig AS (
+        SELECT doc_id, sh, {TX.sql_minhash_signature('sh')} AS sig FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, i AS band, keys[i + 1] AS key
+        FROM (SELECT doc_id, {TX.sql_lsh_band_keys('sig')} AS keys FROM sig),
+             range(0, {TX.LSH_BANDS}) t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(list_transform(range(1, {TX.MINHASH_PERMS} + 1),
+                i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / {TX.MINHASH_PERMS} AS est_jaccard,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(x.sh || y.sh)) AS jaccard
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(x.sh || y.sh)) >= {MINHASH_JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash (64 perms, exact int64 LCG permutations over 28-bit "
+    "sha-carved shingle hashes) + LSH banding (16×4): signatures per-row "
+    "with no shuffle, band-bucket equi-join for candidates "
+    "(P[candidate] ≈ 0.9998 at J=0.8), exact Jaccard verify ≥ 0.5. "
+    "Sub-quadratic — the 100 TB near-dup path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    w = TX.words(F.col("text"))
+    sh = (
+        aug.filter(F.size(w) >= TX.SHINGLE_N)
+        .select("doc_id", TX.shingles(w).alias("sh"))
+    )
+    sig = sh.select("doc_id", "sh", TX.minhash_signature(F.col("sh")).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.posexplode(TX.lsh_band_keys(F.col("sig"))).alias("band", "key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v)).cast("double")
+        / TX.MINHASH_PERMS
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_TRUNC}),
+    sim AS (
+        SELECT doc_id,
+               {TX.sql_simhash(TX.sql_shingles(TX.sql_words('text')))} AS sim
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    chunks AS (
+        SELECT doc_id, sim, c, (sim >> (15 * c)) & 32767 AS chunk
+        FROM sim, range(0, 4) t(c)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sim AS sim_a, b.sim AS sim_b
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_HAMMING_T}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dup: 60-bit signatures over unit-weight SHINGLE "
+    "hashes (word-level sets degenerate on a small vocabulary), "
+    "candidates via 4×15-bit chunk equality (pigeonhole guarantees "
+    "recall for hamming ≤ 3; probabilistic above), verify hamming ≤ 8 "
+    "via popcount(xor). Signature is per-row; only chunk keys shuffle.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    w = TX.words(F.col("text"))
+    sim = aug.filter(F.size(w) >= TX.SHINGLE_N).select(
+        "doc_id", TX.simhash(TX.shingles(w)).alias("sim")
+    )
+    chunks = sim.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("c"), F.shiftright("sim", 15 * c).bitwiseAND(F.lit(32767)).alias("chunk"))
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select("doc_id", "sim", F.col("ck.c").alias("c"), F.col("ck.chunk").alias("chunk"))
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+SQL_VECS_SCALED = f"""
+    SELECT vec_id, label, (embedding::DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {VEC_OFFSET}, label,
+           list_transform(embedding::DOUBLE[], x -> x * 1.01)
+    FROM embeddings WHERE vec_id % {VEC_EVERY} = 0
+"""
+
+
+def vecs_with_scaled_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", VX.as_double(F.col("embedding")).alias("v")
+    )
+    copies = e.filter(F.col("vec_id") % VEC_EVERY == 0).select(
+        (F.col("vec_id") + VEC_OFFSET).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 1.01).alias("v"),
+    )
+    return e.unionByName(copies)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH aug AS ({SQL_VECS_SCALED})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {VX.sql_cosine('a.v', 'b.v')} AS cosine
+    FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {VX.sql_cosine('a.v', 'b.v')} >= {COSINE_T}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup with label blocking: pairs within the "
+    "same (coarse) label block scored by order-deterministic cosine "
+    "fold, threshold 0.99 — planted scaled copies score ≈ 1.0. At real "
+    "scale the blocking key becomes an LSH/IVF bucket (similarity.py).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = vecs_with_scaled_copies(spark, sf_dir)
+    a = aug.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = aug.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
+    cos = VX.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_T)
+        .orderBy("vec_a", "vec_b")
+    )

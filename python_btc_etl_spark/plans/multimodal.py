@@ -1,0 +1,101 @@
+"""Multimodal-column operator coverage (E-MM, SURVEY.md §2.B): binary
+payload columns with typed metadata, and Arrow-batched feature
+extraction via ``mapInPandas``.
+
+The ``documents`` table stands in for a multimodal corpus: its text is
+encoded to a ``BinaryType`` payload column (the schema/partitioning/
+batching plumbing is identical for real image/audio bytes — only the
+decoder differs, and that is stubbed per functions/multimodal.py).
+
+The feature-extraction oracle recomputes the byte arithmetic in SQL
+(the corpus is ASCII, so DuckDB's per-char ``ord`` equals the UTF-8
+byte) — differentially testing the Python/Arrow path against a pure-SQL
+reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..functions.multimodal import CHECKSUM_MOD, FEATURE_BANDS, extract_features_batches
+from .registry import query
+
+FEATURE_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(c, T.LongType()) for c in ("n_bytes", "checksum")]
+    + [T.StructField(f"band{k}", T.LongType()) for k in range(FEATURE_BANDS)]
+)
+
+
+def with_payload(df: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct — the
+    multimodal column pattern (binary + metadata side-by-side)."""
+    return df.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+            F.lit("utf-8").alias("encoding"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain'                                   AS mime,
+           octet_length(encode(text))                     AS n_bytes,
+           lower(hex(encode(substr(text, 1, 8))))         AS head_hex,
+           sha256(text)                                   AS content_sha
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Binary-column plumbing: text → BinaryType payload + metadata "
+    "struct; emits byte length, head-bytes hex, and the payload hash. "
+    "The payload bytes never leave the JVM.",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+            F.lower(F.hex(F.substring(F.col("payload"), 1, 8))).alias("head_hex"),
+            F.sha2("payload", 256).alias("content_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) + 1),
+                              i -> ord(substr(text, i, 1))) AS bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           len(bytes)                                          AS n_bytes,
+           list_reduce(bytes, (x, y) -> x + y) % {CHECKSUM_MOD} AS checksum,
+           {', '.join(f"list_reduce(list_transform(range(1, len(bytes) + 1), i -> CASE WHEN (i - 1) % {FEATURE_BANDS} = {k} THEN bytes[i] ELSE 0 END), (x, y) -> x + y) AS band{k}" for k in range(FEATURE_BANDS))}
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="Arrow-batched feature extraction over binary payloads via "
+    "mapInPandas (the multimodal decode/featurize slot — decoder stubbed, "
+    "batch plumbing real): byte count, modular checksum, positional band "
+    "sums. Differentially tested against a pure-SQL byte-arithmetic "
+    "oracle (ASCII corpus ⇒ ord == byte).",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    feats = d.mapInPandas(extract_features_batches, schema=FEATURE_SCHEMA)
+    return feats.orderBy("doc_id")

@@ -1,0 +1,159 @@
+"""Similarity-search operator coverage (E-SIM, SURVEY.md §2.B):
+brute-force cosine top-k as the correctness baseline, a random-
+hyperplane-LSH bucketed ANN as the scale path, and per-label centroid
+aggregation over the ``embeddings`` table (``array<float>``, dim 64).
+
+The reference has no vector operators; this module is pure extension.
+
+Scale design (100 TB):
+- brute-force: the (small) query set is broadcast; the corpus side never
+  shuffles — one pass, per-query top-k via ranking window. Right answer,
+  O(Q×N) — the baseline you verify ANN against;
+- LSH ANN: each vector gets a 16-bit hyperplane-sign bucket in a per-row
+  projection (no shuffle); candidate generation is an equi-join on
+  bucket id, turning O(Q×N) into O(Q×N/2^16) expected — the standard
+  sub-linear path. Recall is probabilistic; the query reports exact
+  cosine on candidates so precision is 1;
+- centroids: fixed-order fold (collect_list sorted by vec_id) keeps the
+  float sum deterministic for the oracle; at real scale you'd drop the
+  ordering constraint and accept fp reorder noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from ..functions import vectors as VX
+from .registry import query
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", VX.as_double(F.col("embedding")).alias("v")
+    )
+
+
+SQL_VECS = "SELECT vec_id, label, (embedding::DOUBLE[]) AS v FROM embeddings"
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH e AS ({SQL_VECS}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {VX.sql_cosine('q.qv', 'e.v')} AS cosine,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {VX.sql_cosine('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="Brute-force cosine top-k: broadcast query set × full corpus, "
+    "order-deterministic cosine fold, per-query ranking window with "
+    "vec_id tie-break. The exact ANN baseline.",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = VX.cosine(F.col("qv"), F.col("v"))
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "knn_lsh_ann",
+    oracle=f"""
+    WITH e AS ({SQL_VECS}),
+    b AS (SELECT vec_id, v, {VX.sql_lsh_bucket('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               {VX.sql_cosine('q.qv', 'b.v')} AS cosine,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {VX.sql_cosine('q.qv', 'b.v')} DESC, b.vec_id) AS rank
+        FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="ANN via random-hyperplane LSH: 16 sign-bit bucket per vector "
+    "(deterministic LCG-derived planes, per-row projection), candidate "
+    "generation by bucket equi-join, exact cosine re-rank within the "
+    "bucket. The sub-linear scale path; recall traded for the 2^16 "
+    "bucket fan-out.",
+)
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir).withColumn("bucket", VX.lsh_bucket(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cos = VX.cosine(F.col("qv"), F.col("v"))
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH e AS ({SQL_VECS}),
+    flat AS (
+        SELECT label, vec_id, i AS dim, v[i] AS val
+        FROM e, range(1, 65) t(i)
+    )
+    SELECT label, dim,
+           list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) / count(*) AS centroid,
+           count(*) AS n_vectors
+    FROM flat
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    doc="Per-label centroid of the embedding column: posexplode to "
+    "(label, dim, value), fixed-order fold (sorted by vec_id) for a "
+    "deterministic float sum, divide by count. 640 output rows "
+    "(10 labels × 64 dims).",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    flat = e.select("label", "vec_id", F.posexplode("v").alias("dim0", "val")).withColumn(
+        "dim", F.col("dim0") + 1
+    )
+    ordered_sum = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("vec_id", "val"))), lambda s: s.val),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        flat.groupBy("label", "dim")
+        .agg(
+            (ordered_sum / F.count(F.lit(1))).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,218 @@
+"""Text-analysis operator coverage (E-TEXT, SURVEY.md §2.B): token
+counting (whitespace + BPE-ish regex), quality scoring, language-ID by
+stopword-marker scoring, and document fingerprinting — the text side of
+a training-data pipeline, over the ``documents`` table.
+
+The reference has no text operators (its only string work is filename
+parsing, reference utils.py:5-21); this module is pure extension.
+
+Everything is built-in Spark expressions / higher-order functions —
+JVM-side, codegen'd, no UDFs — so a 100 TB documents corpus processes at
+scan speed with zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as TX
+from .registry import query
+
+# Marker stopwords per language, used by the language-ID scorer. Scores
+# are plain token-membership counts; `predicted` is the argmax with
+# alphabetical-first tie-break (a deterministic CASE chain, identical in
+# both engines).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "das"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+LANGS = tuple(sorted(LANG_MARKERS))
+
+
+def _words(df: DataFrame) -> DataFrame:
+    return df.withColumn("w", TX.words(F.col("text")))
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {TX.sql_words('text')} AS w,
+                      {TX.sql_tokens_bpe('text')} AS tok
+               FROM documents)
+    SELECT doc_id, lang,
+           len(w)                                              AS n_words,
+           len(tok)                                            AS n_tokens,
+           len(list_distinct(w))                               AS n_distinct_words,
+           CAST(list_reduce(list_transform(w, s -> length(s)), (x, y) -> x + y) AS DOUBLE)
+               / len(w)                                        AS avg_word_len,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w)      AS uniq_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace words + BPE-ish regex tokens "
+    "(alnum runs | single punctuation), distinct-word ratio, mean word "
+    "length. Pure codegen'd array expressions.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _words(load(spark, sf_dir, "documents"))
+    n_words = F.size("w")
+    n_distinct = F.size(F.array_distinct("w"))
+    total_len = F.aggregate(F.col("w"), F.lit(0), lambda acc, s: acc + F.length(s))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_words.alias("n_words"),
+            F.size(TX.tokens_bpe(F.col("text"))).alias("n_tokens"),
+            n_distinct.alias("n_distinct_words"),
+            (total_len.cast("double") / n_words).alias("avg_word_len"),
+            (n_distinct.cast("double") / n_words).alias("uniq_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {TX.sql_words('lower(text)')} AS w,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_chars,
+               len(w) AS n_words,
+               CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+               CAST(len(list_filter(w, x -> list_contains({list(LANG_MARKERS['en'])}, x))) AS DOUBLE)
+                   / len(w) AS stop_ratio,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio
+        FROM t
+    )
+    SELECT doc_id, n_words, punct_ratio, stop_ratio, uniq_ratio,
+           0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio) + 0.3 * uniq_ratio AS quality,
+           CASE WHEN 0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (1.0 - punct_ratio) + 0.3 * uniq_ratio >= 0.8 THEN 'high'
+                WHEN 0.4 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (1.0 - punct_ratio) + 0.3 * uniq_ratio >= 0.6 THEN 'medium'
+                ELSE 'low' END AS tier
+    FROM s
+    ORDER BY doc_id
+    """,
+    doc="Document quality scoring: length score, punctuation ratio, "
+    "stopword ratio, uniqueness ratio → composite score + tier. The "
+    "standard pre-training quality-filter shape (length/punct/stopword "
+    "heuristics), all JVM-side.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    d = d.withColumn("w", TX.words(lowered)).withColumn(
+        "n_punct", F.length("text") - F.length(F.regexp_replace(lowered, "[^a-z0-9 ]", ""))
+    )
+    n_words = F.size("w")
+    punct_ratio = F.col("n_punct").cast("double") / F.length("text")
+    stop = F.size(F.filter(F.col("w"), lambda x: x.isin(*LANG_MARKERS["en"])))
+    stop_ratio = stop.cast("double") / n_words
+    uniq_ratio = F.size(F.array_distinct("w")).cast("double") / n_words
+    quality = (
+        F.lit(0.4) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * uniq_ratio
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stop_ratio"),
+            uniq_ratio.alias("uniq_ratio"),
+            quality.alias("quality"),
+            F.when(quality >= 0.8, "high").when(quality >= 0.6, "medium").otherwise("low").alias("tier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _score(w: Column, lang: str) -> Column:
+    return F.size(F.filter(w, lambda x: x.isin(*LANG_MARKERS[lang])))
+
+
+def _sql_score(w: str, lang: str) -> str:
+    return f"len(list_filter({w}, x -> list_contains({list(LANG_MARKERS[lang])}, x)))"
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {', '.join(f"{_sql_score(TX.sql_words('text'), lg)} AS s_{lg}" for lg in LANGS)}
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE {' '.join(f"WHEN s_{lg} >= greatest({', '.join('s_' + o for o in LANGS)}) THEN '{lg}'" for lg in LANGS)}
+               END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+    doc="Language-ID by stopword-marker scoring (n-gram-heuristic "
+    "family): per-language membership counts, argmax with deterministic "
+    "alphabetical-first tie-break, aggregated into a confusion matrix "
+    "against the labeled lang column. (The synthetic corpus shares one "
+    "vocabulary across langs, so accuracy is meaningless here — the "
+    "operator mechanics are what's exercised.)",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _words(load(spark, sf_dir, "documents"))
+    scored = d.select("lang", *[_score(F.col("w"), lg).alias(f"s_{lg}") for lg in LANGS])
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANGS])
+    pred = None
+    for lg in LANGS:
+        cond = F.col(f"s_{lg}") >= best
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lower(text) AS ltext, {TX.sql_words('lower(text)')} AS w
+               FROM documents)
+    SELECT doc_id,
+           sha256(ltext)                                      AS content_sha,
+           {TX.sql_hash60('ltext')}                           AS fp60,
+           len({TX.sql_shingles('w')})                        AS n_shingles
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: full SHA-256 content hash + a 60-bit "
+    "integer fingerprint (hex-prefix carve) + distinct shingle count — "
+    "the join/partition key material for dedup at scale.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("ltext", F.lower("text"))
+    w = TX.words(F.col("ltext"))
+    return (
+        d.select(
+            "doc_id",
+            F.sha2("ltext", 256).alias("content_sha"),
+            TX.hash60(F.col("ltext")).alias("fp60"),
+            F.size(TX.shingles(w)).alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
