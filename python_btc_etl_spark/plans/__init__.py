@@ -8,6 +8,7 @@ from . import (  # noqa: F401  (registration side-effect)
     multimodal,
     relational,
     similarity,
+    stream,
     text,
     timeseries,
 )

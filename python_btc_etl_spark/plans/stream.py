@@ -1,0 +1,77 @@
+"""Streaming queries for the registry: Structured Streaming runs driven
+to completion (availableNow) into complete-mode memory sinks, so the
+final table equals the batch aggregation and the DuckDB oracle applies —
+a stronger check than rows-only for the streaming path.
+
+S3 parity (SURVEY.md §2.A): the file-source stream replaces the
+reference's watchdog observer (reference btc_etl.py:185-228); the
+checkpointed variant (streaming/file_stream.stream_ingest_once) is
+exercised in tests/test_streaming.py, including incremental-arrival
+exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.file_stream import run_sessionized_events, run_windowed_ohlcv
+from .ingest import _DUCK_RAW, CORPUS
+from .registry import query
+
+
+@query(
+    "stream_ohlcv_5min",
+    oracle=f"""
+    WITH bars AS ({_DUCK_RAW})
+    SELECT strftime(time_bucket(INTERVAL 5 MINUTE, date_time), '%Y-%m-%d %H:%M:%S') AS bucket,
+           first(open_price ORDER BY date_time)  AS open,
+           max(high_price)                       AS high,
+           min(low_price)                        AS low,
+           last(close_price ORDER BY date_time)  AS close,
+           CAST(CAST(sum(CAST(CAST(volume_btc AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS volume_btc,
+           count(*)                              AS n_bars
+    FROM bars
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Streaming tumbling-window OHLCV: file-source stream over the "
+    "reference CSV corpus, 1-min → 5-min bars via window() aggregation, "
+    "drained with availableNow into a complete-mode memory sink — the "
+    "final table equals the batch aggregation, so the DuckDB oracle "
+    "checks the whole streaming path value-by-value.",
+)
+def stream_ohlcv_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_windowed_ohlcv(spark, CORPUS, width="5 minutes")
+
+
+@query(
+    "stream_session_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S')                        AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')   AS session_end,
+           count(*)                                                      AS n_events,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Stateful streaming sessionization via session_window (30-min "
+    "gap) over the events stream, availableNow + complete memory sink. "
+    "Oracle mirrors Spark's session semantics: an event exactly `gap` "
+    "after the previous one starts a NEW session (strict <); "
+    "session_end = last event + gap.",
+)
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sessionized_events(spark, sf_dir, gap="30 minutes")

@@ -97,7 +97,10 @@ def read_bars(spark: SparkSession, directory: str, paths: list[str] | None = Non
         df.withColumn("source_file", F.input_file_name())
         .withColumn(
             "file_date",
-            F.to_date(F.regexp_extract(F.input_file_name(), FILENAME_PATTERN, 1), "yyyy-MM-dd"),
+            # try_to_date: unmatched/invalid names yield null (dropped
+            # below) instead of failing the job under ANSI mode — the
+            # tolerant-validation semantics of reference utils.py:5-15.
+            F.try_to_date(F.regexp_extract(F.input_file_name(), FILENAME_PATTERN, 1), "yyyy-MM-dd"),
         )
         .filter(F.col("file_date").isNotNull())
     )
@@ -110,9 +113,9 @@ def transform_bars(df: DataFrame) -> DataFrame:
         df.na.drop(how="all", subset=list(VALUE_COLUMNS))
         .withColumn(
             "date_time",
-            F.to_timestamp(
+            F.try_to_timestamp(
                 F.concat_ws(" ", F.date_format("file_date", "yyyy-MM-dd"), F.col("Time")),
-                "yyyy-MM-dd HH:mm:ss",
+                F.lit("yyyy-MM-dd HH:mm:ss"),
             ),
         )
         .filter(F.col("date_time").isNotNull())  # F4-adjacent: unparseable Time dropped

@@ -1,0 +1,178 @@
+"""Streaming ingest + streaming aggregation (S3 parity, SURVEY.md §2.A).
+
+The reference watches a directory with watchdog/inotify and processes
+each new CSV on a thread pool, tracking seen files in Redis
+(reference btc_etl.py:185-228, utils.py:24-36). Structured Streaming's
+file source replaces all of it declaratively:
+
+- new-file detection  → file-source listing per micro-batch;
+- the Redis seen-set  → the checkpoint's file log (exactly-once,
+  crash-safe — strictly stronger than the reference's at-least-once
+  Redis fallback, reference utils.py:27-29);
+- the thread pool     → task-parallel micro-batches;
+- partial-file races (the reference reads files as they're created,
+  btc_etl.py:209-228) → the source only lists completed files.
+
+Two aggregation shapes on top:
+- tumbling-window OHLCV (1-min bars → N-min bars) with a watermark for
+  late data in the append path;
+- session windows over the events stream (session_window, the
+  streaming form of plans/timeseries.sessionize_events).
+
+Scale notes: a 100 TB backlog drains through ``availableNow`` in
+bounded micro-batches (maxFilesPerTrigger); state for windowed aggs is
+bounded by the watermark; the memory-sink variants here exist for the
+deterministic differential oracle and collect only final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import ensure_session_confs
+from ..sources.csv_bars import BAR_SCHEMA, transform_bars
+
+DEFAULT_WATERMARK = "1 day"
+
+
+def stream_bars(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of OHLCV bars: same explicit schema and
+    transform as the batch reader (one code path for both, the lambda-
+    architecture collapse the reference lacks)."""
+    reader = (
+        spark.readStream.format("csv")
+        .option("header", True)
+        .option("pathGlobFilter", "btcusd-*.csv")
+        .schema(BAR_SCHEMA)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(directory)
+    from ..sources.csv_bars import FILENAME_PATTERN  # local to avoid cycle noise
+
+    raw = raw.withColumn(
+        "file_date",
+        F.try_to_date(F.regexp_extract(F.input_file_name(), FILENAME_PATTERN, 1), "yyyy-MM-dd"),
+    ).filter(F.col("file_date").isNotNull())
+    return transform_bars(raw)
+
+
+def stream_ingest_once(
+    spark: SparkSession,
+    directory: str,
+    table_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all pending files into the date-partitioned parquet table
+    with exactly-once file tracking (checkpoint = the reference's Redis
+    set, reference utils.py:24-36, but transactional)."""
+    bars = stream_bars(spark, directory, max_files_per_trigger)
+    out = bars.withColumn("date", F.col("date_time").cast("date"))
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _run_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    complete-mode memory sink and return the final table — every window
+    is emitted, so the result equals the batch aggregation and can be
+    differentially checked against a SQL oracle."""
+    spark = df.sparkSession
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_windowed_ohlcv(
+    spark: SparkSession,
+    directory: str,
+    width: str = "5 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """1-min bars → ``width`` OHLCV via streaming tumbling windows.
+
+    Complete-mode memory sink: deterministic full result (the append-
+    path watermark variant is exercised in tests; its tail windows stay
+    in state at stream end by design).
+    """
+    bars = stream_bars(spark, directory, max_files_per_trigger)
+    agg = (
+        bars.groupBy(F.window("date_time", width).alias("win"))
+        .agg(
+            F.min_by("open_price", F.col("date_time")).alias("open"),
+            F.max("high_price").alias("high"),
+            F.min("low_price").alias("low"),
+            F.max_by("close_price", F.col("date_time")).alias("close"),
+            F.sum(F.col("volume_btc").cast("decimal(30,12)")).cast("double").alias("volume_btc"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume_btc",
+            "n_bars",
+        )
+    )
+    return _run_to_memory(agg, "stream_ohlcv").orderBy("bucket")
+
+
+def run_sessionized_events(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session windows over the events stream (session_window — the
+    stateful streaming form of batch sessionization). File-source stream
+    over the events parquet; complete-mode memory sink for determinism.
+
+    Spark session semantics: an event at exactly ``gap`` after the
+    previous one starts a NEW session (merge requires ts < prev + gap);
+    session_end = last event + gap.
+    """
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        raw.groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_sessions").orderBy("user_id", "session_start")
