@@ -1,0 +1,527 @@
+"""Extended relational coverage: remaining TPC-H query shapes, outer and
+cross joins, grouping sets, pivot, exact moment statistics, and array /
+map higher-order functions.
+
+The reference implements none of these (SURVEY.md §2.B gap table — no
+joins, no aggregation, no array/map functions exist anywhere in
+reference btc_etl.py / utils.py); this module fills the gap rows
+Spark-first:
+
+- correlated EXISTS → LEFT SEMI join with a non-equi conjunct (Catalyst
+  plans the equi part as the join key, the range conjunct as a post-join
+  filter on the build side);
+- FULL OUTER between two pre-aggregated sides — aggregating BEFORE the
+  join shrinks both inputs to |distinct keys| rows, so at 100 TB the
+  outer join shuffles KB, not TB;
+- CROSS JOIN only over tiny deduplicated dimension domains (the 5×5
+  grid), never fact×fact;
+- pivot with an explicit value list — without it Spark runs an extra
+  distinct job to discover values, a full pass over the fact table;
+- exact sample variance / correlation derived from decimal power sums
+  (``exprs.py`` policy): ``var/stddev/corr`` built-ins accumulate
+  doubles in partition order and are non-deterministic under parallel
+  aggregation, while decimal power sums are exact and order-free, and
+  the final double arithmetic is IEEE-identical on both engines;
+- array higher-order functions (``transform``/``aggregate``/``filter``)
+  run element-sequential per row, so float math is order-stable and
+  engine-comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .exprs import davg, dsum, sql_davg, sql_dsum
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes the base module doesn't cover
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           count(*)                                   AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    ORDER BY revenue
+    """,
+    doc="TPC-H Q6-style: pure scan + conjunctive filter + scalar agg. The "
+    "whole query is one shuffle-free stage; every predicate reaches the "
+    "parquet scan as a PushedFilter.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("revenue")
+    )
+
+
+@query(
+    "q4_priority_waiting",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style: correlated EXISTS with a non-equi conjunct → "
+    "LEFT SEMI join on the equi key plus a range condition.",
+)
+def q4_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-style returned-item report: 4-way join, group on a "
+    "wide key, top-20 by revenue (TakeOrderedAndProject).",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", F.col("c_acctbal").alias("acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                 / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    ORDER BY promo_pct
+    """,
+    doc="TPC-H Q14-style promo ratio: conditional aggregation over a "
+    "broadcast join; ratio of two exact decimal sums (IEEE-stable).",
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("promo_pct")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE)  AS orderdate,
+           o_totalprice,
+           {sql_dsum('l_quantity')}   AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="TPC-H Q18-style large-volume orders: agg-HAVING subquery as a "
+    "LEFT SEMI join against the re-aggregated fact table.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer / cross joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "full_outer_nation_balance",
+    oracle=f"""
+    WITH poor_cust AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_poor_customers,
+               {sql_dsum('c_acctbal')} AS cust_balance
+        FROM customer WHERE c_acctbal < -500 GROUP BY c_nationkey
+    ),
+    cheap_supp AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_cheap_suppliers,
+               {sql_dsum('s_acctbal')} AS supp_balance
+        FROM supplier WHERE s_acctbal < 1000 GROUP BY s_nationkey
+    )
+    SELECT coalesce(poor_cust.nationkey, cheap_supp.nationkey) AS nationkey,
+           coalesce(n_poor_customers, 0) AS n_poor_customers,
+           cust_balance,
+           coalesce(n_cheap_suppliers, 0) AS n_cheap_suppliers,
+           supp_balance
+    FROM poor_cust FULL OUTER JOIN cheap_supp USING (nationkey)
+    ORDER BY nationkey
+    """,
+    doc="FULL OUTER join of two pre-aggregated sides with unmatched rows "
+    "on both; aggregate-before-join keeps the shuffled state tiny at "
+    "any scale.",
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -500)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_poor_customers"), dsum("c_acctbal").alias("cust_balance"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cheap_suppliers"), dsum("s_acctbal").alias("supp_balance"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_poor_customers", F.lit(0)).alias("n_poor_customers"),
+            "cust_balance",
+            F.coalesce("n_cheap_suppliers", F.lit(0)).alias("n_cheap_suppliers"),
+            "supp_balance",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "cross_join_segment_priority_grid",
+    oracle="""
+    WITH grid AS (
+        SELECT c_mktsegment, o_orderpriority
+        FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    ),
+    actual AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    )
+    SELECT grid.c_mktsegment  AS segment,
+           grid.o_orderpriority AS priority,
+           coalesce(actual.n, 0) AS n_orders
+    FROM grid LEFT JOIN actual USING (c_mktsegment, o_orderpriority)
+    ORDER BY segment, priority
+    """,
+    doc="CROSS JOIN over tiny deduplicated dimension domains to build a "
+    "dense 5×5 grid, LEFT OUTER joined to actual counts (zero-filled "
+    "matrix). Cross join is only ever domain×domain, never fact×fact.",
+)
+def cross_join_segment_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    grid = c.select("c_mktsegment").distinct().crossJoin(o.select("o_orderpriority").distinct())
+    actual = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(actual, ["c_mktsegment", "o_orderpriority"], "left")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_flags",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                      AS n_items,
+           {sql_dsum('l_quantity')}      AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+    doc="Explicit GROUPING SETS (neither a rollup nor a cube): per-flag "
+    "totals, per-status totals, and the grand total in one pass — Spark "
+    "plans a single Expand + hash aggregate.",
+)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    doc="PIVOT with an explicit value list (no extra distinct-discovery "
+    "job over the fact table); missing cells zero-filled to match SQL "
+    "conditional-count semantics.",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    values = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["urgent", "high", "medium", "not_specified", "low"]
+    pivoted = o.groupBy(F.col("o_orderstatus").alias("status")).pivot("o_orderpriority", values).count()
+    return pivoted.select(
+        "status",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in zip(values, aliases)],
+    ).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
+# Exact moment statistics (deterministic var/std/corr)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_moments",
+    oracle=f"""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE)         AS n,
+               {sql_dsum('l_quantity')}         AS s_q,
+               {sql_dsum('l_quantity * l_quantity')} AS s_qq,
+               {sql_dsum('l_extendedprice')}    AS s_p,
+               {sql_dsum('l_extendedprice * l_extendedprice', 4)} AS s_pp,
+               {sql_dsum('l_quantity * l_extendedprice', 4)}      AS s_qp
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT)                                   AS n_items,
+           s_q / n                                             AS mean_qty,
+           (s_qq - s_q * s_q / n) / (n - 1)                    AS var_qty,
+           sqrt((s_qq - s_q * s_q / n) / (n - 1))              AS std_qty,
+           (n * s_qp - s_q * s_p)
+             / sqrt((n * s_qq - s_q * s_q) * (n * s_pp - s_p * s_p)) AS corr_qty_price
+    FROM sums
+    ORDER BY l_returnflag
+    """,
+    doc="Sample variance / stddev / Pearson correlation derived from "
+    "exact decimal power sums — unlike the var_samp/corr built-ins "
+    "(which accumulate doubles in partition order, non-deterministic "
+    "under parallel aggregation), power sums are order-free and the "
+    "final double formula is IEEE-identical across engines.",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("s_q"),
+        dsum(q * q).alias("s_qq"),
+        dsum(p).alias("s_p"),
+        dsum(p * p, scale=4).alias("s_pp"),
+        dsum(q * p, scale=4).alias("s_qp"),
+    )
+    n, s_q, s_qq = F.col("n"), F.col("s_q"), F.col("s_qq")
+    s_p, s_pp, s_qp = F.col("s_p"), F.col("s_pp"), F.col("s_qp")
+    var_qty = (s_qq - s_q * s_q / n) / (n - 1)
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        (s_q / n).alias("mean_qty"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        (
+            (n * s_qp - s_q * s_p)
+            / F.sqrt((n * s_qq - s_q * s_q) * (n * s_pp - s_p * s_p))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Array / map higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_hof_norms",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS n_dims,
+           sqrt(list_aggregate(
+                list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                'sum'))                                     AS l2_norm,
+           list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+                                                            AS max_abs,
+           len(list_filter(embedding, x -> x > 0))          AS n_positive,
+           CAST(embedding[1] AS DOUBLE)                     AS first_dim
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Array higher-order functions over embeddings: transform / "
+    "aggregate / filter / element_at — all JVM-codegen'd, element-"
+    "sequential per row so float math is order-stable across engines.",
+)
+def array_hof_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)).alias("l2_norm"),
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))).alias("max_abs"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+            F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "map_event_props",
+    oracle="""
+    SELECT event_id,
+           'k'                                                     AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)       AS prop_k,
+           event_type                                              AS tagged_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+    ORDER BY event_id
+    """,
+    doc="Map-type surface: from_json into map<string,bigint>, map_keys / "
+    "element access / map construction with create_map — verified "
+    "against DuckDB JSON extraction of the same props column.",
+)
+def map_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    tagged = F.create_map(F.lit("type"), F.col("event_type"))
+    return (
+        e.select(
+            "event_id",
+            F.element_at(F.map_keys(m), 1).alias("first_key"),
+            F.element_at(m, "k").alias("prop_k"),
+            F.element_at(tagged, "type").alias("tagged_type"),
+        )
+        .filter(F.col("prop_k") >= 95)
+        .orderBy("event_id")
+    )
