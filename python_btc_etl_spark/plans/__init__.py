@@ -7,6 +7,7 @@ from . import (  # noqa: F401  (registration side-effect)
     dedup,
     ingest,
     multimodal,
+    ordered_stats,
     relational,
     similarity,
     stream,

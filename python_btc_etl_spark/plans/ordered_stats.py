@@ -1,0 +1,259 @@
+"""Ordered-set / collection aggregates and extended scalar coverage:
+exact percentiles & median, string aggregation, boolean aggregates,
+lateral explode (UNNEST), deterministic mode, and a second tier of
+string/math scalar functions.
+
+Nothing here exists in the reference (SURVEY.md §2.B — it computes no
+aggregates at runtime at all); these fill the remaining aggregate-
+function rows of the gap table.
+
+Determinism notes:
+- exact percentiles interpolate between adjacent order statistics; on
+  l_quantity (integers 1..50) every interpolated value is a small
+  dyadic rational, exactly representable in both engines regardless of
+  the interpolation formula's operation order;
+- string aggregation is order-sensitive, so inputs are deduplicated and
+  sorted before joining (array_sort(collect_set(...)) ≙ string_agg(
+  DISTINCT ... ORDER BY ...));
+- mode is tie-ambiguous across engines, so it is derived explicitly as
+  "smallest value among the most frequent" via a count + min_by — same
+  definition spelled out on both sides;
+- percentile/median on Spark run as exact ordered-set aggregates
+  (sort-based within groups); at 100 TB prefer approx_percentile
+  (KLL/GK sketch, mergeable, one pass) — covered rows-only in
+  approx_distinct_parts's family since sketches are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "percentile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                          AS n_items,
+           median(l_quantity)                AS median_qty,
+           quantile_cont(l_quantity, 0.25)   AS p25_qty,
+           quantile_cont(l_quantity, 0.75)   AS p75_qty,
+           quantile_cont(l_quantity, 0.95)   AS p95_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact median + continuous percentiles (p25/p75/p95) per group — "
+    "ordered-set aggregates; interpolated values on integer quantities "
+    "are dyadic rationals, bit-identical across engines.",
+)
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.median("l_quantity").alias("median_qty"),
+            F.percentile("l_quantity", 0.25).alias("p25_qty"),
+            F.percentile("l_quantity", 0.75).alias("p75_qty"),
+            F.percentile("l_quantity", 0.95).alias("p95_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "mode_quantity",
+    oracle="""
+    WITH freq AS (
+        SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+        SELECT l_returnflag, l_quantity, n,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY n DESC, l_quantity) AS rn
+        FROM freq
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_freq
+    FROM ranked WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    doc="Deterministic mode: smallest value among the most frequent, "
+    "derived as count-then-rank (engines' built-in mode() breaks ties "
+    "arbitrarily, so the definition is spelled out on both sides).",
+)
+def mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), F.col("n").alias("mode_freq"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collection aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stringagg_status_priorities",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+           count(DISTINCT o_orderpriority)                                    AS n_priorities,
+           count(*)                                                           AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    doc="String aggregation (LISTAGG): deduplicated + sorted before "
+    "joining so the concatenation is order-deterministic "
+    "(array_sort(collect_set(...)) ≙ string_agg(DISTINCT ... ORDER BY)).",
+)
+def stringagg_status_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "bool_aggs_nation_wealth",
+    oracle="""
+    SELECT c_nationkey                     AS nationkey,
+           bool_and(c_acctbal > -500)      AS all_above_neg500,
+           bool_or(c_acctbal > 9000)       AS any_above_9000,
+           count(*) FILTER (WHERE c_acctbal > 9000) AS n_above_9000,
+           count(*)                        AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+    doc="Boolean aggregates (EVERY / ANY a.k.a. bool_and / bool_or) plus "
+    "a filtered count — all map-side-combinable single-pass aggregates.",
+)
+def bool_aggs_nation_wealth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.bool_and(F.col("c_acctbal") > -500).alias("all_above_neg500"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_above_9000"),
+            F.count(F.when(F.col("c_acctbal") > 9000, 1)).alias("n_above_9000"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode / UNNEST
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_part_name_words",
+    oracle="""
+    SELECT word, count(*) AS freq, count(DISTINCT p_partkey) AS n_parts
+    FROM (
+        SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        FROM part
+    )
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT 20
+    """,
+    doc="Lateral explode (UNNEST / LATERAL VIEW): tokenize part names, "
+    "count word frequency, top-20 with lexicographic tie-break. The "
+    "generator runs inside the scan stage — rows fan out before the "
+    "single aggregation shuffle.",
+)
+def explode_part_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("p_partkey").alias("n_parts"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions, second tier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.')                       AS brand_padded,
+           rpad(p_brand, 12, '.')                       AS brand_rpadded,
+           replace(p_type, 'O', '0')                    AS type_leet,
+           translate(p_brand, '#', 'N')                 AS brand_translated,
+           split_part(p_name, ' ', 1)                   AS first_word,
+           reverse(p_brand)                             AS brand_rev,
+           repeat('*', p_size % 5)                      AS stars,
+           levenshtein(p_brand, p_type)                 AS brand_type_dist,
+           round(p_retailprice, 1)                      AS price_r1,
+           ceil(p_retailprice)                          AS price_ceil,
+           floor(p_retailprice)                         AS price_floor,
+           sign(p_size - 25)                            AS size_sign,
+           greatest(p_size, 10)                         AS size_hi,
+           least(p_size, 10)                            AS size_lo,
+           power(CAST(p_size AS DOUBLE), 2)             AS size_sq
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="Second-tier scalar coverage: padding, translate/replace, "
+    "split_part, reverse, repeat, levenshtein, rounding family, sign, "
+    "greatest/least, integer powers — all JVM-codegen'd expressions; "
+    "libm-divergent functions (exp/log/trig) deliberately excluded from "
+    "the differential surface (1-ulp cross-engine drift).",
+)
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lpad("p_brand", 12, ".").alias("brand_padded"),
+            F.rpad("p_brand", 12, ".").alias("brand_rpadded"),
+            F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_leet"),
+            F.translate("p_brand", "#", "N").alias("brand_translated"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.reverse("p_brand").alias("brand_rev"),
+            F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+            F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+            F.round("p_retailprice", 1).alias("price_r1"),
+            F.ceil("p_retailprice").alias("price_ceil"),
+            F.floor("p_retailprice").alias("price_floor"),
+            F.signum(F.col("p_size") - 25).alias("size_sign"),
+            F.greatest("p_size", F.lit(10)).alias("size_hi"),
+            F.least("p_size", F.lit(10)).alias("size_lo"),
+            F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -1,0 +1,114 @@
+"""Physical-plan shape assertions — the scale-correctness gate.
+
+Value-correctness is covered by the DuckDB differential tests; these
+tests instead assert that Catalyst produced the plan we *designed* for
+100 TB: filters pushed into the parquet scan, dimensions broadcast (no
+fact-side shuffle), partial (map-side) aggregation before every exchange,
+top-k planned as TakeOrderedAndProject (no global sort), and the
+whole-stage-codegen spans we rely on actually present.
+
+A query that silently regresses to a shuffled join or an un-pushed
+filter still returns correct rows at sf0.001 — only these tests catch
+the 1000×-scale problem.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from python_btc_etl_spark import plans
+
+from .conftest import SF_SMALL
+
+
+def explained(spark, name: str, execute: bool = False) -> str:
+    """Formatted physical plan; with ``execute=True`` the query runs first
+    so AQE's final plan (with WholeStageCodegen ids) is what's printed."""
+    df = plans.REGISTRY[name].fn(spark, SF_SMALL)
+    if execute:
+        df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    """Every Q6 predicate must reach the parquet reader as a pushed filter
+    and the scan must prune to the 4 referenced columns."""
+    plan = explained(spark, "q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+    read_schema = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    assert read_schema
+    cols = {c.split(":")[0] for c in read_schema.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["broadcast_brand_revenue", "q5_region_revenue", "q10_returned_revenue"],
+)
+def test_dim_joins_broadcast(spark, name):
+    """Dimension joins must be BroadcastHashJoin — the fact table must
+    never shuffle for a dim lookup."""
+    plan = explained(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_broadcast_query_has_no_fact_shuffle_join(spark):
+    """broadcast_brand_revenue's only exchanges are the aggregation and
+    the broadcast itself — no SortMergeJoin / ShuffledHashJoin anywhere."""
+    plan = explained(spark, "broadcast_brand_revenue")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """The big aggregate must be partial (map-side combine) + final —
+    the shuffle carries one row per (group × partition), not per line."""
+    plan = explained(spark, "q1_pricing_summary")
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # partial agg appears before the exchange: two HashAggregate nodes.
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject — a global
+    sort materialization at 100 TB would be a different algorithm."""
+    plan = explained(spark, "q3_top_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_whole_stage_codegen_present(spark):
+    """Scalar-heavy queries must stay inside WholeStageCodegen (no
+    Python/row-at-a-time evaluation in the hot path)."""
+    for name in ("scalar_string_math", "q1_pricing_summary"):
+        plan = explained(spark, name, execute=True)
+        assert "[codegen id :" in plan, f"{name}: no codegen span\n{plan}"
+
+
+def test_semi_anti_joins_planned_as_joins(spark):
+    """Semi/anti shapes must be real joins (BroadcastHashJoin or SMJ with
+    LeftSemi/LeftAnti), not subquery re-execution."""
+    semi = explained(spark, "semi_join_urgent_customers")
+    anti = explained(spark, "anti_join_orderless_customers")
+    assert "LeftSemi" in semi, semi
+    assert "LeftAnti" in anti, anti
+
+
+def test_range_join_has_equi_key(spark):
+    """The ±5-minute range join must hash on the user_id equi-key with the
+    range as a residual condition — never BroadcastNestedLoopJoin."""
+    plan = explained(spark, "range_join_error_context")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_csv_scan_prunes_by_glob_and_schema(spark):
+    """The reference-corpus CSV scan must carry the explicit schema (no
+    inference pass) and the all-null filter must not block codegen."""
+    plan = explained(spark, "btc_daily_summary", execute=True)
+    assert "Scan csv" in plan, plan
+    assert "[codegen id :" in plan, plan
