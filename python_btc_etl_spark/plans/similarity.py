@@ -119,6 +119,99 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse centroids: vec_id in [N_QUERIES, N_QUERIES+16)
+N_PROBE = 4
+
+
+@query(
+    "knn_ivf_ann",
+    oracle=f"""
+    WITH e AS ({SQL_VECS}),
+    cents AS (SELECT vec_id AS cell_id, v AS cv FROM e
+              WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {VX.sql_cosine('c.cv', 'e.v')} DESC, c.cell_id) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, qv, cell_id FROM (
+            SELECT q.query_id, q.qv, c.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {VX.sql_cosine('c.cv', 'q.qv')} DESC, c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {VX.sql_cosine('p.qv', 'a.v')} AS cosine,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {VX.sql_cosine('p.qv', 'a.v')} DESC, a.vec_id) AS rank
+        FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+                                     AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM scored WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    doc="ANN via IVF (inverted-file) coarse quantization: 16 deterministic "
+    "coarse centroids (fixed vec_ids stand in for a k-means codebook), "
+    "every corpus vector assigned to its nearest centroid's cell "
+    "(broadcast nested-loop argmax — O(N·K), no shuffle of the corpus), "
+    "queries probe their 4 nearest cells, exact cosine re-rank inside the "
+    "probed cells. At 100 TB the cell assignment is a write-time "
+    "partitioning (partitionBy(cell_id)), so a query scans only "
+    "nprobe/K of the corpus via partition pruning.",
+)
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+
+    assign_win = W.partitionBy("vec_id").orderBy(
+        F.desc("cell_sim"), "cell_id"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cell_sim", VX.cosine(F.col("cv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(assign_win))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_win = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cell_sim", VX.cosine(F.col("cv"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(probe_win))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", F.col("cell_id").alias("pcell"))
+    )
+
+    cos = VX.cosine(F.col("qv"), F.col("v"))
+    rank_win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell_id") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(rank_win))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "embedding_label_centroids",
     oracle=f"""

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.file_stream import run_sessionized_events, run_windowed_ohlcv
+from ..streaming.stateful import run_user_lifetime_stats
 from .ingest import _DUCK_RAW, CORPUS
 from .registry import query
 
@@ -75,3 +76,27 @@ def stream_ohlcv_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionized_events(spark, sf_dir, gap="30 minutes")
+
+
+@query(
+    "stream_user_lifetime_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,2))) AS VARCHAR) AS DOUBLE) AS total_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user lifetime count / exact-cents sum / max evolving across "
+    "micro-batches, update-mode emission, final state differentially "
+    "checked against the batch SQL aggregate. The cross-batch state "
+    "continuity is exercised in tests/test_streaming.py with "
+    "maxFilesPerTrigger=1 over a split corpus.",
+)
+def stream_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FileStreamSource requires a directory basePath; select just the
+    # events table out of the sf dir with a glob filter.
+    return run_user_lifetime_stats(spark, sf_dir, glob="events.parquet")

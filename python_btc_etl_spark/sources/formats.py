@@ -1,0 +1,122 @@
+"""Generic multi-format datasource layer (SURVEY.md §2.B row 1).
+
+The reference reads exactly one format — CSV via ``pd.read_csv``
+(reference btc_etl.py:152) — and writes exactly one sink — SQL INSERT via
+``to_sql`` (reference btc_etl.py:179-180). The new engine exposes the
+full built-in datasource matrix behind two thin helpers that enforce the
+practices that matter at 100 TB:
+
+- **explicit schema always** for text formats (JSON/CSV): schema
+  inference re-reads the corpus — an extra full scan at 100 TB;
+- **columnar formats by default** (parquet/orc): predicate pushdown +
+  column pruning reach the file footer, so a 2-column projection reads
+  2 columns;
+- **partitioned writes** (``partitionBy``) so downstream reads get
+  static + dynamic partition pruning;
+- **JDBC** mirrors the reference's Postgres sink; reads parallelize via
+  ``partitionColumn/lowerBound/upperBound/numPartitions``, writes batch
+  via ``batchsize`` (the Spark analogue of the reference's
+  ``method='multi'`` multi-row INSERT). Gated: no database exists in the
+  test container, so ``read_jdbc``/``write_jdbc`` build the reader/writer
+  but only execute when a URL is supplied by the caller.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TEXT_FORMATS = {"json", "csv"}
+COLUMNAR_FORMATS = {"parquet", "orc"}
+
+# Spark's default text-format timestamp pattern carries milliseconds only;
+# round-tripping microsecond event times through JSON/CSV would silently
+# truncate. Full-precision default, overridable per call.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def _text_defaults(fmt: str, options: dict) -> dict:
+    if fmt in TEXT_FORMATS:
+        options.setdefault("timestampFormat", _TS_FMT)
+    return options
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``; text formats require an explicit schema."""
+    if fmt in TEXT_FORMATS and schema is None:
+        raise ValueError(
+            f"{fmt} reads require an explicit schema: inference costs a "
+            "full extra pass over the data at scale"
+        )
+    reader = spark.read.format(fmt).options(**_text_defaults(fmt, dict(options)))
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Iterable[str] = (),
+    **options: str,
+) -> None:
+    writer = df.write.format(fmt).mode(mode).options(**_text_defaults(fmt, dict(options)))
+    partition_by = list(partition_by)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """Parallel JDBC read. With a partition column, Spark issues
+    ``num_partitions`` range-predicate queries concurrently instead of
+    one giant scan through a single connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.options(**options).load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    **options: str,
+) -> None:
+    """Batched JDBC append — the reference's ``to_sql(method='multi')``
+    (reference btc_etl.py:180) with one connection per task."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )

@@ -1,0 +1,145 @@
+"""Custom stateful streaming operator: per-user lifetime statistics via
+``applyInPandasWithState`` (arbitrary stateful processing).
+
+This is the operator class Spark's built-in streaming aggregates can't
+express: user-defined state evolving across micro-batches (the
+"(flat)MapGroupsWithState if needed" row of SURVEY.md §2.B). The
+reference's only state is its Redis seen-files set (reference
+utils.py:24-36); this shows the general mechanism — keyed state, Arrow-
+batched Python hook, update-mode emission.
+
+Determinism for the differential oracle: the accumulator holds integer
+cents (values have fixed ≤2-dp precision), so the running sum is exact
+and order-independent regardless of how rows land in micro-batches; the
+final division by 100 is a single correctly-rounded IEEE op, matching
+the oracle's decimal-sum → double cast bit-for-bit.
+
+Scale notes: state is hash-partitioned by user_id across executors and
+checkpointed per batch (RocksDB state store on a real cluster); each
+micro-batch moves only Arrow batches of that batch's rows plus one
+state row per touched user — O(active users), not O(history).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import ensure_session_confs
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """State hook: fold this batch's rows for one user into (count,
+    exact cents sum, max), emit the updated lifetime row."""
+    if state.exists:
+        n, cents, mx = state.get
+    else:
+        n, cents, mx = 0, 0, float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        # values are fixed-point ≤2 dp: ×100 rounds to the exact integer
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, cents, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "max_value": [mx],
+        }
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+):
+    """File-source stream over a directory of events parquet files (the
+    driver corpus stores TIMESTAMP(NANOS) → int64 under nanosAsLong;
+    convert like catalog.load)."""
+    ensure_session_confs(spark)
+    probe = f"{events_dir}/{glob}" if glob else events_dir
+    schema = spark.read.parquet(probe).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(events_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def run_user_lifetime_stats(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """Drive the stateful operator to completion (availableNow) and
+    return the FINAL lifetime row per user.
+
+    Update-mode memory sink accumulates one row per (user, batch-update);
+    the final state per user is the row with the highest n_events —
+    selected with a max_by struct aggregate, all deterministic.
+    """
+    raw = stream_events(spark, events_dir, max_files_per_trigger, glob)
+    updates = raw.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_user_lifetime"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_updates = spark.table(name)
+    final = F.max_by(
+        F.struct("n_events", "total_value", "max_value"), F.col("n_events")
+    ).alias("s")
+    return (
+        all_updates.groupBy("user_id")
+        .agg(final)
+        .select("user_id", "s.n_events", "s.total_value", "s.max_value")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,48 @@
+"""Multi-format datasource round-trips: the same relation written and
+re-read through JSON / ORC / CSV equals the parquet original (SURVEY.md
+§2.B row 1 — sources beyond the reference's single CSV reader)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_btc_etl_spark.catalog import load
+from python_btc_etl_spark.sources.formats import read_any, write_any
+
+
+@pytest.mark.parametrize("fmt", ["json", "orc", "csv"])
+def test_roundtrip_matches_parquet(spark, sf_dir, tmp_path, fmt):
+    orig = load(spark, sf_dir, "events")
+    path = str(tmp_path / f"events_{fmt}")
+    opts = {"header": "true"} if fmt == "csv" else {}
+    write_any(orig, path, fmt=fmt, **opts)
+    schema = orig.schema if fmt in ("json", "csv") else None
+    back = read_any(spark, path, fmt=fmt, schema=schema, **opts)
+    assert back.schema == orig.schema
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_any(spark, str(tmp_path), fmt="json")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """partitionBy layout: reading one partition touches one directory
+    (the hypertable-chunk analogue, reference btc_etl.py:89-101)."""
+    from pyspark.sql import functions as F
+
+    orig = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_any(orig, path, partition_by=["event_date"])
+    one_day = orig.select(F.max("event_date")).first()[0]
+    pruned = read_any(spark, path).filter(F.col("event_date") == F.lit(one_day))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert orig.filter(F.col("event_date") == F.lit(one_day)).count() == pruned.count()
+    # Partition filter must appear in the scan, not as a post-scan filter.
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]

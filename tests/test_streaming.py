@@ -47,6 +47,38 @@ def test_stream_ingest_exactly_once_incremental(spark, tmp_path):
     assert spark.read.parquet(table).count() == batch_all
 
 
+def test_stateful_lifetime_stats_across_microbatches(spark, tmp_path):
+    """Cross-batch state continuity: split events into 3 files, drain with
+    maxFilesPerTrigger=1 (3 micro-batches), and check the final per-user
+    state equals the single-shot batch aggregate — i.e., state genuinely
+    persists and folds across micro-batch boundaries."""
+    import pyspark.sql.functions as F
+
+    from python_btc_etl_spark.catalog import load
+    from python_btc_etl_spark.streaming.stateful import run_user_lifetime_stats
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "events_split"
+    events.repartition(3).write.parquet(str(src))
+
+    got = run_user_lifetime_stats(
+        spark, str(src), max_files_per_trigger=1, glob="*.parquet"
+    )
+    expected = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
 def test_stream_transform_matches_batch(spark, tmp_path):
     src = _stage(tmp_path, ["btcusd-2013-06-01.csv"])
     table = str(tmp_path / "t2")
