@@ -9,8 +9,10 @@ from . import (  # noqa: F401  (registration side-effect)
     multimodal,
     ordered_stats,
     relational,
+    scale,
     similarity,
     stream,
+    subqueries,
     text,
     timeseries,
 )

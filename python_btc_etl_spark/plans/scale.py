@@ -1,0 +1,163 @@
+"""Scale-pattern coverage: the plan shapes that keep 100 TB workloads
+alive — event-time range window frames, deterministic salted skew joins,
+and two-phase (shuffle-resident) distinct aggregation.
+
+The reference's only scale mechanism is a 4-thread pool
+(reference btc_etl.py:108-124); these are the distributed equivalents,
+each verified against the same-semantics unsalted/single-phase DuckDB
+oracle — salting and phase-splitting are *physical* rewrites that must
+not change results, and the differential check proves exactly that.
+
+Scale notes (100 TB):
+- ``window_time_range_frame``: trailing-interval frames over event time
+  shuffle once on the partition key and sort within partitions — no
+  self-join blowup (the naive equivalent is an O(n·w) range self-join);
+- ``salted_skew_join``: a deterministic salt (pmod(hash(pk), N)) splits a
+  hot key's rows across N reducers; the build side replicates each key N
+  ways via explode(sequence). This is the manual fallback when AQE's
+  skew-join splitting can't kick in (e.g. pre-AQE engines, or a
+  shuffle-hash join AQE won't rewrite). Results are provably identical
+  to the plain join — the oracle is the unsalted join;
+- ``two_phase_distinct``: count(DISTINCT x) via dedup-then-count. The
+  expand-based single-phase distinct keeps every (group, x) pair in one
+  reducer's hash table; phase-splitting dedups on (group, x) first —
+  shuffle keys of much higher cardinality, so hot groups spread evenly —
+  then counts pre-deduped rows. Same answer, skew-immune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .exprs import dsum, sql_dsum
+from .registry import query
+
+N_SALT = 8
+RANGE_SECONDS = 3599  # trailing hour, inclusive
+
+
+@query(
+    "window_time_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,6)))
+                     OVER (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN {RANGE_SECONDS} PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE) AS trailing_hour_value,
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                          RANGE BETWEEN {RANGE_SECONDS} PRECEDING AND CURRENT ROW)
+               AS trailing_hour_events
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Event-time RANGE frame: per-user trailing-hour rolling sum and "
+    "count, frame bounds in epoch seconds (rangeBetween), decimal-cast "
+    "sum for cross-engine float determinism. One shuffle on user_id + "
+    "in-partition sort; no range self-join.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-RANGE_SECONDS, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(24,6)")).over(w).cast("double").alias(
+            "trailing_hour_value"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "salted_skew_join",
+    oracle=f"""
+    WITH profile AS (
+        SELECT user_id,
+               count(*) AS user_events,
+               {sql_dsum('value')} AS user_total
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           {sql_dsum('p.user_total')} AS sum_user_totals,
+           max(p.user_events) AS max_user_events
+    FROM events e JOIN profile p ON p.user_id = e.user_id
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Salted large-large join: fact side salted with "
+    "pmod(hash(event_id), 8), build side replicated 8× via "
+    "explode(sequence), equi-join on (user_id, salt). A hot user's rows "
+    "land on 8 reducers instead of 1. Oracle is the UNSALTED join — "
+    "proving the physical rewrite is semantics-preserving.",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    profile = e.groupBy(F.col("user_id").alias("p_user_id")).agg(
+        F.count(F.lit(1)).alias("user_events"),
+        dsum("value").alias("user_total"),
+    )
+    fact = e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(N_SALT)))
+    build = profile.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+    )
+    return (
+        fact.join(
+            build,
+            (fact.user_id == build.p_user_id) & (fact.salt == build.salt),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("user_total").alias("sum_user_totals"),
+            F.max("user_events").alias("max_user_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "two_phase_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT date_trunc('day', ts)) AS n_active_days
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Two-phase distinct aggregation: dedup on (group, key) first "
+    "(high-cardinality shuffle keys spread hot groups across reducers), "
+    "then count pre-deduped rows per group. Skew-immune form of "
+    "count(DISTINCT); oracle is the single-phase form.",
+)
+def two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        "event_type",
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    users = (
+        pairs.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    days = (
+        pairs.select("event_type", "day")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_active_days"))
+    )
+    return users.join(days, "event_type").orderBy("event_type")
