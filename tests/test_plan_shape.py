@@ -106,6 +106,52 @@ def test_range_join_has_equi_key(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q19_disjunction_is_residual_not_cross_product(spark):
+    """The OR-of-conjunctions predicate must ride the p_partkey equi-join
+    as a residual filter — a cross product here is quadratic at scale."""
+    plan = explained(spark, "q19_disjunctive_revenue")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q17_decorrelated_aggregate_join(spark):
+    """The per-part average must be a real aggregate feeding a join
+    (partial+final HashAggregate), not a re-executed per-row subquery."""
+    plan = explained(spark, "q17_small_quantity_revenue")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" in plan, plan
+
+
+def test_q22_not_exists_is_left_anti(spark):
+    plan = explained(spark, "q22_dormant_high_balance")
+    assert "LeftAnti" in plan, plan
+
+
+def test_q13_left_outer_join_with_condition(spark):
+    """The priority filter must live inside the LEFT OUTER join condition;
+    the plan must keep the outer join (a post-filter would drop the
+    zero-order customers)."""
+    plan = explained(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan, plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The salted join must hash on (user_id, salt) — the salt column has
+    to appear in the join keys for the hot-key split to happen."""
+    plan = explained(spark, "salted_skew_join")
+    assert "salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_frame_is_single_window_no_self_join(spark):
+    """The trailing-hour frame must be a Window operator over one
+    partitioning — not a range self-join."""
+    plan = explained(spark, "window_time_range_frame")
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_csv_scan_prunes_by_glob_and_schema(spark):
     """The reference-corpus CSV scan must carry the explicit schema (no
     inference pass) and the all-null filter must not block codegen."""
