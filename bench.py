@@ -36,11 +36,15 @@ def main() -> int:
     # Warm-up: JVM JIT + parquet footers, outside the timed region.
     _run(plans.REGISTRY["ohlcv_daily_vwap"].fn(spark, SF_DIR))
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = only.split(",") if only else list(plans.REGISTRY)
+
     timings: dict[str, float] = {}
-    for name, spec in plans.REGISTRY.items():
+    for name in names:
         t0 = time.perf_counter()
-        _run(spec.fn(spark, SF_DIR))
+        _run(plans.REGISTRY[name].fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

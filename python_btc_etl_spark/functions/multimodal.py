@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 FEATURE_BANDS = 4
@@ -37,15 +38,16 @@ def decode_image(payload: bytes) -> object:
 
 def fake_decode_features(payload: bytes) -> dict[str, int]:
     """Deterministic stand-in for decode→feature-extract: byte length,
-    modular checksum, and per-band (position mod 4) byte sums."""
-    n = len(payload)
-    checksum = sum(payload) % CHECKSUM_MOD
-    bands = [0] * FEATURE_BANDS
-    for i, b in enumerate(payload):
-        bands[i % FEATURE_BANDS] += b
-    out = {"n_bytes": n, "checksum": checksum}
-    for k, v in enumerate(bands):
-        out[f"band{k}"] = v
+    modular checksum, and per-band (position mod 4) byte sums.
+
+    Vectorized over the byte buffer — a per-byte Python loop costs ~1 s
+    per 5 MB of payload; the numpy strided sums are memory-bandwidth
+    bound, which is what a real decoder's inner loop should look like
+    from Python."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    out = {"n_bytes": int(arr.size), "checksum": int(arr.sum() % CHECKSUM_MOD)}
+    for k in range(FEATURE_BANDS):
+        out[f"band{k}"] = int(arr[k::FEATURE_BANDS].sum())
     return out
 
 

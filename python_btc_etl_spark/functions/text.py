@@ -71,14 +71,24 @@ def hash28(s: Column) -> Column:
     return F.conv(F.substring(F.sha2(s, 256), 1, SHINGLE_HEX_DIGITS), 16, 10).cast("bigint")
 
 
-def minhash_signature(shingle_arr: Column) -> Column:
-    """64-perm MinHash signature of a shingle array (array<bigint>).
+def shingle_hashes28(shingle_arr: Column) -> Column:
+    """28-bit integer hashes of a shingle array — materialize THIS column
+    (ideally under a cache/checkpoint barrier) before building MinHash
+    signatures: the SHA-256 per shingle runs once, and every downstream
+    permutation is pure int64 math over the int array."""
+    return F.transform(shingle_arr, hash28)
+
+
+def minhash_from_hashes(hashes: Column) -> Column:
+    """64-perm MinHash signature from precomputed 28-bit shingle hashes.
 
     perm_i(h) = (a_i*h + b_i) mod p with a_i,b_i from two LCG streams —
-    exact int64 math, identical in DuckDB. Computed entirely inside one
-    projection (no shuffle, no UDF).
+    exact int64 math, identical in DuckDB. Computed inside one projection
+    (no shuffle, no UDF). Feed it :func:`shingle_hashes28` output that is
+    already materialized — inlining the hashing here would re-run the
+    SHA-256 of every shingle once per permutation (64×), the difference
+    between seconds and tens of minutes at sf0.1.
     """
-    hashes = F.transform(shingle_arr, hash28)
 
     def perm_min(i: Column) -> Column:
         # bigint casts: int32 literals would overflow under ANSI arithmetic
@@ -87,6 +97,16 @@ def minhash_signature(shingle_arr: Column) -> Column:
         return F.array_min(F.transform(hashes, lambda h: (a * h + b) % F.lit(MINHASH_PRIME)))
 
     return F.transform(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)), perm_min)
+
+
+def minhash_signature(shingle_arr: Column) -> Column:
+    """64-perm MinHash signature of a shingle array (array<bigint>).
+
+    Convenience form for small inputs/tests. In pipelines, materialize
+    :func:`shingle_hashes28` first and use :func:`minhash_from_hashes` —
+    see that docstring for why.
+    """
+    return minhash_from_hashes(shingle_hashes28(shingle_arr))
 
 
 def lsh_band_keys(sig: Column) -> Column:
@@ -100,16 +120,22 @@ def lsh_band_keys(sig: Column) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)), band)
 
 
-def simhash(w: Column) -> Column:
-    """60-bit SimHash over distinct word hashes (unit weights).
+def token_hashes60(w: Column) -> Column:
+    """60-bit hashes of distinct tokens/shingles — materialize this column
+    (under a cache barrier) before :func:`simhash_from_hashes`, so the
+    SHA-256 per token runs once instead of once per signature bit (60×)."""
+    return F.transform(F.array_distinct(w), hash60)
 
-    bit j is set iff sum over words of (+1 if bit j of hash60(word) else
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """60-bit SimHash from precomputed 60-bit token hashes (unit weights).
+
+    bit j is set iff sum over tokens of (+1 if bit j of the hash else
     -1) is positive. Pure int64 fold — identical in DuckDB. Bit tests use
     bitwiseAND against a literal powers-of-two array (Spark's shift
     functions take only Python-int shift amounts, and double division
     would lose exactness above 2^53).
     """
-    hashes = F.transform(F.array_distinct(w), hash60)
     pow2 = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
 
     def bit_val(j: Column) -> Column:
@@ -126,6 +152,13 @@ def simhash(w: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, j: acc + bit_val(j),
     )
+
+
+def simhash(w: Column) -> Column:
+    """60-bit SimHash over distinct token hashes. Convenience form for
+    small inputs/tests; in pipelines materialize :func:`token_hashes60`
+    first and use :func:`simhash_from_hashes`."""
+    return simhash_from_hashes(token_hashes60(w))
 
 
 # --------------------------------------------------------------------------

@@ -14,7 +14,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming.file_stream import run_sessionized_events, run_windowed_ohlcv
+from ..streaming.file_stream import (
+    run_sessionized_events,
+    run_stream_dedup,
+    run_stream_stream_join,
+    run_windowed_ohlcv,
+)
 from ..streaming.stateful import run_user_lifetime_stats
 from .ingest import _DUCK_RAW, CORPUS
 from .registry import query
@@ -76,6 +81,44 @@ def stream_ohlcv_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionized_events(spark, sf_dir, gap="30 minutes")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Streaming row-level dedup: events stream unioned with itself "
+    "(100% duplicates) → dropDuplicatesWithinWatermark(event_id), "
+    "append-mode memory sink. Sink equals SELECT DISTINCT of the input, "
+    "checked value-by-value by the oracle. Watermark bounds the dedup "
+    "state (the reference's Redis seen-set, reference utils.py:24-36, "
+    "made transactional and size-bounded).",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_purchase_click_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, p.value AS purchase_value
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream interval join: purchases ⋈ same-user clicks in "
+    "the preceding hour, both sides watermarked so join state evicts "
+    "once rows can no longer match. availableNow + append memory sink "
+    "equals the batch interval join, checked by the oracle.",
+)
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_stream_join(spark, sf_dir)
 
 
 @query(

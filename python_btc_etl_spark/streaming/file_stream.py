@@ -141,6 +141,98 @@ def run_windowed_ohlcv(
     return _run_to_memory(agg, "stream_ohlcv").orderBy("bucket")
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos→micros handled
+    as in catalog.load)."""
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events stream unioned with
+    itself (every row a duplicate) → ``dropDuplicatesWithinWatermark``
+    on event_id. Append-mode memory sink — each surviving row is emitted
+    once, so the sink equals SELECT DISTINCT of the input.
+
+    This is the streaming analogue of the reference's Redis seen-set
+    (reference utils.py:24-36) at ROW granularity instead of file
+    granularity. State is bounded by the watermark: an event_id is
+    dropped from state once the watermark passes its ts + delay — at
+    100 TB/day, state holds one delay-window of ids, not the corpus.
+    """
+    dup = _events_stream(spark, sf_dir)
+    dup2 = _events_stream(spark, sf_dir)
+    deduped = (
+        dup.unionByName(dup2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "user_id", "value")
+    )
+    spark_ = deduped.sparkSession
+    try:
+        spark_.catalog.dropTempView("stream_dedup")
+    except Exception:
+        pass
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark_.table("stream_dedup").orderBy("event_id")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks in the preceding hour. Both sides watermarked (1 hour), so
+    the join state evicts rows once they can no longer match — the
+    bounded-state form of the batch range join
+    (plans/timeseries.range_join_error_context).
+    """
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "1 hour")
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
+        ),
+    ).select("purchase_id", "click_id", "p_user", "purchase_value")
+    spark_ = joined.sparkSession
+    try:
+        spark_.catalog.dropTempView("stream_join")
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark_.table("stream_join").orderBy("purchase_id", "click_id")
+
+
 def run_sessionized_events(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:
