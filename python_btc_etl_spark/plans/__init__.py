@@ -15,6 +15,7 @@ from . import (  # noqa: F401  (registration side-effect)
     subqueries,
     text,
     timeseries,
+    tpch_extra,
 )
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F401
 

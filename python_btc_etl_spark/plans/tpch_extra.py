@@ -1,0 +1,373 @@
+"""Remaining TPC-H plan shapes, adapted to the driver's star schema.
+
+The testdata has no ``partsupp`` table and no ``l_shipmode`` /
+``l_commitdate`` / ``l_receiptdate`` columns (TESTDATA.md), so the
+Q2/Q9/Q11/Q12/Q16/Q20/Q21 family can't be transcribed literally; this
+module keeps each query's PLAN SHAPE — the thing that matters for the
+engine — and re-targets the predicates at columns that exist:
+
+- q8: conditional-aggregate ratio (market share) over a 7-table join;
+- q11: aggregate HAVING against an uncorrelated global scalar aggregate
+  (share-of-total threshold);
+- q15: max-of-aggregate view join (top revenue supplier);
+- q16: distinct-count aggregate with a NOT IN exclusion subquery;
+- q20: nested semi-join chain over two aggregation depths (dominant
+  supplier per part);
+- q21: correlated EXISTS + NOT EXISTS over two more aliases of the
+  fact table itself (sole failing supplier).
+
+The reference implements none of these (SURVEY.md §2.B — no joins, no
+subqueries); they extend the relational surface the same way
+``subqueries.py`` does.
+
+Scale notes (100 TB):
+- every scalar-subquery comparison is expressed as its decorrelated
+  form — aggregate once, broadcast the (tiny) result, filter — never a
+  per-row lookup;
+- q20/q21's multi-alias self-references share one scan of lineitem per
+  alias; the per-(order, supplier) aggregates are partial-agg shuffles
+  on the join key, so the EXISTS/NOT EXISTS become one semi and one
+  anti hash join instead of per-row probes;
+- q15's max-of-agg is a 1-row broadcast joined back, not a global sort;
+- q8's ratio is two conditional sums in ONE aggregation pass (no second
+  scan for the denominator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .exprs import dsum, sql_dsum
+from .registry import query
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           nation_volume / total_volume AS mkt_share,
+           n_items
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               {sql_dsum("CASE WHEN n2.n_nationkey = 5 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS nation_volume,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_volume,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p      ON p.p_partkey = l.l_partkey
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer cu ON cu.c_custkey = o.o_custkey
+        JOIN nation n1   ON n1.n_nationkey = cu.c_nationkey
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s.s_nationkey
+        WHERE p.p_type = 'PROMO' AND n1.n_regionkey = 0
+        GROUP BY year(o.o_orderdate)
+    )
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8-style market share: seven-table join (nation twice, in "
+    "customer and supplier roles), then per-year ratio of a conditional "
+    "sum (supplier nation 5's volume) to the total — both sums computed "
+    "in one aggregation pass, ratio as deterministic double division.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    o = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), cu.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("c_rkey") == 0)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+    )
+    yearly = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum(F.when(F.col("s_nkey") == 5, vol).otherwise(F.lit(0.0))).alias("nation_volume"),
+        dsum(vol).alias("total_volume"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return yearly.select(
+        "o_year",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        "n_items",
+    ).orderBy("o_year")
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey AS partkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS part_revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (
+        SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+    )
+    SELECT p.partkey, p.part_revenue
+    FROM per_part p, total t
+    WHERE p.part_revenue > 1.3 * t.total_revenue / t.n_parts
+    ORDER BY p.part_revenue DESC, p.partkey
+    """,
+    doc="TPC-H Q11-style share-of-total threshold: per-part revenue "
+    "HAVING > 1.3x the mean part revenue — the uncorrelated scalar "
+    "aggregate is computed once and broadcast into the filter (a 1-row "
+    "cross join), never re-evaluated per group. Mean-relative (like "
+    "Q11's 0.0001/SF) so selectivity is scale-invariant. Both sums are "
+    "exact decimal folds so the threshold comparison is bit-identical "
+    "across engines.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(vol).alias("part_revenue")
+    )
+    total = li.agg(
+        dsum(vol).alias("total_revenue"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_revenue") > 1.3 * F.col("total_revenue") / F.col("n_parts"))
+        .select("partkey", "part_revenue")
+        .orderBy(F.desc("part_revenue"), "partkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q15-style top supplier: quarterly per-supplier revenue "
+    "view, max-of-aggregate scalar subquery, equality join back to pick "
+    "the top supplier(s). The max is a 1-row broadcast, not a global "
+    "sort; revenue sums are exact decimal so the equality is safe "
+    "cross-engine.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(vol).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        F.broadcast(s)
+        .join(revenue, revenue.supplier_no == s.s_suppkey)
+        .crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, brand, type, size
+    """,
+    doc="TPC-H Q16-style supplier count: distinct-count aggregate per "
+    "part attribute triple, with negated predicates and a NOT IN "
+    "exclusion subquery (suppliers in deficit) — the NOT IN becomes a "
+    "left-anti join against a tiny broadcast side. (The subquery's key "
+    "is non-nullable, so NOT IN ≡ anti join with no null trap.)",
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9)
+    )
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle=f"""
+    WITH supp_part AS (
+        SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+               {sql_dsum('l_quantity')} AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+        SELECT l_partkey AS partkey, {sql_dsum('l_quantity')} AS part_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey
+    ),
+    dominated AS (
+        SELECT sp.suppkey
+        FROM supp_part sp
+        JOIN part_total pt ON pt.partkey = sp.partkey
+        JOIN part p ON p.p_partkey = sp.partkey
+        WHERE p.p_name LIKE 'small%' AND sp.supp_qty > 0.5 * pt.part_qty
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           count(*) AS n_dominated_parts
+    FROM supplier s
+    JOIN dominated d ON d.suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q20-style nested semi-join chain, adapted (no partsupp): "
+    "a supplier dominates a part if it shipped >50% of that part's 1997 "
+    "quantity; return each dominating supplier of 'small*' parts with "
+    "how many parts it dominates. Two aggregation depths — per-(supplier,"
+    "part) and per-part — joined on the part key (same shuffle "
+    "partitioning reused), then a count per supplier.",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    y97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp_part = y97.groupBy(
+        F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
+    ).agg(dsum("l_quantity").alias("supp_qty"))
+    part_total = y97.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        dsum("l_quantity").alias("part_qty")
+    )
+    small = p.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    dominated = (
+        supp_part.join(part_total, supp_part.partkey == part_total.pt_partkey)
+        .join(F.broadcast(small), supp_part.partkey == small.p_partkey)
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("suppkey")
+    )
+    return (
+        F.broadcast(s)
+        .join(dominated, dominated.suppkey == s.s_suppkey)
+        .groupBy(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supp_name"))
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q21_sole_failing_supplier",
+    oracle="""
+    SELECT s.s_name AS supp_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supp_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21-style sole failing supplier, adapted (l_returnflag "
+    "'R' stands in for late receipt): for finished orders, lineitems "
+    "whose supplier is the ONLY one with returned lines in a "
+    "multi-supplier order. The correlated EXISTS/NOT EXISTS over two "
+    "more aliases of lineitem are decorrelated into per-order aggregates "
+    "(distinct supplier count; distinct returning-supplier count) joined "
+    "once on the order key — one shuffle each, no per-row probes.",
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    # Per-order facts: total distinct suppliers; distinct suppliers with
+    # returned ('R') lines. EXISTS(l2) ≡ n_supps > 1; NOT EXISTS(l3) ≡
+    # this supplier is the only one in the returning set.
+    order_supps = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    ret_supps = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_orderkey").alias("rs_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_ret_supps"),
+            F.max("l_suppkey").alias("only_ret_supp"),
+        )
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o.filter(F.col("o_orderstatus") == "F"), l1.l_orderkey == o.o_orderkey)
+        .join(order_supps, l1.l_orderkey == order_supps.os_orderkey)
+        .filter(F.col("n_supps") > 1)
+        .join(ret_supps, l1.l_orderkey == ret_supps.rs_orderkey)
+        .filter((F.col("n_ret_supps") == 1) & (F.col("only_ret_supp") == F.col("l_suppkey")))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "supp_name")
+        .limit(20)
+    )
