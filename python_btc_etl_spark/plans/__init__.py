@@ -5,6 +5,7 @@ from __future__ import annotations
 from . import (  # noqa: F401  (registration side-effect)
     analytics,
     dedup,
+    extended,
     ingest,
     multimodal,
     ordered_stats,

@@ -1,0 +1,268 @@
+"""Extended ETL/analytics operators beyond the TPC-H shapes: MERGE-style
+upsert, deterministic sampling, distribution window functions, fuzzy
+string matching, multiset set-operations, and stream-static enrichment.
+
+The reference's only write path is a blind append (reference
+btc_etl.py:179-180) and its only dedup is file-level (utils.py:24-36);
+a real lakehouse ETL needs keyed upsert, sampling for data audits, and
+reference-data enrichment of streams — all absent from the reference
+(SURVEY.md §2.B) and added here as first-class, oracle-checked queries.
+
+Scale notes (100 TB):
+- merge_upsert expresses MERGE as one full-outer join on the key —
+  a single co-partitioned shuffle of both sides; at lakehouse scale the
+  same plan runs against bucketed tables (sources/formats.write_bucketed)
+  so the join needs no exchange at all. Never row-by-row lookups;
+- deterministic_sample uses multiplicative integer hashing on the key,
+  evaluated inside the scan stage (codegen, no shuffle) — repeatable
+  across runs/engines, unlike rand()-based sampling, so audits of two
+  pipeline versions see the same sample;
+- window_distribution's ntile/percent_rank/cume_dist sort once per
+  partition key — same shuffle the ranking family already pays;
+- fuzzy_name_match runs edit distance on the DISTINCT name domain
+  (64 values), not the row domain — dedupe-then-cross is the only sane
+  shape for string-similarity self-joins; at scale add a length/prefix
+  blocking key to the distinct domain first;
+- stream-static join never shuffles the stream: the static dim is
+  broadcast per micro-batch, the idiomatic enrichment pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..streaming.file_stream import run_stream_static_enrich
+from .exprs import dsum, sql_dsum
+from .registry import query
+
+ORDER_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+# Knuth multiplicative hash: exact int64 math, identical in any engine.
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296  # 2^32
+_SAMPLE_FRAC_NUM = 429496730  # ≈ 10% of 2^32
+
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * 1.10 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+               COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM orders t
+        FULL OUTER JOIN source s ON s.o_orderkey = t.o_orderkey
+    )
+    SELECT o_orderstatus AS status, count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="MERGE-style keyed upsert without a table format: updates (+10% "
+    "price on every 7th order) and inserts (new keys, status 'N') merged "
+    "into the target via ONE full-outer join on the key — matched rows "
+    "take the source value, unmatched keep the target, source-only rows "
+    "insert. Result verified as per-status counts and exact sums.",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    updates = t.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.10
+    )
+    inserts = (
+        t.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    source = updates.select(*ORDER_COLS).unionByName(inserts.select(*ORDER_COLS))
+    s = source.select(*[F.col(c).alias(f"s_{c}") for c in ORDER_COLS])
+    merged = t.join(s, t.o_orderkey == s.s_o_orderkey, "full_outer").select(
+        F.coalesce("s_o_orderkey", "o_orderkey").alias("m_orderkey"),
+        F.coalesce("s_o_orderstatus", "o_orderstatus").alias("m_status"),
+        F.coalesce("s_o_totalprice", "o_totalprice").alias("m_totalprice"),
+    )
+    return (
+        merged.groupBy(F.col("m_status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("m_totalprice").alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sampled_price
+    FROM lineitem
+    WHERE (l_orderkey * {_HASH_MULT}) % {_HASH_MOD} < {_SAMPLE_FRAC_NUM}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Deterministic ~10% sample by multiplicative integer hash of the "
+    "order key — repeatable across runs and engines (rand()-based "
+    "sampling is not), key-coherent (all lines of a sampled order come "
+    "together), and evaluated inside the scan stage with no shuffle. "
+    "The audit-pipeline sampling primitive.",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    keep = (F.col("l_orderkey") * _HASH_MULT) % _HASH_MOD < _SAMPLE_FRAC_NUM
+    return (
+        li.filter(keep)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("sampled_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority,
+           ntile(4)        OVER w AS quartile,
+           percent_rank()  OVER w AS pct_rank,
+           cume_dist()     OVER w AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Distribution window functions — ntile quartiles, percent_rank, "
+    "cume_dist — partitioned by priority, ordered by price with a "
+    "unique key tie-break so ranks (and hence the rank-ratio outputs, "
+    "exact IEEE divisions of identical integers) are deterministic "
+    "cross-engine.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY edit_dist, name_a, name_b
+    """,
+    doc="Fuzzy string self-match: edit distance ≤3 over the DISTINCT "
+    "part-name domain (64 values), not the row domain — the "
+    "dedupe-then-cross shape that makes string-similarity self-joins "
+    "tractable; at scale a length/prefix blocking key bounds the "
+    "quadratic term.",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 3)
+        .select("name_a", "name_b", dist.cast("bigint").alias("edit_dist"))
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+@query(
+    "setops_multiset",
+    oracle="""
+    WITH f AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'),
+         i AS (SELECT * FROM f INTERSECT ALL SELECT * FROM o),
+         e AS (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+    SELECT 'intersect' AS op, p AS priority, count(*) AS n FROM i GROUP BY p
+    UNION ALL
+    SELECT 'except' AS op, p AS priority, count(*) AS n FROM e GROUP BY p
+    ORDER BY op, priority
+    """,
+    doc="Multiset set operations (INTERSECT ALL / EXCEPT ALL) preserving "
+    "duplicate multiplicities — min(countA,countB) and countA-countB "
+    "semantics Catalyst plans as aggregate+join, not row-matching.",
+)
+def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
+    o_side = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("p"))
+    inter = (
+        f_side.intersectAll(o_side)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("op"), F.col("p").alias("priority"), "n")
+    )
+    exc = (
+        f_side.exceptAll(o_side)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), F.col("p").alias("priority"), "n")
+    )
+    return inter.unionByName(exc).orderBy("op", "priority")
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+    doc="Stream-static enrichment: the events stream joined per "
+    "micro-batch to the static customer dimension (broadcast — the "
+    "stream side never shuffles), append sink, then per-segment totals "
+    "over the enriched sink. The canonical reference-data join of a "
+    "100 TB/day event pipeline.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = run_stream_static_enrich(spark, sf_dir)
+    return (
+        enriched.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("segment")
+    )

@@ -233,6 +233,33 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_.table("stream_join").orderBy("purchase_id", "click_id")
 
 
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched per micro-batch with
+    the static customer dimension (broadcast — stateless, no watermark
+    needed; the stream side never shuffles). Returns the enriched sink
+    table for downstream batch aggregation.
+    """
+    ev = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "value", "c_mktsegment")
+    spark_ = joined.sparkSession
+    try:
+        spark_.catalog.dropTempView("stream_enrich")
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark_.table("stream_enrich")
+
+
 def run_sessionized_events(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

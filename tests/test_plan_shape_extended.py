@@ -1,0 +1,47 @@
+"""Physical-plan shape assertions for the extended operator family
+(merge upsert, deterministic sampling, fuzzy match, multiset set ops)."""
+
+from __future__ import annotations
+
+from .test_plan_shape import explained
+
+
+def test_merge_upsert_single_full_outer_join(spark):
+    """MERGE must be exactly one full-outer (sort-merge) join on the key —
+    no nested loops, no second pass over the target."""
+    plan = explained(spark, "merge_upsert_orders")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_deterministic_sample_no_preagg_shuffle(spark):
+    """The hash-sample filter must evaluate inside the scan stage; the
+    only exchange is the final group-by — one shuffle total."""
+    plan = explained(spark, "deterministic_sample")
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "Filter" in plan, plan
+
+
+def test_fuzzy_match_runs_on_distinct_domain(spark):
+    """Edit distance must run on the DISTINCT name domain: both join
+    inputs carry an aggregate (the distinct), so the quadratic term is
+    64², not row-count²."""
+    plan = explained(spark, "fuzzy_name_match")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_setops_multiset_planned_as_aggregates(spark):
+    """INTERSECT ALL / EXCEPT ALL must lower to joins/aggregates with
+    multiplicity bookkeeping — never a cartesian row-matcher."""
+    plan = explained(spark, "setops_multiset")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_window_distribution_single_sort_per_partition(spark):
+    """ntile/percent_rank/cume_dist share ONE window spec — the plan must
+    contain a single Window operator (one partition+sort), not three."""
+    import re
+
+    plan = explained(spark, "window_distribution")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan

@@ -18,7 +18,7 @@ def test_q8_single_aggregation_pass(spark):
     # only ONE aggregation exchange (plus broadcasts, which are not
     # shuffle exchanges).
     assert plan.count("HashAggregate") >= 2, plan
-    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    shuffles = re.findall(r"hashpartitioning\(", plan)
     # lineitem⋈orders and orders⋈customer shuffle; the group-by adds one.
     assert len(shuffles) <= 5, plan
     assert "CartesianProduct" not in plan, plan
