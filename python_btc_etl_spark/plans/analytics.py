@@ -525,3 +525,54 @@ def map_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prop_k") >= 95)
         .orderBy("event_id")
     )
+
+
+@query(
+    "share_of_total_window",
+    oracle=f"""
+    WITH nation_rev AS (
+        SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+               {sql_dsum('o.o_totalprice')} AS nation_revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT regionkey, nation, nation_revenue,
+           nation_revenue /
+           CAST(CAST(sum(CAST(CAST(nation_revenue AS VARCHAR) AS DECIMAL(24,6)))
+                     OVER (PARTITION BY regionkey) AS VARCHAR) AS DOUBLE)
+               AS region_share
+    FROM nation_rev
+    ORDER BY regionkey, nation
+    """,
+    doc="Share-of-total via an unordered window aggregate: per-nation "
+    "revenue divided by its region's total — sum OVER (PARTITION BY "
+    "region) with no ORDER BY, the percent-of-parent pattern. The "
+    "window sum is a decimal fold (order-independent) so the ratio is "
+    "bit-identical cross-engine; at scale the window shuffles once on "
+    "the partition key, same cost as a groupBy+join but one operator.",
+)
+def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    nation_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("regionkey"), F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice").alias("nation_revenue"))
+    )
+    region_total = (
+        F.sum(F.col("nation_revenue").cast("decimal(24,6)"))
+        .over(W.partitionBy("regionkey"))
+        .cast("double")
+    )
+    return nation_rev.select(
+        "regionkey",
+        "nation",
+        "nation_revenue",
+        (F.col("nation_revenue") / region_total).alias("region_share"),
+    ).orderBy("regionkey", "nation")

@@ -320,3 +320,76 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "bars_gap_fill",
+    oracle="""
+    WITH bars AS (
+        SELECT CAST(regexp_extract(filename, 'btcusd-(\\d{4}-\\d{2}-\\d{2})\\.csv$', 1) AS DATE)
+                   AS file_date,
+               CAST(file_date || ' ' || "Time" AS TIMESTAMP) AS date_time,
+               "Close" AS close_price
+        FROM read_csv('/root/reference/dataset-test/btcusd-2012-01-*.csv',
+                      header=true, filename=true,
+                      columns={'Time': 'VARCHAR', 'Open': 'DOUBLE', 'High': 'DOUBLE',
+                               'Low': 'DOUBLE', 'Close': 'DOUBLE', 'Volume_(BTC)': 'DOUBLE',
+                               'Volume_(Currency)': 'DOUBLE', 'Weighted_Price': 'DOUBLE'})
+        WHERE "Open" IS NOT NULL OR "High" IS NOT NULL OR "Low" IS NOT NULL
+           OR "Close" IS NOT NULL OR "Volume_(BTC)" IS NOT NULL
+           OR "Volume_(Currency)" IS NOT NULL OR "Weighted_Price" IS NOT NULL
+    ),
+    spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '2012-01-01 00:00:00',
+                                      TIMESTAMP '2012-01-31 23:59:00',
+                                      INTERVAL 1 MINUTE)) AS minute
+    )
+    SELECT strftime(s.minute, '%Y-%m-%d %H:%M:%S') AS minute,
+           CASE WHEN b.close_price IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(b.close_price IGNORE NULLS) OVER (
+               PARTITION BY CAST(s.minute AS DATE) ORDER BY s.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS fill_close
+    FROM spine s
+    LEFT JOIN bars b ON b.date_time = s.minute
+    ORDER BY minute
+    """,
+    doc="Calendar-spine gap fill over the reference corpus (Jan 2012): "
+    "generate every minute, left-join the real bars (all-null rows "
+    "dropped by ingest reappear as gaps), forward-fill the close within "
+    "each day (day-partitioned ffill keeps the window parallel; a "
+    "global ffill would serialize — at scale, seed each day with the "
+    "prior day's close in a second tiny pass). The hypertable "
+    "gap-fill/interpolation surface of the reference's domain.",
+)
+def bars_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.csv_bars import ingest_bars
+
+    # A glob in the path restricts the scan to January 2012 before
+    # listing — 31 files instead of 732.
+    bars = ingest_bars(spark, "/root/reference/dataset-test/btcusd-2012-01-*.csv")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2012-01-01 00:00:00").cast("timestamp"),
+                F.lit("2012-01-31 23:59:00").cast("timestamp"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute")
+    )
+    b = bars.select("date_time", "close_price")
+    w = (
+        W.partitionBy(F.col("minute").cast("date"))
+        .orderBy("minute")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(b, b.date_time == spine.minute, "left")
+        .select(
+            F.date_format("minute", TS_FMT_SPARK).alias("minute_str"),
+            F.when(F.col("close_price").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.last("close_price", ignorenulls=True).over(w).alias("fill_close"),
+        )
+        .withColumnRenamed("minute_str", "minute")
+        .orderBy("minute")
+    )
