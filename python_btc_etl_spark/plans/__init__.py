@@ -6,6 +6,7 @@ from . import (  # noqa: F401  (registration side-effect)
     analytics,
     dedup,
     extended,
+    graph,
     ingest,
     multimodal,
     ordered_stats,

@@ -266,3 +266,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "udaf_vwap_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT)
+           / (CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 100.0)
+               AS vwap,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Custom UDAF surface: quantity-weighted average price per "
+    "return flag as a grouped-agg pandas UDF (Arrow-batched, one call "
+    "per group — the vectorized UDAF path, ~100x the row-at-a-time UDF). "
+    "Exactness: prices are fixed-point, so the UDF folds integer cents "
+    "(floor(x*100+0.5), the identical IEEE op sequence in both engines) "
+    "and int64 quantity — the sums are exact and order-independent, and "
+    "the final double division is correctly rounded in both engines.",
+)
+def udaf_vwap_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses postponed annotation
+    # evaluation (PEP 563), which stringifies type hints and defeats
+    # pandas_udf's hint-based GROUPED_AGG inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg_cents(price, qty):
+        pc = np.floor(price.to_numpy() * 100 + 0.5).astype("int64")
+        q = qty.to_numpy().astype("int64")
+        return float((pc * q).sum() / (q.sum() * 100.0))
+
+    # Spark can't mix pandas and JVM aggregates in one agg — the row
+    # count is a second pandas aggregate.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(price):
+        return len(price)
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            wavg_cents("l_extendedprice", "l_quantity").alias("vwap"),
+            n_rows("l_extendedprice").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

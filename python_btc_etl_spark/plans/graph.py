@@ -1,0 +1,168 @@
+"""Iterative graph computation on DataFrames: connected components over
+the duplicate-pair graph — the step AFTER pair finding that every dedup
+pipeline needs (pairs (A,B),(B,C) must collapse to ONE canonical doc,
+which per-pair output can't express).
+
+The reference has no graph or iterative computation (its only loop is
+the watchdog poll, reference btc_etl.py:193-194). This is also the
+repo's demonstration of the iterative-algorithm pattern in Spark:
+a driver-side convergence loop where each step is a distributed
+join+aggregate, with ``localCheckpoint`` truncating lineage each
+iteration — without it, the plan doubles per iteration and the job dies
+of analysis time long before it dies of data size.
+
+Scale notes (100 TB):
+- label propagation: each iteration is one shuffle (join edges⋈labels
+  on src, then min-aggregate on dst) — O(diameter) rounds; dup graphs
+  are near-star-shaped so 3-5 rounds close them;
+- at extreme scale swap in the large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) — same DataFrame ops, provably O(log² n) rounds;
+- the convergence check (count of changed labels) is a cheap action on
+  an already-materialized checkpoint, not a second computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .dedup import (
+    EXACT_OFFSET,
+    SQL_DOCS_EXACT,
+    TRUNC_EVERY,
+    TRUNC_OFFSET,
+    docs_with_exact_copies,
+)
+from .registry import query
+
+MAX_ITERS = 10
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) of the duplicate graph.
+
+    Exact-copy edges are COMPUTED (content-hash grouping: every doc links
+    to the min doc_id of its sha256 group); truncated-copy edges are the
+    planted (d, d+TRUNC_OFFSET) pairs. Docs divisible by 100 carry both
+    an exact copy (+EXACT_OFFSET) and a truncated copy (+TRUNC_OFFSET),
+    chaining 3-node components the per-pair queries can't merge.
+    """
+    d = docs_with_exact_copies(spark, sf_dir)
+    sha = d.withColumn("content_sha", F.sha2("text", 256))
+    win = W.partitionBy("content_sha")
+    exact_edges = (
+        sha.select("doc_id", F.min("doc_id").over(win).alias("canon"))
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(F.col("canon").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    trunc_edges = (
+        d.filter((F.col("doc_id") % TRUNC_EVERY == 0) & (F.col("doc_id") < TRUNC_OFFSET))
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") + TRUNC_OFFSET).alias("dst"),
+        )
+    )
+    edges = exact_edges.unionByName(trunc_edges)
+    nodes = (
+        d.select("doc_id")
+        .unionByName(edges.select(F.col("src").alias("doc_id")))
+        .unionByName(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE aug AS ({SQL_DOCS_EXACT}),
+    sha AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS canon
+        FROM aug
+    ),
+    edges AS (
+        SELECT canon AS src, doc_id AS dst FROM sha WHERE doc_id <> canon
+        UNION ALL
+        SELECT doc_id, doc_id + {TRUNC_OFFSET}
+        FROM aug WHERE doc_id % {TRUNC_EVERY} = 0 AND doc_id < {TRUNC_OFFSET}
+    ),
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+    ),
+    nodes AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM aug
+            UNION ALL SELECT src FROM edges
+            UNION ALL SELECT dst FROM edges
+        )
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+    ),
+    comp AS (
+        SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+    )
+    SELECT c.component_id, count(*) AS n_members,
+           min(c.doc_id) AS min_doc, max(c.doc_id) AS max_doc
+    FROM comp c
+    GROUP BY c.component_id
+    HAVING count(*) > 1
+    ORDER BY component_id
+    """,
+    doc="Connected components of the duplicate-pair graph via iterative "
+    "min-label propagation (driver convergence loop, one distributed "
+    "join+aggregate per round, localCheckpoint lineage truncation). "
+    "Components chain exact-copy and truncated-copy edges into one "
+    "canonical cluster; output is per-component membership stats for "
+    "multi-member components. Oracle: DuckDB recursive-CTE transitive "
+    "closure — exact, order-free.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _dup_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Pre-materialize the (small) edge list once; every iteration reuses it.
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(MAX_ITERS):
+        # Candidate labels flowing along edges: neighbor's current label.
+        prop = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        labels.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("component_id")
+    )
