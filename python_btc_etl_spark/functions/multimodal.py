@@ -58,3 +58,34 @@ def extract_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
         out = pd.DataFrame(feats)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
+
+
+FRAME_BYTES = 32
+FRAME_SAMPLE_EVERY = 4
+
+
+def sample_frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id, payload) → every Nth fixed-size frame
+    with its hash — the video frame-sampling slot. A real decoder would
+    split on container keyframes; the chunking/batching/fan-out plumbing
+    (one input row → many output rows, Arrow both ways) is identical.
+    """
+    import hashlib
+
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        shas: list[str] = []
+        sizes: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                frame = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                doc_ids.append(int(doc_id))
+                idxs.append(i)
+                shas.append(hashlib.sha256(frame).hexdigest())
+                sizes.append(len(frame))
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_sha": shas, "frame_bytes": sizes}
+        )

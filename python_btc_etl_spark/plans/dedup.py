@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions import text as TX
 from ..functions import vectors as VX
 from .registry import query
@@ -63,7 +63,9 @@ COSINE_T = 0.99
 
 
 def docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    # spread: the one-file documents scan would otherwise run every
+    # downstream hash serially on a single core (catalog.spread doc).
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", F.lower("text").alias("text"))
     copies = d.filter(F.col("doc_id") % EXACT_EVERY == 0).select(
         (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"
     )
@@ -80,7 +82,7 @@ SQL_DOCS_EXACT = f"""
 def docs_with_truncated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents plus 80%-word-prefix copies — controlled shingle-Jaccard
     ≈ 0.8 pairs for the near-dup detectors to find."""
-    d = load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", F.lower("text").alias("text"))
     w = TX.words(F.col("text"))
     keep = F.greatest(F.lit(3), F.floor(F.size(w) * F.lit(4) / F.lit(5)).cast("int"))
     copies = d.filter(F.col("doc_id") % TRUNC_EVERY == 0).select(
@@ -158,6 +160,31 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): DISTINCT 28-bit shingle hashes as int64 arrays, cached.
+
+    Candidates AND verification run on these int arrays: string shingles
+    average ~20 chars, so hashing each once turns every downstream set
+    operation (inverted index, intersect/union verify) into int64 work.
+    28-bit collisions perturb Jaccard by <1e-4 on ~300-shingle docs, and
+    the oracle applies the identical hash, so the differential check
+    stays exact. At 100 TB this is the hashed-shingle table you'd
+    materialize once and reuse across dedup passes.
+    """
+    return (
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.array_distinct(TX.shingle_hashes28(F.col("sh"))).alias("hs"))
+        .cache()
+    )
+
+
+SQL_HASHED_SHINGLES = f"""
+        SELECT doc_id,
+               list_distinct(list_transform(sh, s -> {TX.sql_hash28('s')})) AS hs
+        FROM sh
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -167,8 +194,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM aug
         WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
     ),
+    h AS ({SQL_HASHED_SHINGLES}),
     inv AS (
-        SELECT doc_id, unnest(sh) AS s FROM sh
+        SELECT doc_id, unnest(hs) AS s FROM h
     ),
     rare AS (
         SELECT s FROM inv GROUP BY s HAVING count(*) <= {DF_MAX}
@@ -179,13 +207,13 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN rare r ON a.s = r.s
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(x.sh || y.sh)) AS jaccard
+           CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / len(list_distinct(x.hs || y.hs)) AS jaccard
     FROM cand c
-    JOIN sh x ON x.doc_id = c.doc_a
-    JOIN sh y ON y.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-              / len(list_distinct(x.sh || y.sh)) >= {JACCARD_T}
+    JOIN h x ON x.doc_id = c.doc_a
+    JOIN h y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+              / len(list_distinct(x.hs || y.hs)) >= {JACCARD_T}
     ORDER BY doc_a, doc_b
     """,
     doc="N-gram (word-trigram) Jaccard near-dup: inverted-index shingle "
@@ -200,8 +228,8 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text the df cut prunes orders of magnitude harder.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    h = _hashed_shingles(spark, sf_dir)
+    inv = h.select("doc_id", F.explode("hs").alias("s"))
     rare = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= DF_MAX).select("s")
     # The candidate shingle must be rare on BOTH sides (a.s = b.s = r.s),
     # so pre-filtering each side by the rare set is semantics-identical
@@ -214,10 +242,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    x = h.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    y = h.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_a", "hs_b")
     )
     return (
         cand.join(x, "doc_a")
@@ -254,17 +282,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
+    ),
+    h AS ({SQL_HASHED_SHINGLES})
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_filter(list_transform(range(1, {TX.MINHASH_PERMS} + 1),
                 i -> x.sig[i] = y.sig[i]), v -> v)) AS DOUBLE) / {TX.MINHASH_PERMS} AS est_jaccard,
-           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(x.sh || y.sh)) AS jaccard
+           CAST(len(list_intersect(hx.hs, hy.hs)) AS DOUBLE)
+               / len(list_distinct(hx.hs || hy.hs)) AS jaccard
     FROM cand c
     JOIN sig x ON x.doc_id = c.doc_a
     JOIN sig y ON y.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-              / len(list_distinct(x.sh || y.sh)) >= {MINHASH_JACCARD_T}
+    JOIN h hx ON hx.doc_id = c.doc_a
+    JOIN h hy ON hy.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(hx.hs, hy.hs)) AS DOUBLE)
+              / len(list_distinct(hx.hs || hy.hs)) >= {MINHASH_JACCARD_T}
     ORDER BY doc_a, doc_b
     """,
     doc="MinHash (64 perms, exact int64 LCG permutations over 28-bit "
@@ -277,11 +308,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-stage materialization: (1) SHA-256 shingle hashes cached as a
     # real int64 array column — computed ONCE per shingle (inlined, the
     # 64-perm fold would re-hash every shingle per permutation); (2) the
-    # signature itself is cheap int math over the cached hashes.
-    hs = _shingled(spark, sf_dir).select(
-        "doc_id", "sh", TX.shingle_hashes28(F.col("sh")).alias("hs")
-    ).cache()
-    sig = hs.select("doc_id", "sh", TX.minhash_from_hashes(F.col("hs")).alias("sig"))
+    # signature itself is cheap int math over the cached hashes. MinHash
+    # over the DISTINCT hash set equals MinHash over the multiset (min
+    # ignores duplicates), so the shared distinct-hash cache serves both
+    # the signature and the verify.
+    h = _hashed_shingles(spark, sf_dir)
+    # cache: sig feeds THREE consumers (band explosion + both verify
+    # sides); uncached, the 64-perm fold would run three times.
+    sig = h.select("doc_id", "hs", TX.minhash_from_hashes(F.col("hs")).alias("sig")).cache()
     bands = sig.select(
         "doc_id", F.posexplode(TX.lsh_band_keys(F.col("sig"))).alias("band", "key")
     )
@@ -296,14 +330,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sig").alias("sig_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v)).cast("double")
         / TX.MINHASH_PERMS
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_a", "hs_b")
     )
     return (
         cand.join(x, "doc_a")
@@ -357,7 +391,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = _shingled(spark, sf_dir).select(
         "doc_id", TX.token_hashes60(F.col("sh")).alias("hs")
     ).cache()
-    sim = hs.select("doc_id", TX.simhash_from_hashes(F.col("hs")).alias("sim"))
+    # cache: the chunk self-join references sim on BOTH sides — uncached,
+    # the 60-bit fold would run twice.
+    sim = hs.select("doc_id", TX.simhash_from_hashes(F.col("hs")).alias("sim")).cache()
     chunks = sim.select(
         "doc_id",
         "sim",
@@ -406,7 +442,7 @@ SQL_VECS_SCALED = f"""
 
 
 def vecs_with_scaled_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", VX.as_double(F.col("embedding")).alias("v")
     )
     copies = e.filter(F.col("vec_id") % VEC_EVERY == 0).select(

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import load, spread
+from ..functions import multimodal as MM
 from ..functions.multimodal import CHECKSUM_MOD, FEATURE_BANDS, extract_features_batches
 from .registry import query
 
@@ -32,8 +33,12 @@ FEATURE_SCHEMA = T.StructType(
 
 def with_payload(df: DataFrame) -> DataFrame:
     """Attach the opaque binary payload + typed metadata struct — the
-    multimodal column pattern (binary + metadata side-by-side)."""
-    return df.select(
+    multimodal column pattern (binary + metadata side-by-side).
+
+    spread: the one-file scan would otherwise hand mapInPandas a single
+    partition — ONE Python worker regardless of cores (catalog.spread).
+    """
+    return spread(df).select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
@@ -99,3 +104,40 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
     feats = d.mapInPandas(extract_features_batches, schema=FEATURE_SCHEMA)
     return feats.orderBy("doc_id")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           i AS frame_idx,
+           sha256(substr(text, CAST(i * {MM.FRAME_BYTES} + 1 AS INT), {MM.FRAME_BYTES}))
+               AS frame_sha,
+           octet_length(encode(substr(text, CAST(i * {MM.FRAME_BYTES} + 1 AS INT), {MM.FRAME_BYTES})))
+               AS frame_bytes
+    FROM documents,
+         unnest(range(0, (length(text) + {MM.FRAME_BYTES} - 1) // {MM.FRAME_BYTES})) AS t(i)
+    WHERE i % {MM.FRAME_SAMPLE_EVERY} = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Frame sampling over binary payloads via mapInPandas: each "
+    "payload splits into fixed 32-byte frames, every 4th frame is kept "
+    "and hashed — the one-row-in/many-rows-out Arrow fan-out a video "
+    "frame sampler needs (decoder stubbed: chunk boundaries stand in "
+    "for container keyframes; the corpus is ASCII so the SQL oracle's "
+    "char-chunking equals byte-chunking).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
+    frames = d.mapInPandas(MM.sample_frames_batches, schema=FRAME_SCHEMA)
+    return frames.orderBy("doc_id", "frame_idx")

@@ -590,3 +590,56 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sql_cte_top_nations",
+    oracle=f"""
+    WITH nation_rev AS (
+        SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+               {sql_dsum('o.o_totalprice')} AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    ),
+    ranked AS (
+        SELECT regionkey, nation, revenue,
+               dense_rank() OVER (PARTITION BY regionkey
+                                  ORDER BY revenue DESC, nation) AS rnk
+        FROM nation_rev
+    )
+    SELECT regionkey, nation, revenue, rnk
+    FROM ranked WHERE rnk <= 2
+    ORDER BY regionkey, rnk, nation
+    """,
+    doc="Pure spark.sql() surface: the same multi-CTE + window + join "
+    "text a SQL-first user would write, executed verbatim over temp "
+    "views — proving the SQL entry point produces the identical plan "
+    "family as the DataFrame API (Catalyst sees one logical plan). "
+    "Top-2 nations by revenue per region via dense_rank.",
+)
+def sql_cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        WITH nation_rev AS (
+            SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+            FROM v_orders o
+            JOIN v_customer c ON c.c_custkey = o.o_custkey
+            JOIN v_nation n   ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_regionkey, n.n_name
+        ),
+        ranked AS (
+            SELECT regionkey, nation, revenue,
+                   dense_rank() OVER (PARTITION BY regionkey
+                                      ORDER BY revenue DESC, nation) AS rnk
+            FROM nation_rev
+        )
+        SELECT regionkey, nation, revenue, rnk
+        FROM ranked WHERE rnk <= 2
+        ORDER BY regionkey, rnk, nation
+        """
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions import vectors as VX
 from .registry import query
 
@@ -34,7 +34,8 @@ TOP_K = 5
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
+    # spread: one-file scan -> serial vector math otherwise (catalog.spread)
+    return spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", VX.as_double(F.col("embedding")).alias("v")
     )
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread
 from ..functions import text as TX
 from .registry import query
 
@@ -59,7 +59,7 @@ def _words(df: DataFrame) -> DataFrame:
     "length. Pure codegen'd array expressions.",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _words(load(spark, sf_dir, "documents"))
+    d = _words(spread(load(spark, sf_dir, "documents")))
     n_words = F.size("w")
     n_distinct = F.size(F.array_distinct("w"))
     total_len = F.aggregate(F.col("w"), F.lit(0), lambda acc, s: acc + F.length(s))
@@ -111,7 +111,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heuristics), all JVM-side.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     lowered = F.lower(F.col("text"))
     d = d.withColumn("w", TX.words(lowered)).withColumn(
         "n_punct", F.length("text") - F.length(F.regexp_replace(lowered, "[^a-z0-9 ]", ""))
@@ -173,7 +173,7 @@ def _sql_score(w: str, lang: str) -> str:
     "operator mechanics are what's exercised.)",
 )
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _words(load(spark, sf_dir, "documents"))
+    d = _words(spread(load(spark, sf_dir, "documents")))
     scored = d.select("lang", *[_score(F.col("w"), lg).alias(f"s_{lg}") for lg in LANGS])
     best = F.greatest(*[F.col(f"s_{lg}") for lg in LANGS])
     pred = None
@@ -205,7 +205,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the join/partition key material for dedup at scale.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").withColumn("ltext", F.lower("text"))
+    d = spread(load(spark, sf_dir, "documents")).withColumn("ltext", F.lower("text"))
     w = TX.words(F.col("ltext"))
     return (
         d.select(
