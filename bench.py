@@ -30,6 +30,19 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _cleanup(spark) -> None:
+    """Reset session state between queries so each timing is
+    self-contained: drop the streaming memory-sink tables (two of them
+    pin ~1M rows each in the block manager by late-bench) and unpersist
+    caches. Without this, queries measured late in the run pay the
+    accumulated heap/GC pressure of everything before them — observed
+    as 10-20x inflation on otherwise sub-second queries."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith(("stream_", "v_")):
+            spark.catalog.dropTempView(t.name)
+    spark.catalog.clearCache()
+
+
 def main() -> int:
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     spark = get_spark("bench")
@@ -45,6 +58,7 @@ def main() -> int:
         _run(plans.REGISTRY[name].fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        _cleanup(spark)
 
     total = round(sum(timings.values()), 3)
     print(
