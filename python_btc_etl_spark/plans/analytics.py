@@ -576,3 +576,86 @@ def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_revenue",
         (F.col("nation_revenue") / region_total).alias("region_share"),
     ).orderBy("regionkey", "nation")
+
+
+@query(
+    "null_safe_join_agg",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS k,
+               count(*) AS n_cust,
+               count(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) AS n_nonnull_bal
+        FROM customer GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS k,
+               count(*) AS n_supp
+        FROM supplier GROUP BY 1
+    )
+    SELECT a.k AS nationkey, a.n_cust, a.n_nonnull_bal, b.n_supp
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY nationkey NULLS FIRST
+    """,
+    doc="Null semantics in one query: null-producing CASE keys, "
+    "null-AWARE aggregates (count(col) skips nulls, count(*) doesn't), "
+    "and a null-SAFE equi-join (<=> / IS NOT DISTINCT FROM) where the "
+    "NULL keys on both sides match each other — ordinary equality would "
+    "silently drop them. Catalyst plans <=> as a hash join key, not a "
+    "nested loop.",
+)
+def null_safe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = (
+        c.select(
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_nationkey")).alias("k"),
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.count("bal").alias("n_nonnull_bal"))
+    )
+    b = (
+        s.select(
+            F.when(F.col("s_acctbal") < 0, None).otherwise(F.col("s_nationkey")).alias("kb")
+        )
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.kb))
+        .select(F.col("k").alias("nationkey"), "n_cust", "n_nonnull_bal", "n_supp")
+        .orderBy(F.col("nationkey").asc_nulls_first())
+    )
+
+
+@query(
+    "explode_outer_rare_words",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t LIKE 'z%') AS zz
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(zz) = 0 THEN NULL ELSE i - 1 END AS pos,
+           CASE WHEN len(zz) = 0 THEN NULL ELSE zz[i] END AS word
+    FROM w,
+         unnest(CASE WHEN len(zz) = 0 THEN [1] ELSE range(1, len(zz) + 1) END) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+    doc="posexplode_OUTER: docs whose filtered word array is empty "
+    "survive as a single (NULL pos, NULL word) row — the left-join "
+    "semantics of table generation that plain explode silently drops. "
+    "The inner explode variant is covered by explode_part_name_words.",
+)
+def explode_outer_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    zz = F.filter(TX.words(F.col("text")), lambda t: t.startswith("z"))
+    return (
+        d.select("doc_id", zz.alias("zz"))
+        .select("doc_id", F.posexplode_outer("zz").alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )
