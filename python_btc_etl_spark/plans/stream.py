@@ -143,3 +143,27 @@ def stream_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource requires a directory basePath; select just the
     # events table out of the sf dir with a glob filter.
     return run_user_lifetime_stats(spark, sf_dir, glob="events.parquet")
+
+
+@query(
+    "stream_topk_users_complete",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,6)))
+                AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+    doc="Complete-output-mode streaming aggregation: per-user lifetime "
+    "totals re-emitted whole each trigger (state = one row per user), "
+    "top-10 read from the final snapshot — equals the batch aggregate, "
+    "checked by the oracle. Complements the append/watermark and "
+    "update/stateful variants.",
+)
+def stream_topk_users_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.file_stream import run_stream_topk_users
+
+    return run_stream_topk_users(spark, sf_dir)

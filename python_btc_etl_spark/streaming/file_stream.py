@@ -295,3 +295,39 @@ def run_sessionized_events(
         )
     )
     return _run_to_memory(agg, "stream_sessions").orderBy("user_id", "session_start")
+
+
+def run_stream_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Complete-output-mode streaming aggregation: per-user lifetime
+    totals re-emitted in full every trigger (no watermark — complete
+    mode retains all groups), memory sink holds the latest snapshot.
+    The batch top-k over the final snapshot equals the batch aggregate.
+
+    Scale note: complete mode is only viable when the GROUP domain fits
+    in state (users, not events) — the snapshot is O(groups) per
+    trigger, which is why the windowed/append variants exist for
+    unbounded key domains.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("total_value"),
+    )
+    spark_ = agg.sparkSession
+    try:
+        spark_.catalog.dropTempView("stream_topk_users")
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_topk_users")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark_.table("stream_topk_users")
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(k)
+    )
