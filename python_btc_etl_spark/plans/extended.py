@@ -317,3 +317,47 @@ def udaf_vwap_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "pyds_synthetic_bars_rollup",
+    oracle=f"""
+    WITH g AS (
+        SELECT i AS g, i // 1440 AS day, i % 1440 AS minute
+        FROM unnest(range(0, 2 * 1440)) AS t(i)
+    ),
+    bars AS (
+        SELECT day, minute,
+               CAST(10000 + (g * g * 31 + g * 17) % 40000 AS DOUBLE) AS open,
+               CAST(10000 + (g * g * 31 + g * 17) % 40000 + g % 7 AS DOUBLE) AS close,
+               CAST((g * 13) % 97 + 1 AS DOUBLE) AS volume
+        FROM g
+    )
+    SELECT day, count(*) AS n_bars,
+           min(open) AS day_low, max(close) AS day_high,
+           CAST(sum(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS total_volume
+    FROM bars GROUP BY day ORDER BY day
+    """,
+    doc="Custom Python Data Source (Spark 4 DataSource API, "
+    "sources/pyds.py): a deterministic synthetic bar generator with one "
+    "InputPartition per day, rolled up per day. The oracle regenerates "
+    "the identical rows from the closed-form integer arithmetic — the "
+    "source itself is differentially tested. Demonstrates the "
+    "extensible-source surface (the same API wraps REST endpoints or "
+    "proprietary formats).",
+)
+def pyds_synthetic_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import register
+
+    register(spark)
+    bars = spark.read.format("synthetic_bars").option("days", "2").load()
+    return (
+        bars.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.min("open").alias("day_low"),
+            F.max("close").alias("day_high"),
+            F.sum(F.col("volume").cast("decimal(24,6)")).cast("double").alias("total_volume"),
+        )
+        .orderBy("day")
+    )
