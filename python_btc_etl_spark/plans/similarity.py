@@ -251,3 +251,64 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "ann_recall_lsh",
+    oracle=f"""
+    WITH e AS ({SQL_VECS}),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT bq.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY bq.query_id
+                                      ORDER BY {VX.sql_cosine('bq.qv', 'e.v')} DESC, e.vec_id) AS rank
+            FROM bq JOIN e ON e.vec_id <> bq.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    b AS (SELECT vec_id, v, {VX.sql_lsh_bucket('v')} AS bucket FROM e),
+    lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT lq.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY lq.query_id
+                                      ORDER BY {VX.sql_cosine('lq.qv', 'b.v')} DESC, b.vec_id) AS rank
+            FROM lq JOIN b ON b.bucket = lq.bucket AND b.vec_id <> lq.query_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT br.query_id AS query_id,
+           count(*) AS n_true,
+           count(l.neighbor_id) AS n_hits,
+           count(l.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+    FROM brute br
+    LEFT JOIN lsh l ON l.query_id = br.query_id AND l.neighbor_id = br.neighbor_id
+    GROUP BY br.query_id
+    ORDER BY br.query_id
+    """,
+    doc="ANN quality metric: recall@k of the LSH path against the "
+    "brute-force ground truth, per query vector — the accept/reject "
+    "gauge for any approximate index (tune bucket bits / probes until "
+    "recall clears the bar). Composes the two existing pipelines; "
+    "the left join + count(col) handles queries whose LSH bucket "
+    "returns fewer than k candidates.",
+)
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        knn_lsh_ann(spark, sf_dir)
+        .select(F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid"))
+    )
+    return (
+        brute.join(
+            lsh,
+            (F.col("query_id") == F.col("l_qid")) & (F.col("neighbor_id") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("l_nid").alias("n_hits"),
+            (F.count("l_nid") / F.count(F.lit(1)).cast("double")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
