@@ -361,3 +361,46 @@ def pyds_synthetic_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS wd FROM documents
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           array_to_string(wd[(i*10+1):(i*10+10)], ' ') AS chunk,
+           len(wd[(i*10+1):(i*10+10)]) AS n_words
+    FROM w, unnest(range(0, (len(wd) + 9) // 10)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Python UDTF (table function) surface: LLM-style document "
+    "chunking — each doc expands to fixed 10-word chunks via a LATERAL "
+    "table-function join (one row in, N rows out, arbitrary Python per "
+    "row). Completes the UDF family: scalar pandas_udf, grouped-agg "
+    "UDAF (udaf_vwap_per_flag), mapInPandas, applyInPandasWithState, "
+    "and now UDTF. At scale chunkers run per-partition with no shuffle.",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_words int")
+    class Chunker:
+        def eval(self, doc_id, text):
+            words = text.split()
+            k = 10
+            for i in range((len(words) + k - 1) // k):
+                part = words[i * k : (i + 1) * k]
+                yield i, " ".join(part), len(part)
+
+    spark.udtf.register("doc_chunker", Chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("v_documents_chunk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM v_documents_chunk d, LATERAL doc_chunker(d.doc_id, d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )

@@ -161,3 +161,35 @@ def two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_days"))
     )
     return users.join(days, "event_type").orderBy("event_type")
+
+
+@query(
+    "hinted_shuffle_hash_join",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    doc="Join-strategy control: the orders side is too big to broadcast "
+    "but small enough to hash — hint('shuffle_hash') picks "
+    "ShuffledHashJoin over the default sort-merge, skipping BOTH sides' "
+    "sorts (at 100 TB the sort of the fact side is the cost). "
+    "Plan-shape-tested; results identical to the unhinted join.",
+)
+def hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("priority")
+    )

@@ -45,3 +45,12 @@ def test_window_distribution_single_sort_per_partition(spark):
 
     plan = explained(spark, "window_distribution")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """hint('shuffle_hash') must produce a ShuffledHashJoin — no sort of
+    either side; a silent fallback to SortMergeJoin re-introduces the
+    fact-side sort the hint exists to avoid."""
+    plan = explained(spark, "hinted_shuffle_hash_join")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
