@@ -131,12 +131,29 @@ def ingest_bars(spark: SparkSession, directory: str, paths: list[str] | None = N
     return transform_bars(read_bars(spark, directory, paths))
 
 
-def write_bars(df: DataFrame, table_path: str, mode: str = "append") -> None:
+def write_bars(df: DataFrame, table_path: str, mode: str = "append") -> dict:
     """W1/W2: append into a date-partitioned parquet table — the hypertable
     analogue. One output file per day via a date-keyed repartition (the
-    pipeline's only shuffle; at scale this also bounds small-file count)."""
-    out = df.withColumn("date", F.col("date_time").cast("date"))
+    pipeline's only shuffle; at scale this also bounds small-file count).
+
+    Returns write metrics via ``Observation`` (rows written, distinct
+    days, null weighted prices) — collected from the executed plan
+    itself, no second pass over the data. The in-flight quality gate
+    the reference's blind INSERT lacks (reference btc_etl.py:179-180).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_bars")
+    out = df.withColumn("date", F.col("date_time").cast("date")).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        # observe() forbids DISTINCT aggregates; the HLL sketch is exact
+        # at day-cardinalities and is the scale-correct choice anyway.
+        F.approx_count_distinct("date").alias("n_days"),
+        F.count(F.when(F.col("weighted_price").isNull(), 1)).alias("n_null_vwap"),
+    )
     out.repartition("date").write.mode(mode).partitionBy("date").parquet(table_path)
+    return obs.get
 
 
 def _list_valid_files(directory: str) -> list[str]:

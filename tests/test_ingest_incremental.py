@@ -8,7 +8,11 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from python_btc_etl_spark.sources.csv_bars import ingest_incremental
+from python_btc_etl_spark.sources.csv_bars import (
+    ingest_bars,
+    ingest_incremental,
+    write_bars,
+)
 
 CORPUS = Path("/root/reference/dataset-test")
 
@@ -47,3 +51,13 @@ def test_multimodal_decode_stub():
     assert f["n_bytes"] == 12
     assert f["checksum"] == (sum(b"abcd") * 3) % 9973
     assert f["band0"] == ord("a") * 3
+
+
+def test_write_bars_observed_metrics(spark, tmp_path):
+    """Observation metrics ride the write plan itself (no second scan):
+    rows, distinct days, null-vwap count for the written batch."""
+    bars = ingest_bars(spark, str(CORPUS), [str(CORPUS / "btcusd-2012-01-21.csv")])
+    metrics = write_bars(bars, str(tmp_path / "t"))
+    assert metrics["n_rows"] == bars.count() > 0
+    assert metrics["n_days"] == 1
+    assert metrics["n_null_vwap"] == 0
