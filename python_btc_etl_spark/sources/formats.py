@@ -147,3 +147,58 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet table into ~``target_mb``
+    files (bin-packing by current on-disk size), preserving the
+    partition layout when ``partition_col`` is given.
+
+    The maintenance half of the ingest story: streaming/incremental
+    appends produce one file per micro-batch per partition, and at
+    100 TB the resulting millions of small files dominate planning and
+    open() cost. Compaction trades one controlled rewrite for fast
+    scans — the same job a lakehouse's OPTIMIZE runs. Returns
+    {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+    import os as _os
+
+    data_files = [
+        f
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if _os.path.isfile(f)
+    ]
+    total_bytes = sum(_os.path.getsize(f) for f in data_files)
+    n_target = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compacting"
+    writer = (
+        df.repartition(n_target, partition_col)
+        if partition_col
+        else df.repartition(n_target)
+    )
+    w = writer.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(tmp)
+    # atomic-ish swap (same filesystem): readers see old or new, not both
+    import shutil as _shutil
+
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    after = [
+        f
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if _os.path.isfile(f)
+    ]
+    return {
+        "files_before": len(data_files),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

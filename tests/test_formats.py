@@ -46,3 +46,20 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "event_date" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    """Many tiny appends → one compaction pass → bounded file count,
+    identical rows."""
+    from python_btc_etl_spark.sources.formats import compact_table
+
+    p = str(tmp_path / "t")
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(p)
+    before = spark.read.parquet(p).count()
+    stats = compact_table(spark, p, target_mb=128)
+    assert stats["files_before"] >= 8
+    assert stats["files_after"] < stats["files_before"]
+    got = spark.read.parquet(p)
+    assert got.count() == before == 800
+    assert got.agg({"id": "min"}).collect()[0][0] == 0
