@@ -257,3 +257,57 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "corr_regression_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(CAST(l_quantity * l_quantity AS VARCHAR) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(CAST(l_extendedprice * l_extendedprice AS VARCHAR) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(CAST(l_quantity * l_extendedprice AS VARCHAR) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    doc="Exact cross-engine correlation and least-squares regression "
+    "(quantity vs price per return flag): built-in corr()/regr_slope() "
+    "fold doubles in partition order (non-deterministic across "
+    "engines), so the five raw sums are exact decimal folds and the "
+    "closed-form combinations run the IDENTICAL IEEE op sequence on "
+    "both sides. At 100 TB this is also the faster plan: one partial-agg "
+    "pass computing five sums, no second-moment streaming update.",
+)
+def corr_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(24,6)"
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("l_returnflag")
