@@ -312,3 +312,51 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# Compose the recall oracle from the ALREADY-REGISTERED pipeline oracles
+# (DuckDB accepts ORDER BY inside a CTE): the ground truth and the
+# approximate path stay definitionally in sync with their queries.
+from .registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "ann_recall_ivf",
+    oracle=f"""
+    WITH brute AS ({_REG['knn_bruteforce_cosine'].oracle}),
+         approx AS ({_REG['knn_ivf_ann'].oracle})
+    SELECT br.query_id AS query_id,
+           count(*) AS n_true,
+           count(a.neighbor_id) AS n_hits,
+           count(a.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+    FROM brute br
+    LEFT JOIN approx a ON a.query_id = br.query_id AND a.neighbor_id = br.neighbor_id
+    GROUP BY br.query_id
+    ORDER BY br.query_id
+    """,
+    doc="recall@k of the IVF/nprobe path vs brute-force ground truth — "
+    "the tuning gauge for the cells/nprobe tradeoff (scan fraction "
+    "nprobe/K vs recall). Oracle composes the two registered pipeline "
+    "oracles as CTEs, so the metric stays in sync with the queries it "
+    "measures.",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_ivf_ann(spark, sf_dir)
+        .select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
+    )
+    return (
+        brute.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid")) & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("a_nid").alias("n_hits"),
+            (F.count("a_nid") / F.count(F.lit(1)).cast("double")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
