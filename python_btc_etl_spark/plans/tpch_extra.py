@@ -14,7 +14,9 @@ engine — and re-targets the predicates at columns that exist:
 - q20: nested semi-join chain over two aggregation depths (dominant
   supplier per part);
 - q21: correlated EXISTS + NOT EXISTS over two more aliases of the
-  fact table itself (sole failing supplier).
+  fact table itself (sole failing supplier);
+- q2: min-per-group correlated subquery (cheapest supplier per part,
+  cost derived from lineitem in place of partsupp).
 
 The reference implements none of these (SURVEY.md §2.B — no joins, no
 subqueries); they extend the relational surface the same way
@@ -39,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from .exprs import dsum, sql_dsum
+from .exprs import davg, dsum, sql_davg, sql_dsum
 from .registry import query
 
 
@@ -370,4 +372,60 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "supp_name")
         .limit(20)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               {sql_davg('l_extendedprice / l_quantity')} AS avg_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    min_ps AS (
+        SELECT pk AS m_pk, min(avg_cost) AS min_cost FROM ps GROUP BY pk
+    )
+    SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+           s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           s.s_acctbal AS supp_acctbal, ps.avg_cost
+    FROM ps
+    JOIN min_ps ON min_ps.m_pk = ps.pk AND ps.avg_cost = min_ps.min_cost
+    JOIN part p ON p.p_partkey = ps.pk
+    JOIN supplier s ON s.s_suppkey = ps.sk
+    WHERE p.p_size = 14
+    ORDER BY s.s_acctbal DESC, partkey, suppkey
+    """,
+    doc="TPC-H Q2-style min-per-group correlated subquery, adapted (no "
+    "partsupp): the cheapest supplier of each part, cost = per-(part, "
+    "supplier) average unit price from lineitem. The correlated "
+    "'= (SELECT min(..) WHERE same part)' decorrelates into a "
+    "min-aggregate joined back on (part, cost) — one extra partial-agg "
+    "shuffle over the SAME partitioning as the base aggregate, no "
+    "per-row re-execution. Cost equality is safe cross-engine: both "
+    "sides derive the identical double from exact decimal sums. Ties "
+    "(two suppliers at the exact min) are all kept, as in Q2.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    ps = li.groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).agg(
+        davg(F.col("l_extendedprice") / F.col("l_quantity")).alias("avg_cost")
+    )
+    min_ps = ps.groupBy(F.col("pk").alias("m_pk")).agg(F.min("avg_cost").alias("min_cost"))
+    return (
+        ps.join(min_ps, (ps.pk == min_ps.m_pk) & (ps.avg_cost == min_ps.min_cost))
+        .join(F.broadcast(p.filter(F.col("p_size") == 14)), ps.pk == p.p_partkey)
+        .join(F.broadcast(s), ps.sk == s.s_suppkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("s_acctbal").alias("supp_acctbal"),
+            "avg_cost",
+        )
+        .orderBy(F.desc("supp_acctbal"), "partkey", "suppkey")
     )
