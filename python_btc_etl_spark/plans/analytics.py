@@ -659,3 +659,42 @@ def explode_outer_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode_outer("zz").alias("pos", "word"))
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "histogram_order_totals",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT LEAST(19, CAST(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 20)) AS BIGINT))
+               AS bucket,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS bucket_total
+    FROM orders, bounds b
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Equal-width histogram: global min/max computed once (1-row "
+    "broadcast), bucket index as pure arithmetic inside the scan stage, "
+    "one aggregation — the two-pass histogram every data-profiling "
+    "pipeline runs. min/max are order-independent so the bucket edges "
+    "(and hence every bucket index, an identical IEEE divide+floor) "
+    "agree cross-engine.",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bucket = F.least(
+        F.lit(19),
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)),
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_total"),
+        )
+        .orderBy("bucket")
+    )
