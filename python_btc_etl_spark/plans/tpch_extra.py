@@ -16,7 +16,11 @@ engine — and re-targets the predicates at columns that exist:
 - q21: correlated EXISTS + NOT EXISTS over two more aliases of the
   fact table itself (sole failing supplier);
 - q2: min-per-group correlated subquery (cheapest supplier per part,
-  cost derived from lineitem in place of partsupp).
+  cost derived from lineitem in place of partsupp);
+- q9: multi-dim profit rollup over a five-table join (supplier nation ×
+  order year), supply cost synthesized as a fixed fraction of price;
+- q12: two conditional counts per low-cardinality line attribute
+  (l_linestatus standing in for l_shipmode) within a date window.
 
 The reference implements none of these (SURVEY.md §2.B — no joins, no
 subqueries); they extend the relational surface the same way
@@ -428,4 +432,92 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cost",
         )
         .orderBy(F.desc("supp_acctbal"), "partkey", "suppkey")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount) - 0.55 * l.l_extendedprice")} AS sum_profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9-style product-type profit, adapted (no partsupp: supply "
+    "cost is a fixed 55% of extended price, keeping the profit expression "
+    "per-line and deterministic). Plan shape preserved: a five-table join "
+    "— fact × three broadcast dims (part filtered by a contains-LIKE, "
+    "supplier, nation) × orders for the year — then a two-key hash "
+    "aggregate on (nation, year). The only shuffle is the final partial→"
+    "final aggregate on the group keys; every dim join is broadcast, so "
+    "at 100 TB the fact table is scanned once with all filters pushed "
+    "into the scan stage.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.55 * F.col(
+        "l_extendedprice"
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").contains("widget"))),
+                li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q12_line_status_priority",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY linestatus
+    """,
+    doc="TPC-H Q12-style priority counts per ship mode, adapted "
+    "(l_linestatus stands in for the missing l_shipmode; the ship-date "
+    "year window stands in for the receipt-date window). Two conditional "
+    "counts computed in ONE aggregation pass over the fact-fact join — "
+    "the date filter is pushed into the lineitem scan, the join shuffles "
+    "both sides on the order key, and the final group-by is a "
+    "low-cardinality hash aggregate that partial-aggregates map-side.",
+)
+def q12_line_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("linestatus")
     )

@@ -31,15 +31,19 @@ from pyspark.sql import types as T
 TEXT_FORMATS = {"json", "csv"}
 COLUMNAR_FORMATS = {"parquet", "orc"}
 
-# Spark's default text-format timestamp pattern carries milliseconds only;
+# Spark's default text-format timestamp patterns carry milliseconds only;
 # round-tripping microsecond event times through JSON/CSV would silently
-# truncate. Full-precision default, overridable per call.
+# truncate. Full-precision defaults, overridable per call. TIMESTAMP and
+# TIMESTAMP_NTZ columns are formatted by *separate* options (the NTZ
+# pattern must not carry a zone offset).
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def _text_defaults(fmt: str, options: dict) -> dict:
     if fmt in TEXT_FORMATS:
         options.setdefault("timestampFormat", _TS_FMT)
+        options.setdefault("timestampNTZFormat", _TS_NTZ_FMT)
     return options
 
 
