@@ -53,11 +53,18 @@ def main() -> int:
     names = only.split(",") if only else list(plans.REGISTRY)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
+        # Per-query isolation: one broken query must never destroy the
+        # whole round's perf signal — record the error and keep going.
         t0 = time.perf_counter()
-        _run(plans.REGISTRY[name].fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        try:
+            _run(plans.REGISTRY[name].fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 — always emit the JSON line
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
         _cleanup(spark)
 
     total = round(sum(timings.values()), 3)
@@ -68,9 +75,14 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     if os.environ.get("SPARK_GRAFT_BENCH_SPEEDUP"):
         spark.stop()  # free all 32 local cores for the probe subprocesses
-        out["parallel_speedup"] = _parallel_speedup()
+        try:
+            out["parallel_speedup"] = _parallel_speedup()
+        except Exception as exc:  # noqa: BLE001 — still emit the JSON line
+            out["parallel_speedup"] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
     print(json.dumps(out))
     return 0
 

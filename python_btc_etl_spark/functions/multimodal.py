@@ -1,12 +1,15 @@
 """Multimodal column support (E-MM, SURVEY.md §2.B): opaque binary
 payloads with typed metadata, and Arrow-batched feature extraction.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-:func:`decode_image` raises ``NotImplementedError`` (the real
-integration point), and :func:`fake_decode_features` is the
-deterministic stand-in used by the feature-extraction pipeline so the
-Spark-side plumbing — BinaryType schema, ``mapInPandas`` batch shape,
-Arrow transfer — is real and tested end-to-end.
+The container has no codec libraries, so :func:`decode_image` is a
+REAL pure-numpy decoder for the uncompressed netpbm family (P5/P6 —
+no codec needed, just header parse + strided reshape) and raises
+``NotImplementedError`` for compressed formats (JPEG/PNG need
+libjpeg/zlib — wire Pillow/opencv there on a real cluster).
+:func:`fake_decode_features` remains the deterministic stand-in used
+by the oracle-checked feature pipeline so the Spark-side plumbing —
+BinaryType schema, ``mapInPandas`` batch shape, Arrow transfer — is
+testable against closed-form SQL.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow columnar
 batches, not pickled rows); batch size follows
@@ -26,14 +29,53 @@ FEATURE_BANDS = 4
 CHECKSUM_MOD = 9973
 
 
-def decode_image(payload: bytes) -> object:
-    """Decode an image payload to pixels. STUB — no codec libraries in
-    this environment; wire Pillow/opencv here on a real cluster."""
-    raise NotImplementedError(
-        "image decoding requires a codec library (Pillow/opencv), not "
-        "available in this environment; use fake_decode_features for the "
-        "pipeline plumbing"
-    )
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to a pixel array.
+
+    Real decoder for binary netpbm: P5 (grayscale → HxW uint8) and
+    P6 (RGB → HxWx3 uint8), maxval ≤ 255 — pure header parse + numpy
+    reshape, no codec library. Compressed formats (JPEG/PNG magic
+    bytes) raise ``NotImplementedError``: they need libjpeg/zlib,
+    absent in this container; wire Pillow/opencv here on a cluster.
+    """
+    if payload[:3] in (b"\xff\xd8\xff",) or payload[:4] == b"\x89PNG":
+        raise NotImplementedError(
+            "compressed image formats require a codec library "
+            "(Pillow/opencv), not available in this environment"
+        )
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"unsupported image payload (magic {magic!r})")
+    # Netpbm header: magic, whitespace-separated width height maxval
+    # (comments start with '#'), one whitespace byte, then raster.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 1 if magic == b"P5" else 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=width * height * channels, offset=pos)
+    return raster.reshape((height, width) if channels == 1 else (height, width, channels))
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps — two numpy gathers,
+    no interpolation libs; the standard pre-embedding normalization step."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.intp)
+    cols = (np.arange(out_w) * w // out_w).astype(np.intp)
+    return img[rows][:, cols]
 
 
 def fake_decode_features(payload: bytes) -> dict[str, int]:

@@ -456,35 +456,45 @@ def vecs_with_scaled_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH aug AS ({SQL_VECS_SCALED})
+    WITH aug AS ({SQL_VECS_SCALED}),
+    bk AS (SELECT vec_id, label, v, {VX.sql_lsh_bucket('v')} AS bucket FROM aug)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            {VX.sql_cosine('a.v', 'b.v')} AS cosine
-    FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {VX.sql_cosine('a.v', 'b.v')} >= {COSINE_T}
     ORDER BY vec_a, vec_b
     """,
-    doc="Embedding-cosine near-dup with label blocking: pairs within the "
-    "same (coarse) label block scored by order-deterministic cosine "
-    "fold, threshold 0.99 — planted scaled copies score ≈ 1.0. At real "
-    "scale the blocking key becomes an LSH/IVF bucket (similarity.py).",
+    doc="Embedding-cosine near-dup blocked on random-hyperplane LSH "
+    "buckets (the sub-quadratic scale path — candidate pairs come from "
+    "a bucket equi-join, never an all-pairs or label-keyed fan-out). "
+    "Positively-scaled copies preserve every hyperplane sign, so planted "
+    "near-dups (cosine ≈ 1.0) land in the same bucket with probability "
+    "1; candidates are re-scored with the exact order-deterministic "
+    "cosine fold, threshold 0.99. Bucket occupancy ≈ N/2^planes keeps "
+    "per-bucket pair counts bounded at 100 TB (raise LSH_PLANES with "
+    "corpus size).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Norms precomputed per VECTOR (cached), not per pair: the blocked
-    # self-join scores O(N²/labels) pairs, and cosine = dot/(na·nb)
-    # evaluates the same IEEE ops as the per-pair norm form (the oracle's
-    # sql_cosine), at a third of the flops.
-    aug = vecs_with_scaled_copies(spark, sf_dir).withColumn(
-        "nv", VX.norm(F.col("v"))
-    ).cache()
+    # Norms + bucket precomputed per VECTOR (cached), not per pair;
+    # cosine = dot/(na·nb) evaluates the same IEEE ops as the oracle's
+    # per-pair sql_cosine, at a third of the flops.
+    aug = (
+        vecs_with_scaled_copies(spark, sf_dir)
+        .withColumn("nv", VX.norm(F.col("v")))
+        .withColumn("bucket", VX.lsh_bucket(F.col("v")))
+        .cache()
+    )
     a = aug.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"), F.col("nv").alias("na")
+        F.col("vec_id").alias("vec_a"), "label", "bucket",
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     )
     b = aug.select(
-        F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"), F.col("nv").alias("nb")
+        F.col("vec_id").alias("vec_b"), "bucket",
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
     cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "label", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_T)

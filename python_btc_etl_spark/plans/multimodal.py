@@ -141,3 +141,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
     frames = d.mapInPandas(MM.sample_frames_batches, schema=FRAME_SCHEMA)
     return frames.orderBy("doc_id", "frame_idx")
+
+
+DECODE_SCHEMA = T.StructType(
+    [T.StructField(c, T.LongType()) for c in ("doc_id", "h", "w", "pixel_sum", "resized_sum")]
+)
+
+
+def _decode_resize_batches(batches):
+    """mapInPandas worker: synthesize a P5 netpbm payload per doc (the
+    'storage format' leg), run the REAL decoder + nearest-neighbor
+    resize from functions/multimodal, emit integer pixel sums."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_image, resize_nearest
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            h, w = 8 + d % 5, 8 + d % 7
+            px = ((d * 31 + np.arange(h * w)) % 256).astype(np.uint8).reshape(h, w)
+            payload = b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+            img = decode_image(payload)
+            small = resize_nearest(img, 4, 4)
+            rows.append((d, img.shape[0], img.shape[1], int(img.sum()), int(small.sum())))
+        yield pd.DataFrame(rows, columns=["doc_id", "h", "w", "pixel_sum", "resized_sum"])
+
+
+@query(
+    "multimodal_decode_resize",
+    oracle="""
+    SELECT doc_id,
+           8 + doc_id % 5 AS h,
+           8 + doc_id % 7 AS w,
+           list_reduce(list_transform(range(0, (8 + doc_id % 5) * (8 + doc_id % 7)),
+                                      k -> (doc_id * 31 + k) % 256),
+                       (x, y) -> x + y) AS pixel_sum,
+           list_reduce(list_transform(range(0, 16),
+                                      t -> (doc_id * 31
+                                            + ((t // 4) * (8 + doc_id % 5) // 4) * (8 + doc_id % 7)
+                                            + ((t % 4) * (8 + doc_id % 7) // 4)) % 256),
+                       (x, y) -> x + y) AS resized_sum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="End-to-end image decode + resize THROUGH Spark: a deterministic "
+    "P5 netpbm payload per doc (pixel(k) = (doc_id*31 + k) mod 256, "
+    "h = 8 + id mod 5, w = 8 + id mod 7) is decoded by the real "
+    "pure-numpy netpbm decoder and resized 4x4 nearest-neighbor inside "
+    "an Arrow mapInPandas batch; the oracle recomputes both pixel sums "
+    "in closed form. Exercises decoder + resize + binary plumbing, not "
+    "just the UDF signature.",
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return d.mapInPandas(_decode_resize_batches, schema=DECODE_SCHEMA).orderBy("doc_id")

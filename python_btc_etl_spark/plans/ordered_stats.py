@@ -219,9 +219,9 @@ def explode_part_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            repeat('*', p_size % 5)                      AS stars,
            levenshtein(p_brand, p_type)                 AS brand_type_dist,
            round(p_retailprice, 1)                      AS price_r1,
-           ceil(p_retailprice)                          AS price_ceil,
-           floor(p_retailprice)                         AS price_floor,
-           sign(p_size - 25)                            AS size_sign,
+           CAST(ceil(p_retailprice) AS BIGINT)          AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT)         AS price_floor,
+           CAST(sign(p_size - 25) AS BIGINT)            AS size_sign,
            greatest(p_size, 10)                         AS size_hi,
            least(p_size, 10)                            AS size_lo,
            power(CAST(p_size AS DOUBLE), 2)             AS size_sq
@@ -250,7 +250,7 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p_retailprice", 1).alias("price_r1"),
             F.ceil("p_retailprice").alias("price_ceil"),
             F.floor("p_retailprice").alias("price_floor"),
-            F.signum(F.col("p_size") - 25).alias("size_sign"),
+            F.signum(F.col("p_size") - 25).cast("long").alias("size_sign"),
             F.greatest("p_size", F.lit(10)).alias("size_hi"),
             F.least("p_size", F.lit(10)).alias("size_lo"),
             F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),

@@ -106,10 +106,19 @@ def agg_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_parts",
-    oracle=None,  # approximate result: HLL sketches differ across engines
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE                      AS within_tolerance
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for "
-    "distinct counting; rows-only check (sketch values are engine-specific). "
-    "Exactness is covered by agg_distinct_orders.",
+    "distinct counting. The HLL sketch value is engine-specific, so the "
+    "checkable contract is: exact distinct count (hash-compared to the "
+    "oracle) plus a within_tolerance flag asserting |approx-exact|/exact "
+    "<= 5% (rsd=0.01, ~5-sigma bound) — the oracle expects TRUE.",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -118,6 +127,15 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("within_tolerance"),
         )
         .orderBy("l_returnflag")
     )

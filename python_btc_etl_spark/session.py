@@ -61,6 +61,10 @@ def get_spark(
         # catalog convert to microsecond timestamps (values are
         # micro-precision; DuckDB truncates the same way).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us]-no-tz parquet columns must read as session-UTC
+        # TIMESTAMP, not TIMESTAMP_NTZ — NTZ forbids epoch arithmetic and
+        # watermarking, and the DuckDB oracle compares under UTC anyway.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -170,21 +170,34 @@ def ingest_incremental(
     ingestion-log anti-join, replacing the reference's Redis set
     (reference utils.py:24-36; call sites btc_etl.py:115,130,144,219).
 
-    The diff happens on the file *list* (driver-side metadata, like the
-    streaming source's checkpoint log) so already-ingested data files are
-    never re-opened. Returns (n_new_files, n_rows_written).
+    The diff happens on the file *list* via a distributed left-anti join
+    against the ingest log — the log itself is never collected to the
+    driver (at 100 TB the log holds millions of entries; only THIS
+    batch's new-file list, which must reach the reader anyway, ever
+    materializes driver-side). Returns (n_new_files, n_rows_written),
+    the row count taken from ``write_bars``'s in-flight Observation —
+    no second pass over the data.
     """
     all_files = _list_valid_files(directory)
+    if not all_files:
+        return 0, 0
+    candidates = spark.createDataFrame([(p,) for p in all_files], "source_file string")
     try:
-        processed = {r[0] for r in spark.read.parquet(log_path).select("source_file").collect()}
+        log_df = (
+            spark.read.parquet(log_path)
+            .select(F.regexp_replace("source_file", "^file://", "").alias("source_file"))
+        )
+        # No broadcast hint: the log (right/build side) is the unbounded
+        # side at scale; let AQE pick broadcast only while it stays small.
+        fresh = candidates.join(log_df, "source_file", "left_anti")
     except Exception:  # log doesn't exist yet: first run
-        processed = set()
-    new_files = [p for p in all_files if p not in processed and f"file://{p}" not in processed]
+        fresh = candidates
+    new_files = sorted(r.source_file for r in fresh.collect())
     if not new_files:
         return 0, 0
     df = ingest_bars(spark, directory, paths=new_files)
-    n_rows = df.count()
-    write_bars(df, table_path, mode="append")
+    metrics = write_bars(df, table_path, mode="append")
+    n_rows = metrics["n_rows"]
     log = spark.createDataFrame([(p,) for p in new_files], "source_file string").withColumn(
         "ingested_at", F.current_timestamp()
     )

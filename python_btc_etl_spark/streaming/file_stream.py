@@ -84,6 +84,47 @@ def stream_ingest_once(
     q.awaitTermination()
 
 
+def stream_ingest_daemon(
+    spark: SparkSession,
+    directory: str,
+    table_path: str,
+    checkpoint: str,
+    poll_interval: str = "1 second",
+    max_files_per_trigger: int | None = None,
+):
+    """The reference's primary operating mode: a forever-watcher that
+    polls the landing directory and ingests each new file as it arrives
+    (reference btc_etl.py:185-198 — ``start_observer`` + the 1-second
+    ``time.sleep`` poll loop at 193-194).
+
+    Structured Streaming's processingTime trigger IS that poll loop,
+    minus the hand-rolled thread pool and Redis seen-set: each tick
+    lists new completed files, runs the same transform as the batch
+    path, appends to the date-partitioned table, and commits the file
+    names to the checkpoint log transactionally (exactly-once across
+    crashes — strictly stronger than the reference's at-least-once
+    Redis fallback, reference utils.py:27-29).
+
+    Returns the live ``StreamingQuery`` as the stop handle: call
+    ``.stop()`` for graceful shutdown (the reference's KeyboardInterrupt
+    path, btc_etl.py:195-198), ``.awaitTermination()`` to block forever
+    like the reference's main loop. ``max_files_per_trigger`` bounds
+    per-tick work so a 100 TB backlog drains in steady micro-batches
+    instead of one giant first batch.
+    """
+    bars = stream_bars(spark, directory, max_files_per_trigger)
+    out = bars.withColumn("date", F.col("date_time").cast("date"))
+    return (
+        out.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .outputMode("append")
+        .trigger(processingTime=poll_interval)
+        .start()
+    )
+
+
 def _run_to_memory(df: DataFrame, name: str) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into a
     complete-mode memory sink and return the final table — every window

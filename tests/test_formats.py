@@ -63,3 +63,31 @@ def test_compact_table_reduces_files(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == before == 800
     assert got.agg({"id": "min"}).collect()[0][0] == 0
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """X3 end-to-end against a REAL JDBC database: Spark bundles Apache
+    Derby (embedded, zero-install), so the batched write path and the
+    range-partitioned parallel read path both execute — not just build.
+    The production target swaps the URL (e.g. Postgres, the reference's
+    sink, reference btc_etl.py:179-180); every option is engine-neutral."""
+    from python_btc_etl_spark.sources.formats import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    orig = spark.range(0, 1000).selectExpr("id", "id * 2.5 AS val")
+
+    write_jdbc(orig, url, "bars", mode="overwrite", batchsize=200, **drv)
+    # Parallel read: 4 range-predicate queries over the id column.
+    back = read_jdbc(
+        spark, url, "bars",
+        partition_column="id", lower_bound=0, upper_bound=1000,
+        num_partitions=4, **drv,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 1000
+    assert back.exceptAll(orig).count() == 0 and orig.exceptAll(back).count() == 0
+
+    # Append mode accumulates (the reference's to_sql(if_exists='append')).
+    write_jdbc(orig, url, "bars", mode="append", batchsize=200, **drv)
+    assert read_jdbc(spark, url, "bars", **drv).count() == 2000

@@ -31,6 +31,15 @@ def test_fuzzy_match_runs_on_distinct_domain(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_fuzzy_match_blocked_equi_join(spark):
+    """The length-band blocking key must plan as a hash EQUI-join —
+    never a BroadcastNestedLoopJoin / cartesian product, whose O(D²)
+    pair count is unbounded on a real name domain."""
+    plan = explained(spark, "fuzzy_name_match")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_setops_multiset_planned_as_aggregates(spark):
     """INTERSECT ALL / EXCEPT ALL must lower to joins/aggregates with
     multiplicity bookkeeping — never a cartesian row-matcher."""

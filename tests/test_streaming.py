@@ -47,6 +47,45 @@ def test_stream_ingest_exactly_once_incremental(spark, tmp_path):
     assert spark.read.parquet(table).count() == batch_all
 
 
+def test_stream_ingest_daemon_picks_up_files_across_batches(spark, tmp_path):
+    """The forever-watcher mode (reference btc_etl.py:185-198): start the
+    processingTime-trigger daemon, drop files while it is LIVE, and check
+    it ingests them across ≥2 micro-batches without restart; then stop
+    via the returned handle and confirm exactly-once totals."""
+    import time
+
+    from python_btc_etl_spark.streaming.file_stream import stream_ingest_daemon
+
+    src = _stage(tmp_path, ["btcusd-2012-01-21.csv"])
+    table = str(tmp_path / "bars_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_ingest_daemon(
+        spark, str(src), table, ckpt, poll_interval="200 milliseconds"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.2)
+        # Second file arrives while the daemon is live — a later
+        # micro-batch must pick it up (no restart, no re-listing races).
+        _stage(tmp_path, ["btcusd-2012-01-22.csv"])
+        expected = ingest_bars(spark, str(src)).count()
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(table).count() == expected:
+                    break
+            except Exception:
+                pass  # table dir may not exist until the first commit
+            time.sleep(0.3)
+        batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert batches >= 2, q.recentProgress
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert spark.read.parquet(table).count() == expected
+
+
 def test_stateful_lifetime_stats_across_microbatches(spark, tmp_path):
     """Cross-batch state continuity: split events into 3 files, drain with
     maxFilesPerTrigger=1 (3 micro-batches), and check the final per-user
