@@ -46,8 +46,13 @@ def _cleanup(spark) -> None:
 def main() -> int:
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     spark = get_spark("bench")
-    # Warm-up: JVM JIT + parquet footers, outside the timed region.
+    # Warm-up, outside the timed region: JVM JIT + parquet footers, plus
+    # the Python worker pool — the first Arrow-UDF query otherwise pays
+    # ~1 s x n_cores of worker spawn + pandas import (measured ~35 s on
+    # local[32]), an environment cost, not a query cost.
     _run(plans.REGISTRY["ohlcv_daily_vwap"].fn(spark, SF_DIR))
+    n = spark.sparkContext.defaultParallelism
+    _run(spark.range(n).repartition(n).mapInPandas(lambda it: it, "id long"))
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = only.split(",") if only else list(plans.REGISTRY)

@@ -1,0 +1,250 @@
+"""Training-data pipeline operators (north-star extensions beyond
+SURVEY.md §2.B rows): context-window document packing and benchmark
+decontamination — the two corpus-preparation steps an LLM data pipeline
+runs after dedup (plans/dedup.py) and quality filtering (plans/text.py).
+
+The reference has no analogue (it is a 268-line bar ETL); both
+operators are pure extension, designed Spark-first:
+
+- packing uses a DISTRIBUTED two-phase prefix sum (per-block window +
+  broadcast block offsets), never a single global-orderBy window whose
+  one partition would serialize a 100 TB corpus;
+- decontamination generates candidate pairs by an equi-join on n-gram
+  hashes (inverted-index shape, like plans/dedup.py), never an
+  all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..catalog import load, spread
+from ..functions import text as TX
+from .exprs import dsum, sql_dsum
+from .registry import query
+
+CTX_TOKENS = 512  # context-window size, in whitespace tokens
+PACK_BLOCK = 64  # docs per prefix-sum block (tune ≫ this at scale)
+
+DECONTAM_N = 8  # n-gram width for contamination matching
+BENCH_EVERY = 50  # doc_id % BENCH_EVERY == 0 → held-out benchmark set
+
+TFIDF_TOP_K = 3  # characteristic terms kept per document
+STRATA_K = 100  # exact per-class sample quota
+
+
+@query(
+    "pack_documents_ctx",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len({TX.sql_words('text')}) AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS tokens_before
+        FROM toks
+    )
+    SELECT CAST(coalesce(tokens_before, 0) // {CTX_TOKENS} AS BIGINT) AS bin_id,
+           count(*)      AS n_docs,
+           min(doc_id)   AS first_doc,
+           max(doc_id)   AS last_doc,
+           sum(n_tokens) AS bin_tokens
+    FROM cum
+    GROUP BY 1
+    ORDER BY bin_id
+    """,
+    doc="Context-window packing (concatenate-then-chunk, the standard "
+    "LLM pretraining layout): documents in doc_id order are virtually "
+    "concatenated and each doc is assigned to the context window where "
+    "it STARTS (bin = tokens_before // CTX). The prefix sum is "
+    "DISTRIBUTED two-phase: an in-block running sum (window partitioned "
+    "by doc_id block — parallel) plus per-block offsets from a tiny "
+    "aggregate joined back by broadcast — the scale-safe form of the "
+    "oracle's single global window, proven equal to it differentially.",
+)
+def pack_documents_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") / PACK_BLOCK).cast("bigint").alias("blk"),
+        F.size(TX.words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    # Phase 1: running sum WITHIN each block — windows partitioned by
+    # blk run in parallel across the cluster.
+    in_blk = W.partitionBy("blk").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    # Phase 2: per-block totals, then each block's offset = sum of all
+    # previous block totals — O(n_blocks) rows, a tiny window + broadcast.
+    blk_tot = toks.groupBy("blk").agg(F.sum("n_tokens").alias("blk_tokens"))
+    blk_off = blk_tot.withColumn(
+        "blk_offset",
+        F.coalesce(
+            F.sum("blk_tokens").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("blk", "blk_offset")
+    cum = (
+        toks.withColumn("in_blk_before", F.coalesce(F.sum("n_tokens").over(in_blk), F.lit(0)))
+        .join(F.broadcast(blk_off), "blk")
+        .withColumn("tokens_before", F.col("blk_offset") + F.col("in_blk_before"))
+    )
+    return (
+        cum.groupBy((F.col("tokens_before") / CTX_TOKENS).cast("bigint").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest({TX.sql_words('text')}) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) / df.df AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word)
+                   AS rnk
+        FROM tf JOIN df ON tf.word = df.word
+    )
+    SELECT doc_id, word, tf, df, score, rnk
+    FROM scored WHERE rnk <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rnk
+    """,
+    doc="Characteristic-term extraction, the tf-idf shape: term "
+    "frequency per (doc, word), document frequency per word (the "
+    "vocabulary-sized aggregate joined back — broadcastable at any "
+    "corpus size since vocab << corpus), score = tf/df, top-3 per doc "
+    "by a per-doc ranking window. idf's log() is deliberately dropped: "
+    "it is monotone in 1/df so rankings are identical, and tf/df is a "
+    "single IEEE division both engines compute bit-identically (libm "
+    "log differs in the last ulp across engines).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    win = W.partitionBy("doc_id").orderBy(F.desc("score"), "word")
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "word", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "stratified_sample_orders",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY sha256(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+                   AS rnk
+        FROM orders
+    )
+    SELECT o_orderpriority AS priority,
+           count(*)        AS n_sampled,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           {sql_dsum('o_totalprice')} AS sampled_total
+    FROM ranked WHERE rnk <= {STRATA_K}
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc=f"Stratified sampling with EXACT per-class quotas ({STRATA_K} "
+    "orders per priority): rank within each stratum by the sha256 of "
+    "the key — a deterministic, engine-identical shuffle order — and "
+    "keep rank <= K. Unlike Bernoulli hash sampling "
+    "(deterministic_sample), quotas are exact, which is what "
+    "train/val/test splits and class-balanced subsets need; one "
+    "hash-partitioned window per stratum, no driver involvement.",
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    win = W.partitionBy("o_orderpriority").orderBy(
+        F.sha2(F.col("o_orderkey").cast("string"), 256), "o_orderkey"
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= STRATA_K)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice").alias("sampled_total"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, g
+        FROM w, unnest(CASE WHEN len(w.w) < {DECONTAM_N} THEN []::VARCHAR[]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w.w) - {DECONTAM_N} + 2),
+                                i -> {" || ' ' || ".join(f"w.w[i+{k}]" for k in range(DECONTAM_N))}))
+                       END) AS t(g)
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {BENCH_EVERY} = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_EVERY} <> 0)
+    SELECT t.doc_id,
+           count(DISTINCT t.g)        AS n_shared_ngrams,
+           count(DISTINCT b.bench_id) AS n_benchmark_docs
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc=f"Benchmark decontamination: flag training documents sharing any "
+    f"word {DECONTAM_N}-gram with a held-out benchmark set (doc_id % "
+    f"{BENCH_EVERY} = 0 stands in for the eval corpus). Candidates come "
+    "from an equi-join on the n-gram (inverted-index shape — at 100 TB "
+    "the join key becomes the n-gram's 64-bit hash and the benchmark "
+    "side, being small, broadcasts, so the corpus never shuffles); "
+    "output is per-doc shared-n-gram and matched-benchmark-doc counts "
+    "for the removal/report step.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(TX.shingles(TX.words(F.col("text")), n=DECONTAM_N)).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_EVERY == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_EVERY != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .orderBy("doc_id")
+    )

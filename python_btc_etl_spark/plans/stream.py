@@ -146,6 +146,35 @@ def stream_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH wins AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS win_start
+        FROM events, unnest(range(0, 2)) AS t(k)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6)))
+                AS VARCHAR) AS DOUBLE) AS total_value
+    FROM wins
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Streaming SLIDING-window aggregation (10-min windows every "
+    "5 min — each event in 2 overlapping windows), watermarked, "
+    "availableNow + complete memory sink. The oracle expands the "
+    "overlap explicitly (each event replicated to both covering window "
+    "starts) and must equal the streamed result value-by-value.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.file_stream import run_stream_sliding_counts
+
+    return run_stream_sliding_counts(spark, sf_dir)
+
+
+@query(
     "stream_topk_users_complete",
     oracle="""
     SELECT user_id,

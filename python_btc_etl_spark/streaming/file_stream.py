@@ -338,6 +338,36 @@ def run_sessionized_events(
     return _run_to_memory(agg, "stream_sessions").orderBy("user_id", "session_start")
 
 
+def run_stream_sliding_counts(
+    spark: SparkSession, sf_dir: str, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """SLIDING-window streaming aggregation (width > slide ⇒ each event
+    lands in width/slide overlapping windows) with a watermark bounding
+    state: per (window, event_type) counts and exact-decimal value sums,
+    drained availableNow into a complete-mode memory sink so the final
+    table equals the batch overlap-expansion the oracle computes.
+
+    Completes the streaming-window matrix: tumbling (stream_ohlcv_5min),
+    session (stream_session_stats), sliding (this). State is
+    O(active windows × types), evicted by the watermark at 100 TB rates.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", width, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_sliding_counts").orderBy("window_start", "event_type")
+
+
 def run_stream_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Complete-output-mode streaming aggregation: per-user lifetime
     totals re-emitted in full every trigger (no watermark — complete
