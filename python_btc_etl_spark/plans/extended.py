@@ -374,6 +374,77 @@ def pyds_synthetic_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pyds_stream_bars_rollup",
+    oracle=f"""
+    WITH g AS (
+        SELECT i AS g, i // 1440 AS day, i % 1440 AS minute
+        FROM unnest(range(0, 2 * 1440)) AS t(i)
+    ),
+    bars AS (
+        SELECT day, minute,
+               CAST(10000 + (g * g * 31 + g * 17) % 40000 AS DOUBLE) AS open,
+               CAST(10000 + (g * g * 31 + g * 17) % 40000 + g % 7 AS DOUBLE) AS close,
+               CAST((g * 13) % 97 + 1 AS DOUBLE) AS volume
+        FROM g
+    )
+    SELECT day, count(*) AS n_bars,
+           min(open) AS day_low, max(close) AS day_high,
+           CAST(sum(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS total_volume
+    FROM bars GROUP BY day ORDER BY day
+    """,
+    doc="Custom STREAMING Python Data Source (Spark 4 "
+    "DataSourceStreamReader, sources/pyds.py): the same closed-form bar "
+    "generator exposed as a micro-batch stream — offsets over the "
+    "global minute index advance 480 minutes per trigger (6 batches to "
+    "drain 2 days), per-day partitions inside each batch, offsets "
+    "committed to the checkpoint (exactly-once restart). The complete-"
+    "mode per-day rollup must equal the batch reader's result, which "
+    "the oracle regenerates in closed form — differential proof that "
+    "batch and stream faces of one source agree.",
+)
+def pyds_stream_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from ..sources.pyds import MINUTES_PER_DAY, register
+
+    register(spark)
+    n_days = 2
+    bars = spark.readStream.format("synthetic_bars").option("days", str(n_days)).load()
+    agg = (
+        bars.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.min("open").alias("day_low"),
+            F.max("close").alias("day_high"),
+            F.sum(F.col("volume").cast("decimal(24,6)")).cast("double").alias("total_volume"),
+        )
+    )
+    try:
+        spark.catalog.dropTempView("pyds_stream_rollup")
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyds_stream_rollup")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        target = n_days * MINUTES_PER_DAY
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table("pyds_stream_rollup").groupBy().sum("n_bars").collect()
+            if rows and rows[0][0] == target:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table("pyds_stream_rollup").orderBy("day")
+
+
+@query(
     "udtf_chunk_documents",
     oracle="""
     WITH w AS (

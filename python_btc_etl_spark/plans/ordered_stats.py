@@ -70,6 +70,45 @@ def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_quantiles_check",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS exact_p50,
+           TRUE                           AS within_rank_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Approximate quantiles with a CHECKABLE contract (the 100 TB "
+    "path: percentile_approx is a mergeable KLL-style sketch, one pass, "
+    "no global sort): the sketch guarantees a RANK error <= 1/accuracy, "
+    "so with accuracy=1000 the approx median must lie between the exact "
+    "0.498 and 0.502 quantiles — the oracle hash-checks the exact "
+    "median and expects the bound flag TRUE, same contract style as "
+    "approx_distinct_parts.",
+)
+def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("exact_p50"),
+            F.percentile_approx("l_quantity", 0.5, 1000).alias("approx_p50"),
+            F.percentile("l_quantity", 0.498).alias("lo"),
+            F.percentile("l_quantity", 0.502).alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            ((F.col("approx_p50") >= F.col("lo")) & (F.col("approx_p50") <= F.col("hi"))).alias(
+                "within_rank_bound"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "mode_quantity",
     oracle="""
     WITH freq AS (

@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-TEXT_FORMATS = {"json", "csv"}
+TEXT_FORMATS = {"json", "csv", "xml"}  # xml: built-in since Spark 4 (rowTag option)
 COLUMNAR_FORMATS = {"parquet", "orc"}
 
 # Spark's default text-format timestamp patterns carry milliseconds only;

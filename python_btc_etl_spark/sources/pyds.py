@@ -21,12 +21,26 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 MINUTES_PER_DAY = 1440
 PRICE_MOD = 40_000
 PRICE_BASE = 10_000
 VOL_MOD = 97
+STREAM_STEP = 480  # minutes per micro-batch → 2 days drain in 6 batches
+
+
+def _bar(g: int) -> tuple:
+    """Closed-form bar for global minute index g — shared by the batch
+    and stream readers so both are oracle-reproducible."""
+    px = PRICE_BASE + (g * g * 31 + g * 17) % PRICE_MOD
+    vol = (g * 13) % VOL_MOD + 1
+    return (g // MINUTES_PER_DAY, g % MINUTES_PER_DAY, float(px), float(px + g % 7), float(vol))
 
 
 class DayPartition(InputPartition):
@@ -44,11 +58,51 @@ class SyntheticBarsReader(DataSourceReader):
     def read(self, partition: DayPartition):
         day = partition.day
         for m in range(MINUTES_PER_DAY):
-            g = day * MINUTES_PER_DAY + m  # global minute index
-            # closed-form int64 "price walk": deterministic, engine-agnostic
-            px = PRICE_BASE + (g * g * 31 + g * 17) % PRICE_MOD
-            vol = (g * 13) % VOL_MOD + 1
-            yield (day, m, float(px), float(px + g % 7), float(vol))
+            yield _bar(day * MINUTES_PER_DAY + m)
+
+
+class RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+
+
+class SyntheticBarsStreamReader(DataSourceStreamReader):
+    """Streaming face of the same source (Spark 4 DataSourceStreamReader):
+    the offset is the global minute index, each micro-batch advances it by
+    ``step`` until the configured day count is exhausted — the shape of a
+    paginated REST/queue poller. Offsets live in the checkpoint log, so
+    restart resumes exactly where the last commit ended (exactly-once,
+    like the file source's file log)."""
+
+    def __init__(self, options) -> None:
+        self.n_total = int(options.get("days", "2")) * MINUTES_PER_DAY
+        self.step = int(options.get("step", str(STREAM_STEP)))
+        self._cur = 0
+
+    def initialOffset(self) -> dict:
+        return {"m": 0}
+
+    def latestOffset(self) -> dict:
+        self._cur = min(self._cur + self.step, self.n_total)
+        return {"m": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        # One partition per covered day-slice keeps task granularity
+        # aligned with the batch reader's per-day partitions.
+        lo, hi = start["m"], end["m"]
+        parts = []
+        while lo < hi:
+            nxt = min(hi, (lo // MINUTES_PER_DAY + 1) * MINUTES_PER_DAY)
+            parts.append(RangePartition(lo, nxt))
+            lo = nxt
+        return parts or [RangePartition(lo, hi)]
+
+    def read(self, partition: RangePartition):
+        for g in range(partition.start, partition.end):
+            yield _bar(g)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class SyntheticBars(DataSource):
@@ -61,6 +115,9 @@ class SyntheticBars(DataSource):
 
     def reader(self, schema) -> SyntheticBarsReader:
         return SyntheticBarsReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticBarsStreamReader:
+        return SyntheticBarsStreamReader(self.options)
 
 
 def register(spark) -> None:

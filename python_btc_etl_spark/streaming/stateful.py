@@ -99,6 +99,121 @@ def stream_events(
     return raw
 
 
+def _tws_available() -> bool:
+    """transformWithState's Python<->JVM bridge needs protobuf."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def run_user_stats_tws(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """Per-user stats via ``transformWithStateInPandas`` — Spark 4's
+    successor to applyInPandasWithState, with TYPED composable state:
+    a ValueState holds (count, max) and a MapState holds the per-user
+    set of seen event types (the state shape a distinct-count needs —
+    a map keyed by the distinct value, O(distinct) not O(rows)).
+
+    Requires the RocksDB state store provider (the transformWithState
+    engine's backing store — also the right provider at 100 TB: state
+    spills to local SST files instead of executor heap).
+
+    ENVIRONMENT GATE: PySpark's transformWithState driver worker speaks
+    protobuf to the JVM (pyspark/sql/streaming/proto/StateMessage_pb2),
+    and the ``protobuf`` package is not installed in this container, so
+    this operator cannot execute here — it is implemented and kept out
+    of the query registry (tests/test_streaming.py carries a skip-gated
+    test; applyInPandasWithState covers the registry's custom-stateful
+    row). On a cluster with protobuf installed it runs as-is.
+    """
+    if not _tws_available():  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package, "
+            "not available in this environment"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, mx DOUBLE")
+            self._types = handle.getMapState("types", "t STRING", "seen BOOLEAN")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (self._agg.get() or (0, float("-inf")))
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+                for t_ in pdf["event_type"].unique():
+                    self._types.updateValue((str(t_),), True)
+            self._agg.update((n, mx))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    raw = stream_events(spark, events_dir, max_files_per_trigger, glob)
+    updates = raw.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = "stream_user_stats_tws"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_updates = spark.table(name)
+    final = F.max_by(F.struct("n_events", "n_types", "max_value"), F.col("n_events")).alias("s")
+    return (
+        all_updates.groupBy("user_id")
+        .agg(final)
+        .select("user_id", "s.n_events", "s.n_types", "s.max_value")
+        .orderBy("user_id")
+    )
+
+
 def run_user_lifetime_stats(
     spark: SparkSession,
     events_dir: str,

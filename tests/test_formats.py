@@ -10,13 +10,15 @@ from python_btc_etl_spark.catalog import load
 from python_btc_etl_spark.sources.formats import read_any, write_any
 
 
-@pytest.mark.parametrize("fmt", ["json", "orc", "csv"])
+@pytest.mark.parametrize("fmt", ["json", "orc", "csv", "xml"])
 def test_roundtrip_matches_parquet(spark, sf_dir, tmp_path, fmt):
     orig = load(spark, sf_dir, "events")
     path = str(tmp_path / f"events_{fmt}")
     opts = {"header": "true"} if fmt == "csv" else {}
+    if fmt == "xml":
+        opts = {"rowTag": "event"}
     write_any(orig, path, fmt=fmt, **opts)
-    schema = orig.schema if fmt in ("json", "csv") else None
+    schema = orig.schema if fmt in ("json", "csv", "xml") else None
     back = read_any(spark, path, fmt=fmt, schema=schema, **opts)
     assert back.schema == orig.schema
     assert back.exceptAll(orig).count() == 0

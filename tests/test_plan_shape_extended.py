@@ -63,3 +63,28 @@ def test_shuffle_hash_hint_respected(spark):
     plan = explained(spark, "hinted_shuffle_hash_join")
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_documents_two_phase_prefix_sum(spark):
+    """The per-doc running sum must be a window PARTITIONED by block
+    (parallel), never one global unpartitioned window over every doc —
+    the single-partition sort that would serialize a 100 TB corpus. The
+    only global window allowed is the per-BLOCK offset (O(n_blocks)
+    rows), and the block offsets join back via broadcast."""
+    import re
+
+    plan = explained(spark, "pack_documents_ctx")
+    # Formatted explain lists each Window's partition spec in its
+    # Arguments line: the per-doc running sum must carry [blk#N].
+    assert re.search(r"Arguments: \[sum\(n_tokens[^\n]*\[blk#\d+L?\]", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontam_candidates_via_broadcast_equi_join(spark):
+    """Contamination candidates must come from a hash equi-join on the
+    n-gram with the (small) benchmark side broadcast — never a nested
+    loop over the corpus."""
+    plan = explained(spark, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

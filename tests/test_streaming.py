@@ -86,6 +86,41 @@ def test_stream_ingest_daemon_picks_up_files_across_batches(spark, tmp_path):
     assert spark.read.parquet(table).count() == expected
 
 
+def test_transform_with_state_user_stats(spark):
+    """transformWithStateInPandas (typed ValueState + MapState) vs the
+    batch aggregate. SKIPPED where the protobuf package is missing —
+    PySpark's transformWithState driver worker requires it; the operator
+    is implemented and runs unchanged on a cluster that has protobuf."""
+    import pytest
+
+    from python_btc_etl_spark.streaming.stateful import (
+        _tws_available,
+        run_user_stats_tws,
+    )
+
+    if not _tws_available():
+        pytest.skip("protobuf not installed: transformWithState bridge unavailable")
+
+    import pyspark.sql.functions as F
+
+    from python_btc_etl_spark.catalog import load
+
+    sf = "/root/testdata/sf0.001"
+    got = run_user_stats_tws(spark, sf, glob="events.parquet")
+    expected = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
 def test_stateful_lifetime_stats_across_microbatches(spark, tmp_path):
     """Cross-batch state continuity: split events into 3 files, drain with
     maxFilesPerTrigger=1 (3 micro-batches), and check the final per-user
