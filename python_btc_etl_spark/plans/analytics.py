@@ -698,3 +698,125 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse / product-analytics shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase, strictly "
+    "increasing event times): stage N is a per-user min-timestamp "
+    "aggregate conditioned on stage N-1's timestamp — three key-local "
+    "aggregations chained by user-keyed joins, each stage's input "
+    "shrinking monotonically. The sequential-pattern shape SQL engines "
+    "express with MATCH_RECOGNIZE, here as pure hash aggregation + "
+    "joins: one shuffle key (user_id) reused by every stage, so at "
+    "100 TB the chain pipelines without re-partitioning.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("n_viewed")),
+        c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")),
+        p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")),
+    ]
+    out = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return out
+
+
+SCD2_EVERY = 10  # customers with key % 10 == 0 receive a balance update
+SCD2_DELTA = 100.0
+
+
+@query(
+    "scd2_customer_versions",
+    oracle=f"""
+    WITH upd AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {SCD2_EVERY} = 0
+    )
+    SELECT c_custkey, 1 AS version, c_acctbal AS acctbal,
+           (c_custkey % {SCD2_EVERY} <> 0) AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 2 AS version, c_acctbal + {SCD2_DELTA} AS acctbal, TRUE AS is_current
+    FROM customer WHERE c_custkey % {SCD2_EVERY} = 0
+    ORDER BY c_custkey, version
+    """,
+    doc="Slowly-changing-dimension type 2 merge: an update batch "
+    "(every 10th customer gets a new balance) lands against the current "
+    "dimension — untouched rows pass through still-current, touched "
+    "rows are expired (version 1, is_current=false) and re-inserted "
+    "(version 2, new value, current). Built as the MERGE decomposition "
+    "Spark expresses natively: broadcast-semi/anti classification of "
+    "the dimension against the (small) update batch + union — the "
+    "pattern a Delta/Iceberg MERGE INTO compiles to, with no row-level "
+    "mutation needed.",
+)
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % SCD2_EVERY == 0).select(
+        "c_custkey", (F.col("c_acctbal") + SCD2_DELTA).alias("new_acctbal")
+    )
+    upd_keys = updates.select("c_custkey")
+    unchanged = cust.join(F.broadcast(upd_keys), "c_custkey", "left_anti").select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(True).alias("is_current"),
+    )
+    expired = cust.join(F.broadcast(upd_keys), "c_custkey", "left_semi").select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(False).alias("is_current"),
+    )
+    inserted = updates.select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        F.col("new_acctbal").alias("acctbal"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(expired).unionByName(inserted).orderBy("c_custkey", "version")

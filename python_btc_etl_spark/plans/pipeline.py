@@ -232,9 +232,13 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
+    # cache: the benchmark and train sides are two branches of this same
+    # gram table — uncached, the shingle assembly (8-way concat per
+    # position) runs twice. At 100 TB this is the materialized n-gram
+    # table both sides would read.
     grams = d.select(
         "doc_id", F.explode(TX.shingles(TX.words(F.col("text")), n=DECONTAM_N)).alias("g")
-    )
+    ).cache()
     bench = grams.filter(F.col("doc_id") % BENCH_EVERY == 0).select(
         F.col("doc_id").alias("bench_id"), "g"
     )
