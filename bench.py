@@ -113,8 +113,12 @@ def _parallel_speedup() -> dict[str, float]:
         "run = lambda: plans.REGISTRY['btc_daily_summary'].fn(s, {sf!r})"
         ".write.mode('overwrite').format('noop').save();"
         "run();"  # warm-up: JVM JIT + codegen + file listing, untimed
-        "t0 = time.perf_counter(); run();"
-        "print('ELAPSED', time.perf_counter() - t0)"
+        # best-of-2 timed runs: a single sample is at the mercy of
+        # transient box load (observed 30x one-off spikes); min is the
+        # standard noise-robust estimator for deterministic work
+        "t0 = time.perf_counter(); run(); e1 = time.perf_counter() - t0;"
+        "t0 = time.perf_counter(); run(); e2 = time.perf_counter() - t0;"
+        "print('ELAPSED', min(e1, e2))"
     ).format(root=os.path.dirname(os.path.abspath(__file__)), sf=SF_DIR)
 
     def run(cpus: str) -> float:
