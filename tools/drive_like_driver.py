@@ -1,9 +1,15 @@
 """Drive __spark_entry__ exactly the way the driver does: a VANILLA
 SparkSession (none of our tuned confs), entry() smoke, then every
-queries()[name] vs oracle_sql()[name] through DuckDB at sf0.01."""
+queries()[name] vs oracle_sql()[name] through DuckDB at sf0.01.
+
+Env knobs for iteration speed:
+- SPARK_GRAFT_DRIVE_QUERIES=a,b,c  check only these queries
+- SPARK_GRAFT_DRIVE_CPUS=16        session core count (default 16)
+"""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -16,7 +22,8 @@ from tools.selfcheck import _rows_key  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+_cpus = os.environ.get("SPARK_GRAFT_DRIVE_CPUS", "16")
+spark = SparkSession.builder.master(f"local[{_cpus}]").appName("driver-sim").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 out = ep.entry(spark)
@@ -29,6 +36,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineite
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, osql = ep.queries(), ep.oracle_sql()
+only = os.environ.get("SPARK_GRAFT_DRIVE_QUERIES")
+if only:
+    qs = {n: qs[n] for n in only.split(",")}
 fails = 0
 for name, fn in qs.items():
     try:
