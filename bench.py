@@ -45,6 +45,20 @@ def _cleanup(spark) -> None:
 
 def main() -> int:
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    # BASELINE.md's one published number is a >=1.2x parallel-over-serial
+    # ingest speedup — record it every run (disable with =0 for quick
+    # iteration). Runs FIRST, before the query-suite JVM exists: measured
+    # twice that probing right after the big session's teardown reports
+    # garbage (0.15x / 0.94x) while the identical probe on a quiet
+    # machine reads ~5x — lingering GC/teardown steals the local[32]
+    # probe's cores.
+    speedup: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SPEEDUP", "1") != "0":
+        try:
+            speedup = _parallel_speedup()
+        except Exception as exc:  # noqa: BLE001 — still emit the JSON line
+            speedup = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+
     spark = get_spark("bench")
     # Warm-up, outside the timed region: JVM JIT + parquet footers, plus
     # the Python worker pool — the first Arrow-UDF query otherwise pays
@@ -82,15 +96,8 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
-    # BASELINE.md's one published number is a >=1.2x parallel-over-serial
-    # ingest speedup — record it every run (disable with =0 for quick
-    # iteration) so the property is always on the round's record.
-    if os.environ.get("SPARK_GRAFT_BENCH_SPEEDUP", "1") != "0":
-        spark.stop()  # free all 32 local cores for the probe subprocesses
-        try:
-            out["parallel_speedup"] = _parallel_speedup()
-        except Exception as exc:  # noqa: BLE001 — still emit the JSON line
-            out["parallel_speedup"] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+    if speedup is not None:
+        out["parallel_speedup"] = speedup
     print(json.dumps(out))
     return 0
 
