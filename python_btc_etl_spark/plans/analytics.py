@@ -820,3 +820,132 @@ def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(expired).unionByName(inserted).orderBy("c_custkey", "version")
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="CDC compaction / latest-record-per-key: one ranking window "
+    "partitioned by the key, descending event time with a unique "
+    "tie-break — the materialization step every upsert/changelog table "
+    "needs before serving. One shuffle on the key; at 100 TB the same "
+    "plan runs partition-local if the table is bucketed by user_id "
+    "(write_bucketed), eliminating even that exchange.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+        FROM events e
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+               AS weeks_since,
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+    doc="Cohort retention matrix (the standard product-analytics "
+    "triangle): users grouped by first-seen week, counted as active in "
+    "each later week. first-seen is a per-user min aggregate, activity "
+    "is a distinct (user, week) projection, both shuffled once on "
+    "user_id then re-aggregated by (cohort, offset) — a pair of "
+    "hash-partitioned aggregations, no windows, no self-join over the "
+    "raw event log.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7).cast("bigint").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@query(
+    "anomaly_zscore_events",
+    oracle=f"""
+    WITH stats AS (
+        SELECT user_id,
+               CAST(count(*) AS DOUBLE)   AS n,
+               {sql_dsum('value')}        AS sx,
+               {sql_dsum('value * value')} AS sxx
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT e.user_id, e.event_id, e.value,
+               (e.value - s.sx / s.n)
+                   / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))) AS z
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+        WHERE s.n > 1
+    )
+    SELECT user_id, event_id, value, z
+    FROM scored
+    WHERE abs(z) > 3
+    ORDER BY user_id, event_id
+    """,
+    doc="Per-key z-score outlier detection (data-quality gate for a "
+    "training pipeline): per-user mean/std derived from exact decimal "
+    "power sums (order-free under parallel aggregation — the built-in "
+    "stddev folds doubles in partition order and is run-to-run "
+    "nondeterministic), broadcast back onto the event stream, flag "
+    "|z| > 3. The stats table is O(keys) — broadcastable at any event "
+    "volume; the event side never shuffles.",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    return (
+        e.join(F.broadcast(stats), "user_id")
+        .filter(F.col("n") > 1)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select("user_id", "event_id", "value", "z")
+        .orderBy("user_id", "event_id")
+    )
