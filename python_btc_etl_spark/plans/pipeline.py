@@ -252,3 +252,160 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "top_ngrams_corpus",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, g
+        FROM w, unnest(CASE WHEN len(w.w) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(w.w)),
+                                                i -> w.w[i] || ' ' || w.w[i+1])
+                       END) AS t(g)
+    )
+    SELECT g AS bigram,
+           count(*)                 AS n_occurrences,
+           count(DISTINCT doc_id)   AS n_docs
+    FROM grams
+    GROUP BY g
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus-level top-k bigram frequencies (the vocabulary-stats "
+    "pass a tokenizer-training / corpus-QA pipeline runs): explode "
+    "word bigrams (NOT distinct per doc — occurrence counts), one "
+    "hash aggregation on the bigram, top-20 via TakeOrderedAndProject "
+    "(no global sort materializes). Map-side partial aggregation "
+    "absorbs the heavy-hitter skew before the shuffle.",
+)
+def top_ngrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    w = TX.words(F.col("text"))
+    gram = F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+    )
+    grams = d.select("doc_id", F.explode(gram).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )
+
+
+HIST_BINS = 10
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({TX.sql_words('text')}) AS n_tokens FROM documents
+    ),
+    rng AS (SELECT min(n_tokens) AS lo, max(n_tokens) AS hi FROM t)
+    SELECT LEAST(({HIST_BINS} * (n_tokens - lo)) // (hi - lo + 1),
+                 {HIST_BINS} - 1)      AS bin_id,
+           count(*)                    AS n_docs,
+           min(n_tokens)               AS bin_min,
+           max(n_tokens)               AS bin_max
+    FROM t, rng
+    GROUP BY 1
+    ORDER BY bin_id
+    """,
+    doc="Document-length (token-count) histogram — the first profiling "
+    "chart of any pretraining corpus: equal-width integer bins over the "
+    "observed range. The 1-row min/max aggregate broadcasts onto the "
+    "doc stream (the only sane plan — a cross join against a scalar), "
+    "then one hash aggregation on bin id; pure integer arithmetic so "
+    "both engines bin identically.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.size(TX.words(F.col("text"))).cast("bigint").alias("n_tokens"))
+    rng = t.agg(F.min("n_tokens").alias("lo"), F.max("n_tokens").alias("hi"))
+    # Integer floor division on both sides: DuckDB's CAST(double AS
+    # BIGINT) rounds while Spark's truncates — `//` vs floor() keeps the
+    # binning in exact integer arithmetic instead.
+    bin_id = F.least(
+        F.floor(
+            (F.lit(HIST_BINS) * (F.col("n_tokens") - F.col("lo")))
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("bigint"),
+        F.lit(HIST_BINS - 1).cast("bigint"),
+    )
+    return (
+        t.crossJoin(F.broadcast(rng))
+        .groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("bin_min"),
+            F.max("n_tokens").alias("bin_max"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+MIX_RATES = {"en": 1000, "de": 500, "fr": 250}  # per-mille keep rates
+MIX_MOD = 1000
+
+
+@query(
+    "dataset_mix_by_lang",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                   % {MIX_MOD} AS slot
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE slot < CASE lang
+               {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())}
+               ELSE 100 END) AS n_kept,
+           min(doc_id) FILTER (WHERE slot < CASE lang
+               {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())}
+               ELSE 100 END) AS first_kept
+    FROM keyed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Deterministic dataset mixing (the source-weighting step of a "
+    "pretraining data recipe): each document hashes to a stable slot in "
+    "[0, 1000) via sha256(doc_id), and each language keeps documents "
+    "below its per-mille rate (en 100%, de 50%, fr 25%, others 10%). "
+    "Hash-based mixing is reproducible across runs AND engines — unlike "
+    "rand() sampling — and composes with packing/dedup downstream: a "
+    "pure per-row projection + one aggregation, no shuffle of the kept "
+    "rows themselves.",
+)
+def dataset_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    slot = F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 7), 16, 10).cast(
+        "bigint"
+    ) % MIX_MOD
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in MIX_RATES.items()],
+        F.lit(100),
+    )
+    kept = F.col("slot") < F.col("rate")
+    return (
+        d.select("doc_id", "lang", slot.alias("slot"), rate.alias("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("first_kept"),
+        )
+        .orderBy("lang")
+    )
