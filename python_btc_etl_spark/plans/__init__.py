@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (registration side-effect)
     ingest,
     multimodal,
     ordered_stats,
+    partitioned,
     pipeline,
     relational,
     scale,

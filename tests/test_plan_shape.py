@@ -158,3 +158,24 @@ def test_csv_scan_prunes_by_glob_and_schema(spark):
     plan = explained(spark, "btc_daily_summary", execute=True)
     assert "Scan csv" in plan, plan
     assert "[codegen id :" in plan, plan
+
+
+def test_dpp_fact_scan_has_dynamic_pruning_filter(spark):
+    """The month-partitioned fact scan must carry a dynamicpruning
+    InSubquery in its PartitionFilters — fed by the broadcast dim — so
+    only qualifying month directories are opened. Without it the query
+    still returns correct rows while scanning every partition."""
+    plan = explained(spark, "dpp_month_revenue")
+    assert "dynamicpruning" in plan, plan
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "dynamicpruning" in pf.group(1), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_static_partition_prune_lists_only_matching_dirs(spark):
+    """A literal predicate on the partition column must resolve to
+    PartitionFilters at planning time (and never appear as a data
+    Filter over the scan output)."""
+    plan = explained(spark, "static_partition_prune_revenue")
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and ">= 1996-01" in pf.group(1) and "<= 1996-03" in pf.group(1), plan
