@@ -31,12 +31,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load
+from ..catalog import ensure_session_confs, load, spread
 from .exprs import dsum, sql_dsum
 from .registry import query
 
 N_SALT = 8
 RANGE_SECONDS = 3599  # trailing hour, inclusive
+
+# The user-profile self-join both skew queries share: the oracle is the
+# plain (unsalted, un-split) join, so salted_skew_join, aqe_skew_join and
+# the oracle are provably the same relation computed three ways.
+_SKEW_ORACLE = f"""
+    WITH profile AS (
+        SELECT user_id,
+               count(*) AS user_events,
+               {sql_dsum('value')} AS user_total
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           {sql_dsum('p.user_total')} AS sum_user_totals,
+           max(p.user_events) AS max_user_events
+    FROM events e JOIN profile p ON p.user_id = e.user_id
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """
 
 
 @query(
@@ -80,21 +99,7 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_skew_join",
-    oracle=f"""
-    WITH profile AS (
-        SELECT user_id,
-               count(*) AS user_events,
-               {sql_dsum('value')} AS user_total
-        FROM events GROUP BY user_id
-    )
-    SELECT e.event_type,
-           count(*) AS n_events,
-           {sql_dsum('p.user_total')} AS sum_user_totals,
-           max(p.user_events) AS max_user_events
-    FROM events e JOIN profile p ON p.user_id = e.user_id
-    GROUP BY e.event_type
-    ORDER BY e.event_type
-    """,
+    oracle=_SKEW_ORACLE,
     doc="Salted large-large join: fact side salted with "
     "pmod(hash(event_id), 8), build side replicated 8× via "
     "explode(sequence), equi-join on (user_id, salt). A hot user's rows "
@@ -123,6 +128,72 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("user_events").alias("max_user_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "aqe_skew_join",
+    oracle=f"""
+    WITH dim(d_event_type, weight) AS (
+        SELECT * FROM (VALUES ('click', 1.5), ('error', 0.0),
+                              ('purchase', 5.0), ('signup', 2.0),
+                              ('view', 1.0)) t(a, b)
+    )
+    SELECT e.user_id % 100 AS user_bucket,
+           count(*) AS n_events,
+           {sql_dsum('e.value * d.weight', 8)} AS weighted_value
+    FROM events e JOIN dim d ON d.d_event_type = e.event_type
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+    doc="AQE skew-join twin of salted_skew_join: a 1:1 dim join on a "
+    "hot low-cardinality key (every event carries one of 5 event_type "
+    "values, so 5 shuffle partitions hold the whole fact side) with NO "
+    "manual salt and broadcast disabled - spark.sql.adaptive.skewJoin "
+    "detects the oversized partitions from measured map stats and "
+    "splits them into advisory-sized chunks, duplicating the matching "
+    "build-side partition per chunk (final plan shows "
+    "SortMergeJoin(skew=true); plan-shape-tested). This is the "
+    "preferred rewrite at 100 TB; the manual salt (salted_skew_join) "
+    "is the fallback when AQE cannot apply (pre-AQE engines, or a "
+    "build side the pattern will not match). Runs in a cloned session "
+    "(own SQLConf) so demo-scale thresholds never leak into the "
+    "caller session; the oracle is the plain un-split join.",
+)
+def aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.newSession()
+    ensure_session_confs(s)
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Demo-scale thresholds: production defaults (256 MB / 5x median) are
+    # sized for real clusters; test parquet shuffles are KB-sized, so the
+    # detector needs KB-scale bounds to exercise the same code path.
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1kb")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4kb")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    # Skew splitting applies to sort-merge / shuffled-hash joins only -
+    # keep the 5-row build side off the broadcast path.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE splits a skewed reduce partition at map-output granularity: a
+    # one-file scan yields ONE map task, making every reduce partition a
+    # single unsplittable chunk. At 100 TB the scan arrives in thousands
+    # of splits; spread() restores that shape at test scale.
+    e = spread(load(s, sf_dir, "events"))
+    dim = s.createDataFrame(
+        [("click", 1.5), ("error", 0.0), ("purchase", 5.0),
+         ("signup", 2.0), ("view", 1.0)],
+        "d_event_type string, weight double",
+    )
+    return (
+        e.hint("merge")
+        .join(dim.hint("merge"), e.event_type == dim.d_event_type)
+        .groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("weight"), 8).alias("weighted_value"),
+        )
+        .orderBy("user_bucket")
     )
 
 

@@ -179,3 +179,17 @@ def test_static_partition_prune_lists_only_matching_dirs(spark):
     plan = explained(spark, "static_partition_prune_revenue")
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert pf and ">= 1996-01" in pf.group(1) and "<= 1996-03" in pf.group(1), plan
+
+
+def test_aqe_skew_join_splits_at_runtime(spark):
+    """The hot-key dim join must end with AQE's skew rewrite applied:
+    the final adaptive plan's SortMergeJoin is marked skew=true. The
+    un-salted query is only acceptable at scale BECAUSE this rewrite
+    fires — without it the 5 hot partitions serialize the join."""
+    df = plans.REGISTRY["aqe_skew_join"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan, plan
+    assert "skew=true" in plan, plan
