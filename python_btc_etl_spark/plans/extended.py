@@ -433,11 +433,22 @@ def pyds_stream_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         target = n_days * MINUTES_PER_DAY
         deadline = time.time() + 120
+        done = False
         while time.time() < deadline:
             rows = spark.table("pyds_stream_rollup").groupBy().sum("n_bars").collect()
             if rows and rows[0][0] == target:
+                done = True
                 break
             time.sleep(0.2)
+        if not done:
+            # A partial rollup would fail downstream as an opaque oracle
+            # hash mismatch; on this box slow-drain is a known flake mode,
+            # so make it self-describing instead.
+            got = rows[0][0] if rows else 0
+            raise TimeoutError(
+                f"pyds stream drained {got}/{target} bars within 120s — "
+                "box overloaded or stream stalled"
+            )
     finally:
         q.stop()
         q.awaitTermination(30)

@@ -263,13 +263,24 @@ def cc_large_small_star(
 
     sig = _sig(e)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
         new_sig = _sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # Labels built from a non-converged edge set are silently wrong
+        # (they'd only surface as an opaque oracle hash mismatch) — fail
+        # loudly instead. O(log² n) rounds means 32 covers any real graph;
+        # hitting this indicates a bug, not a big input.
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} "
+            "large-star/small-star rounds"
+        )
 
     # Fixed point: every remaining edge is (member, component_min).
     labels = (

@@ -70,9 +70,16 @@ class SyntheticBarsStreamReader(DataSourceStreamReader):
     """Streaming face of the same source (Spark 4 DataSourceStreamReader):
     the offset is the global minute index, each micro-batch advances it by
     ``step`` until the configured day count is exhausted — the shape of a
-    paginated REST/queue poller. Offsets live in the checkpoint log, so
-    restart resumes exactly where the last commit ended (exactly-once,
-    like the file source's file log)."""
+    paginated REST/queue poller.
+
+    Restart semantics: a fresh reader instance starts with ``_cur = 0``,
+    but on restart Spark replans from the CHECKPOINTED offset — it calls
+    ``partitions(committed_start, latest_end)`` where ``committed_start``
+    may be ahead of this instance's counter. ``partitions`` therefore
+    fast-forwards ``_cur`` to the committed start and treats an inverted
+    range as empty, so already-committed minute ranges are never
+    re-emitted (no double-counting); the next ``latestOffset`` resumes
+    from the committed position (exactly-once)."""
 
     def __init__(self, options) -> None:
         self.n_total = int(options.get("days", "2")) * MINUTES_PER_DAY
@@ -87,9 +94,17 @@ class SyntheticBarsStreamReader(DataSourceStreamReader):
         return {"m": self._cur}
 
     def partitions(self, start: dict, end: dict):
+        # Restart resync: the checkpointed start is authoritative. A
+        # just-restarted instance's _cur (and thus latestOffset) can lag
+        # it, producing end < start — emit nothing for that batch and
+        # fast-forward so the next latestOffset() continues from the
+        # committed position instead of re-covering committed ranges.
+        lo, hi = start["m"], end["m"]
+        self._cur = max(self._cur, lo)
+        if hi < lo:
+            return [RangePartition(lo, lo)]
         # One partition per covered day-slice keeps task granularity
         # aligned with the batch reader's per-day partitions.
-        lo, hi = start["m"], end["m"]
         parts = []
         while lo < hi:
             nxt = min(hi, (lo // MINUTES_PER_DAY + 1) * MINUTES_PER_DAY)

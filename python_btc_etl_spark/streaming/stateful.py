@@ -180,8 +180,14 @@ def run_user_stats_tws(
         def close(self) -> None:
             pass
 
+    # TWS requires the RocksDB state store; scope the switch to this query
+    # and restore the caller's provider afterwards — any later streaming
+    # query on the same session (e.g. applyInPandasWithState) must not
+    # silently inherit a different state-store backend.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     raw = stream_events(spark, events_dir, max_files_per_trigger, glob)
@@ -196,14 +202,20 @@ def run_user_stats_tws(
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     all_updates = spark.table(name)
     final = F.max_by(F.struct("n_events", "n_types", "max_value"), F.col("n_events")).alias("s")
     return (
