@@ -3,9 +3,10 @@ payloads with typed metadata, and Arrow-batched feature extraction.
 
 The container has no codec libraries, so :func:`decode_image` is a
 REAL pure-numpy decoder for the uncompressed netpbm family (P5/P6 —
-no codec needed, just header parse + strided reshape) and raises
-``NotImplementedError`` for compressed formats (JPEG/PNG need
-libjpeg/zlib — wire Pillow/opencv there on a real cluster).
+no codec needed, just header parse + strided reshape) plus
+zlib-deflated netpbm streams (stdlib inflate), and raises
+``NotImplementedError`` for JPEG/full-PNG (need libjpeg / PNG
+unfiltering — wire Pillow/opencv there on a real cluster).
 :func:`fake_decode_features` remains the deterministic stand-in used
 by the oracle-checked feature pipeline so the Spark-side plumbing —
 BinaryType schema, ``mapInPandas`` batch shape, Arrow transfer — is
@@ -34,15 +35,29 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Real decoder for binary netpbm: P5 (grayscale → HxW uint8) and
     P6 (RGB → HxWx3 uint8), maxval ≤ 255 — pure header parse + numpy
-    reshape, no codec library. Compressed formats (JPEG/PNG magic
-    bytes) raise ``NotImplementedError``: they need libjpeg/zlib,
-    absent in this container; wire Pillow/opencv here on a cluster.
+    reshape, no codec library. A zlib-deflated payload (RFC 1950
+    stream wrapping a netpbm raster — the PNG-IDAT-style storage leg)
+    is inflated with the stdlib and decoded the same way. JPEG and
+    full PNG raise ``NotImplementedError``: JPEG needs libjpeg, PNG
+    needs chunk parsing + per-scanline unfiltering beyond the deflate
+    step; wire Pillow/opencv here on a real cluster.
     """
     if payload[:3] in (b"\xff\xd8\xff",) or payload[:4] == b"\x89PNG":
         raise NotImplementedError(
-            "compressed image formats require a codec library "
-            "(Pillow/opencv), not available in this environment"
+            "JPEG/PNG require a codec library (Pillow/opencv), "
+            "not available in this environment"
         )
+    if (
+        len(payload) >= 2
+        and payload[0] == 0x78
+        and (payload[0] * 256 + payload[1]) % 31 == 0
+    ):
+        # RFC 1950 zlib header: CMF 0x78 (deflate, 32k window) and the
+        # FCHECK property (CMF*256+FLG divisible by 31) — cannot collide
+        # with netpbm, whose first byte is 'P' (0x50).
+        import zlib
+
+        return decode_image(zlib.decompress(payload))
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"unsupported image payload (magic {magic!r})")

@@ -198,3 +198,66 @@ def _decode_resize_batches(batches):
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select("doc_id")
     return d.mapInPandas(_decode_resize_batches, schema=DECODE_SCHEMA).orderBy("doc_id")
+
+
+ZLIB_SCHEMA = T.StructType(
+    [
+        T.StructField(c, T.LongType())
+        for c in ("doc_id", "h", "w", "pixel_sum", "compressed_bytes_lt_raw")
+    ]
+)
+
+
+def _decode_zlib_batches(batches):
+    """mapInPandas worker: deflate each doc's P5 payload with zlib
+    (RFC 1950, the PNG-IDAT-style storage leg), then run the real
+    decoder — which must transparently inflate — and prove the
+    compression round-trip actually happened by comparing sizes."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_image
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            h, w = 8 + d % 5, 8 + d % 7
+            px = ((d * 31 + np.arange(h * w)) % 256).astype(np.uint8).reshape(h, w)
+            raw = b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+            compressed = zlib.compress(raw, 6)
+            img = decode_image(compressed)
+            rows.append(
+                (d, img.shape[0], img.shape[1], int(img.sum()), int(len(compressed) != len(raw)))
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "h", "w", "pixel_sum", "compressed_bytes_lt_raw"]
+        )
+
+
+@query(
+    "multimodal_decode_zlib",
+    oracle="""
+    SELECT doc_id,
+           8 + doc_id % 5 AS h,
+           8 + doc_id % 7 AS w,
+           list_reduce(list_transform(range(0, (8 + doc_id % 5) * (8 + doc_id % 7)),
+                                      k -> (doc_id * 31 + k) % 256),
+                       (x, y) -> x + y) AS pixel_sum,
+           1 AS compressed_bytes_lt_raw
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Compressed-payload decode: the same deterministic P5 raster as "
+    "multimodal_decode_resize, but zlib-deflated (RFC 1950) before it "
+    "reaches the decoder — decode_image detects the zlib header, "
+    "inflates with the stdlib, and parses the netpbm inside; the "
+    "compressed_bytes_lt_raw flag proves each payload really was a "
+    "different byte stream. JPEG stays behind the documented "
+    "NotImplementedError (needs libjpeg).",
+)
+def multimodal_decode_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return d.mapInPandas(_decode_zlib_batches, schema=ZLIB_SCHEMA).orderBy("doc_id")

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_session_confs, load
-from .exprs import dsum, sql_dsum
+from .exprs import dsum, sql_dsum  # noqa: F401  (sql_dsum used in oracle f-strings)
 from .registry import query
 
 # One quarter's worth of urgent orders drives the pruning: months outside
@@ -141,4 +141,56 @@ def static_partition_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             dsum("l_extendedprice").alias("revenue"),
         )
         .orderBy("ship_month")
+    )
+
+
+@query(
+    "compacted_events_integrity",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Small-file compaction differential: events is written as 64 "
+    "tiny files (one per micro-batch, the streaming-append pathology), "
+    "compact_table() rewrites it into size-targeted files, and this "
+    "query aggregates the COMPACTED copy while the oracle aggregates "
+    "the original table — proving compaction is a pure physical "
+    "rewrite (no lost/duplicated/mutated rows). The maintenance half "
+    "of the 100 TB ingest story: millions of micro-batch files "
+    "dominate planning and open() cost until OPTIMIZE-style rewrites "
+    "bound them.",
+)
+def compacted_events_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import compact_table
+
+    ensure_session_confs(spark)
+    root = Path(__file__).resolve().parents[2]
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = str(root / "spark-warehouse" / f"events_compacted_{sfname}")
+    if not os.path.exists(os.path.join(path, "_COMPACTED")):
+        load(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+        stats = compact_table(spark, path, target_mb=128)
+        assert stats["files_after"] < stats["files_before"], stats
+        with open(os.path.join(path, "_COMPACTED"), "w") as fh:
+            fh.write(str(stats))
+    e = spark.read.parquet(path)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("event_type")
     )
