@@ -949,3 +949,57 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "value", "z")
         .orderBy("user_id", "event_id")
     )
+
+
+IVM_CUTOFF = "2024-01-21"  # base/delta split for incremental maintenance
+
+
+@query(
+    "incremental_daily_agg",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+    doc="Incremental view maintenance: the daily rollup is computed as "
+    "base partials (ts < cutoff — in production, yesterday's "
+    "materialized aggregate read back from storage) merged with delta "
+    "partials (new arrivals), using only mergeable statistics "
+    "(count/sum/min/max re-aggregate associatively). The oracle "
+    "recomputes from scratch over the full table, proving "
+    "merge(partials) == full recompute. At 100 TB this is the "
+    "difference between re-scanning the corpus nightly and scanning "
+    "only the day's delta.",
+)
+def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit(IVM_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = partials(e.filter(F.col("ts") < cutoff))
+    delta = partials(e.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            dsum("total_value").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("day")
+    )

@@ -409,3 +409,127 @@ def dataset_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+BOILER_N = 3  # boilerplate shingle width
+BOILER_DF = 5  # a shingle in >= this many docs is boilerplate
+
+
+@query(
+    "boilerplate_ngram_ratio",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, g
+        FROM w, unnest(CASE WHEN len(w.w) < {BOILER_N} THEN []::VARCHAR[]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w.w) - {BOILER_N} + 2),
+                                i -> {" || ' ' || ".join(f"w.w[i+{k}]" for k in range(BOILER_N))}))
+                       END) AS t(g)
+    ),
+    boiler AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING count(DISTINCT doc_id) >= {BOILER_DF}
+    )
+    SELECT gr.doc_id,
+           count(*) AS n_grams,
+           count(b.g) AS n_boiler,
+           CAST(count(b.g) AS DOUBLE) / count(*) AS boiler_ratio
+    FROM grams gr LEFT JOIN boiler b ON gr.g = b.g
+    GROUP BY gr.doc_id
+    ORDER BY gr.doc_id
+    """,
+    doc=f"Boilerplate detection (the C4/RefinedWeb duplicate-phrase "
+    f"metric): a word {BOILER_N}-gram appearing in >= {BOILER_DF} "
+    "distinct documents is boilerplate; each document reports the "
+    "fraction of its distinct shingles that are boilerplate — the "
+    "score the cleaning step thresholds on. Two passes over an "
+    "inverted-index gram table: doc-frequency aggregation, then a "
+    "broadcast join of the (small) boilerplate set back onto per-doc "
+    "grams. The corpus itself never shuffles on raw text; at 100 TB "
+    "the gram key becomes its 64-bit hash.",
+)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id", F.explode(TX.shingles(TX.words(F.col("text")), n=BOILER_N)).alias("g")
+    ).cache()
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        grams.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+            (F.count("is_boiler").cast("double") / F.count(F.lit(1))).alias(
+                "boiler_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "bigram_next_word",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
+    ),
+    bg AS (
+        SELECT w.w[i] AS w1, w.w[i+1] AS w2, count(*) AS cnt
+        FROM w, unnest(range(1, len(w.w))) AS t(i)
+        GROUP BY w1, w2
+    ),
+    tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS total FROM bg GROUP BY w1),
+    ranked AS (
+        SELECT w1, w2, cnt,
+               row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rn
+        FROM bg
+    )
+    SELECT r.w1, r.w2 AS top_next, r.cnt AS pair_count, t.total AS w1_count,
+           CAST(r.cnt AS DOUBLE) / t.total AS cond_prob
+    FROM ranked r JOIN tot t ON t.w1 = r.w1
+    WHERE r.rn = 1
+    ORDER BY r.w1
+    """,
+    doc="Bigram language-model table (tokenizer/LM bootstrap statistics): "
+    "corpus-wide adjacent-word pair counts, then each first-word's most "
+    "likely successor with its conditional probability. Pair extraction "
+    "is a posexplode over the word array (NON-distinct, unlike shingle "
+    "dedup paths); counting is one hash aggregation on (w1, w2), and "
+    "the per-w1 argmax is a ranking window over the (small) aggregated "
+    "pair table, never over raw tokens.",
+)
+def bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    w = d.select(TX.words(F.col("text")).alias("w"))
+    pairs = w.select(
+        F.posexplode(F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        F.col("w"),
+    ).select("w1", F.element_at(F.col("w"), F.col("i") + 2).alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = bg.groupBy("w1").agg(F.sum("cnt").alias("total"))
+    win = PW.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
+    top = bg.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+    return (
+        top.join(tot, "w1")
+        .select(
+            "w1",
+            F.col("w2").alias("top_next"),
+            F.col("cnt").alias("pair_count"),
+            F.col("total").alias("w1_count"),
+            (F.col("cnt").cast("double") / F.col("total")).alias("cond_prob"),
+        )
+        .orderBy("w1")
+    )

@@ -235,6 +235,53 @@ def two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_filter_join",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc="Runtime bloom-filter semi-join reduction: the filtered orders "
+    "side builds a bloom filter over its join keys at runtime, and "
+    "Catalyst injects might_contain(bloomFilter, xxhash64(l_orderkey)) "
+    "into the lineitem scan — non-matching fact rows die before the "
+    "shuffle, the same job the salted/AQE rewrites do for skew but for "
+    "SELECTIVITY (at 100 TB a 3%-selective dim filter means ~97% of "
+    "the fact shuffle is wasted without it). Plan-shape-tested; oracle "
+    "is the plain join.",
+)
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.newSession()
+    ensure_session_confs(s)
+    # Injection needs a shuffle join (a broadcast join already avoids the
+    # fact shuffle), and the application-side scan must exceed a
+    # threshold tuned for clusters (10 GB default) — zero it so the
+    # KB-scale test exercises the same code path.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    li = load(s, sf_dir, "lineitem")
+    o = load(s, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
     "hinted_shuffle_hash_join",
     oracle=f"""
     SELECT o.o_orderpriority AS priority,

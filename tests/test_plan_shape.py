@@ -193,3 +193,12 @@ def test_aqe_skew_join_splits_at_runtime(spark):
     )
     assert "isFinalPlan=true" in plan, plan
     assert "skew=true" in plan, plan
+
+
+def test_bloom_filter_join_injects_might_contain(spark):
+    """The runtime bloom filter from the selective orders side must be
+    injected into the lineitem side as a might_contain(...) predicate —
+    without it the full fact table shuffles for a ~3%-selective join."""
+    plan = explained(spark, "bloom_filter_join")
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
