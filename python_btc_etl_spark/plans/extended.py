@@ -499,3 +499,50 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@query(
+    "unpivot_nation_metrics",
+    oracle=f"""
+    WITH wide AS (
+        SELECT n_name,
+               CAST(count(*) AS DOUBLE) AS n_customers,
+               {sql_dsum('c_acctbal')} AS total_acctbal,
+               {sql_dsum('c_acctbal')} / count(*) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, metric, value FROM (
+        SELECT n_name, 'avg_acctbal' AS metric, avg_acctbal AS value FROM wide
+        UNION ALL
+        SELECT n_name, 'n_customers', n_customers FROM wide
+        UNION ALL
+        SELECT n_name, 'total_acctbal', total_acctbal FROM wide
+    )
+    ORDER BY n_name, metric
+    """,
+    doc="Unpivot / melt (the inverse of pivot_status_by_priority): a "
+    "wide per-nation metrics row becomes (nation, metric, value) long "
+    "form via DataFrame.unpivot — Spark expands in-place with a "
+    "generator, no join or shuffle beyond the feeding aggregation. "
+    "Long form is what generic metric stores and plotting layers "
+    "consume; the oracle builds the same melt as a UNION ALL.",
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+            (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["avg_acctbal", "n_customers", "total_acctbal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("n_name", "metric")

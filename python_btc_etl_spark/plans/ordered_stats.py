@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from .exprs import dsum, sql_dsum
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -350,3 +351,65 @@ def corr_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("l_returnflag")
+
+
+WINSOR_P = 0.95  # upper winsorization quantile (discrete, rank-based)
+
+
+@query(
+    "winsorize_event_values",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    thr AS (
+        SELECT event_type, value AS p95
+        FROM ranked
+        WHERE rn = CAST(ceil({WINSOR_P} * n) AS BIGINT)
+    )
+    SELECT r.event_type,
+           t.p95,
+           count(*) AS n_events,
+           count(CASE WHEN r.value > t.p95 THEN 1 END) AS n_clipped,
+           {sql_dsum('least(r.value, t.p95)')} AS winsorized_sum
+    FROM ranked r JOIN thr t ON t.event_type = r.event_type
+    GROUP BY r.event_type, t.p95
+    ORDER BY r.event_type
+    """,
+    doc=f"Winsorization (outlier capping at the p{int(WINSOR_P * 100)} "
+    "quantile) — the feature/label-cleaning step before training. The "
+    "threshold is DISCRETE (the actual value at rank ceil(p*n) under a "
+    "total order with tie-break), not interpolated: an interpolated "
+    "quantile is engine-specific float arithmetic, a ranked value is "
+    "bit-exact everywhere. One shuffle on event_type shared by the "
+    "ranking window and the re-aggregation; the per-type thresholds "
+    "broadcast back onto the events.",
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    win = PW.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = PW.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "value",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    thr = ranked.filter(
+        F.col("rn") == F.ceil(WINSOR_P * F.col("n")).cast("bigint")
+    ).select("event_type", F.col("value").alias("p95"))
+    return (
+        ranked.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_clipped"),
+            dsum(F.least("value", "p95")).alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )

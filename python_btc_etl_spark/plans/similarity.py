@@ -360,3 +360,64 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "centroid_similarity_matrix",
+    oracle=f"""
+    WITH e AS ({SQL_VECS}),
+    flat AS (
+        SELECT label, vec_id, i AS dim, v[i] AS val
+        FROM e, range(1, 65) t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) / count(*) AS c
+        FROM flat GROUP BY label, dim
+    ),
+    cv AS (
+        SELECT label, list(c ORDER BY dim) AS v FROM cent GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {VX.sql_cosine('a.v', 'b.v')} AS cos_sim
+    FROM cv a JOIN cv b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+    doc="Pairwise cosine similarity between label centroids — the "
+    "cluster-overlap diagnostic run after any embedding partition "
+    "(are two labels' regions separable?). Centroids use the "
+    "fixed-order fold (sorted by vec_id) for deterministic float "
+    "sums; the pairwise stage joins the 10-row centroid table with "
+    "itself (label < label), so the O(L²) part never touches the "
+    "full embedding table — at 100 TB the centroids are KBs however "
+    "large the corpus.",
+)
+def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    flat = e.select("label", "vec_id", F.posexplode("v").alias("dim0", "val")).withColumn(
+        "dim", F.col("dim0") + 1
+    )
+    ordered_sum = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("vec_id", "val"))), lambda s: s.val),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent = flat.groupBy("label", "dim").agg(
+        (ordered_sum / F.count(F.lit(1))).alias("c")
+    )
+    cv = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
+        ).alias("v")
+    )
+    a = cv.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = cv.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, a.label_a < b.label_b)
+        .select(
+            "label_a",
+            "label_b",
+            VX.cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from .exprs import dsum
+from .exprs import dsum, sql_dsum
 from .registry import query
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -413,4 +413,75 @@ def bars_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("minute_str", "minute")
         .orderBy("minute")
+    )
+
+
+SECS_PER_DAY = 86400
+
+
+@query(
+    "twap_daily",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type, ts, event_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(floor(epoch(ts)) AS BIGINT) // {SECS_PER_DAY} AS day_idx,
+               lead(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY event_type,
+                                      CAST(floor(epoch(ts)) AS BIGINT) // {SECS_PER_DAY}
+                         ORDER BY ts, event_id) AS next_sec
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, day_idx, value,
+               coalesce(next_sec, (day_idx + 1) * {SECS_PER_DAY}) - sec AS dur
+        FROM t
+    )
+    SELECT event_type,
+           strftime(to_timestamp(day_idx * {SECS_PER_DAY}), '%Y-%m-%d') AS day,
+           {sql_dsum('w.value * w.dur')} / sum(w.dur) AS twap,
+           CAST(sum(w.dur) AS BIGINT) AS covered_secs,
+           count(*) AS n_events
+    FROM w
+    GROUP BY event_type, day_idx
+    ORDER BY event_type, day
+    """,
+    doc="Time-weighted average price/value (TWAP) per (event_type, day): "
+    "each observation is weighted by its holding duration — seconds "
+    "until the next event in the partition, or until midnight for the "
+    "day's last event (the standard finance aggregation the reference's "
+    "OHLCV rollups feed into). One shuffle on (type, day) shared by the "
+    "lead() window and the final aggregation; durations are integer "
+    "seconds and the weighted sum is an exact decimal fold, so both "
+    "engines agree bit-for-bit.",
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    day_idx = (sec / SECS_PER_DAY).cast("bigint")
+    t = e.select(
+        "event_type", "ts", "event_id", "value",
+        sec.alias("sec"), day_idx.alias("day_idx"),
+    )
+    win = PW.partitionBy("event_type", "day_idx").orderBy("ts", "event_id")
+    w = t.withColumn(
+        "dur",
+        F.coalesce(F.lead("sec").over(win), (F.col("day_idx") + 1) * SECS_PER_DAY)
+        - F.col("sec"),
+    )
+    return (
+        w.groupBy(
+            "event_type",
+            F.date_format(
+                F.timestamp_seconds(F.col("day_idx") * SECS_PER_DAY), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .agg(
+            (dsum(F.col("value") * F.col("dur")) / F.sum("dur")).alias("twap"),
+            F.sum("dur").cast("bigint").alias("covered_secs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
     )
