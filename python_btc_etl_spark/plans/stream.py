@@ -196,3 +196,35 @@ def stream_topk_users_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.file_stream import run_stream_topk_users
 
     return run_stream_topk_users(spark, sf_dir)
+
+
+@query(
+    "stream_purchase_click_left_join",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'click')
+               ) - INTERVAL 60 MINUTE AS w
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, p.value AS purchase_value
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+    WHERE p.event_type = 'purchase'
+      AND (c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm))
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join: matched purchase-click "
+    "pairs emit immediately, unmatched purchases emit null-extended "
+    "only after the watermark proves no click can still arrive — "
+    "purchases inside the final watermark horizon stay in state "
+    "unemitted. The oracle encodes that exact semantics (matched OR "
+    "older than min-side max ts - 1h), making the eviction contract "
+    "itself differentially checked, not just the happy path.",
+)
+def stream_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.file_stream import run_stream_stream_left_join
+
+    return run_stream_stream_left_join(spark, sf_dir)

@@ -274,6 +274,51 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_.table("stream_join").orderBy("purchase_id", "click_id")
 
 
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with its
+    same-user clicks from the preceding hour when they exist. Matched
+    pairs emit immediately; an unmatched purchase emits null-extended
+    only once the watermark proves no matching click can still arrive —
+    so purchases newer than (final watermark) whose match never came are
+    *retained in state, not emitted*. The oracle reproduces exactly that
+    boundary: left rows survive if matched OR older than
+    least(max purchase ts, max click ts) - 1 hour.
+    """
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "1 hour")
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_user", "purchase_value")
+    spark_ = joined.sparkSession
+    try:
+        spark_.catalog.dropTempView("stream_left_join")
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark_.table("stream_left_join").orderBy("purchase_id", "click_id")
+
+
 def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched per micro-batch with
     the static customer dimension (broadcast — stateless, no watermark
