@@ -1003,3 +1003,99 @@ def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+WAU_WINDOW = 7  # trailing window width in days
+
+
+@query(
+    "trailing_wau",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day_idx FROM ud),
+    hits AS (
+        SELECT d.day_idx, u.user_id
+        FROM days d JOIN ud u
+          ON u.day_idx BETWEEN d.day_idx - {WAU_WINDOW - 1} AND d.day_idx
+    )
+    SELECT strftime(to_timestamp(day_idx * 86400), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS wau
+    FROM hits
+    GROUP BY day_idx
+    ORDER BY day
+    """,
+    doc=f"Trailing {WAU_WINDOW}-day active users per day (the WAU curve): "
+    "each distinct (user, day) pair explodes into the "
+    f"{WAU_WINDOW} observation days it contributes to, then one "
+    "distinct-count per day. The explode runs on the already-deduped "
+    "(user, day) table — bounded at users x days, thousands of times "
+    "smaller than the raw event log — never on raw events; the "
+    "range-join oracle proves the explode rewrite exact.",
+)
+def trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", (F.col("ts").cast("long") / 86400).cast("bigint").alias("day_idx")
+    ).distinct()
+    hits = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + (WAU_WINDOW - 1))
+        ).alias("obs_day"),
+    )
+    days = ud.select(F.col("day_idx").alias("obs_day")).distinct()
+    return (
+        hits.join(days, "obs_day")
+        .groupBy(
+            F.date_format(
+                F.timestamp_seconds(F.col("obs_day") * 86400), "yyyy-MM-dd"
+            ).alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "day_over_day_change",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {sql_dsum('value')} AS total
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day, total,
+           lag(total) OVER (PARTITION BY event_type ORDER BY day) AS prev_total,
+           (total - lag(total) OVER (PARTITION BY event_type ORDER BY day))
+               / lag(total) OVER (PARTITION BY event_type ORDER BY day) AS pct_change
+    FROM daily
+    ORDER BY event_type, day
+    """,
+    doc="Period-over-period change: daily exact-decimal totals per "
+    "event_type, then lag() for the previous day and an IEEE division "
+    "for percent change (identical inputs => identical output, no "
+    "rounding needed). The window runs over the aggregated daily table "
+    "(types x days rows), not raw events.",
+)
+def day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(dsum("value").alias("total"))
+    win = PW.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(win)
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        prev.alias("prev_total"),
+        ((F.col("total") - prev) / prev).alias("pct_change"),
+    ).orderBy("event_type", "day")
