@@ -61,6 +61,17 @@ def shingles(w: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
+def grams_all(w: Column, n: int = SHINGLE_N) -> Column:
+    """NON-distinct word n-grams, in document order; empty array when
+    fewer than n words. Unlike :func:`shingles` this keeps multiplicity —
+    required by repetition metrics, where the whole point is counting how
+    often a gram repeats within one document."""
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])  # noqa: E731
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(w) - n + 1), gram)
+    )
+
+
 def hash60(s: Column) -> Column:
     """60-bit integer content hash: first 15 hex digits of sha256."""
     return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("bigint")
@@ -179,6 +190,14 @@ def sql_shingles(w: str, n: int = SHINGLE_N) -> str:
     return (
         f"CASE WHEN len({w}) < {n} THEN []::VARCHAR[] "
         f"ELSE list_distinct(list_transform(range(1, len({w}) - {n} + 2), i -> {gram})) END"
+    )
+
+
+def sql_grams_all(w: str, n: int = SHINGLE_N) -> str:
+    gram = " || ' ' || ".join(f"{w}[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({w}) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, len({w}) - {n} + 2), i -> {gram}) END"
     )
 
 

@@ -533,3 +533,240 @@ def bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1")
     )
+
+
+RARE_DEN = 20  # a bigram with P(w2|w1) < 1/RARE_DEN is "rare"
+FLAG_NUM, FLAG_DEN = 1, 2  # flag docs with rare_ratio > FLAG_NUM/FLAG_DEN
+
+
+@query(
+    "lm_rare_bigram_filter",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w.w[i] AS w1, w.w[i+1] AS w2
+        FROM w, unnest(range(1, len(w.w))) AS t(i)
+    ),
+    bg AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+    tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS total FROM bg GROUP BY w1)
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           CAST(count(CASE WHEN b.cnt * {RARE_DEN} < t.total THEN 1 END) AS BIGINT)
+               AS n_rare,
+           CAST(count(CASE WHEN b.cnt * {RARE_DEN} < t.total THEN 1 END) AS DOUBLE)
+               / count(*) AS rare_ratio,
+           count(CASE WHEN b.cnt * {RARE_DEN} < t.total THEN 1 END) * {FLAG_DEN}
+               > count(*) * {FLAG_NUM} AS flagged
+    FROM pairs p
+    JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN tot t ON t.w1 = p.w1
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="Language-model quality filter (the CCNet/CC-100 perplexity-filter "
+    f"shape, integer-exact): score each document by the fraction of its "
+    f"word bigrams whose corpus conditional probability is below "
+    f"1/{RARE_DEN}, flagging docs where more than "
+    f"{FLAG_NUM}/{FLAG_DEN} of bigrams are rare. The rarity test is the "
+    "integer comparison cnt*den < total — no logs, no floats — so both "
+    "engines agree bit-for-bit where a log-perplexity would be at the "
+    "mercy of libm ulp differences. Plan: one pair-extraction pass "
+    "(posexplode, JVM-side), one hash agg for the LM table, an equi-join "
+    "back on (w1,w2), and a per-doc agg. At 100 TB the join key becomes "
+    "the 64-bit pair hash and the LM table is doc-frequency-pruned "
+    "before the join-back; nothing is ever all-pairs.",
+)
+def lm_rare_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    w = d.select("doc_id", TX.words(F.col("text")).alias("w"))
+    pairs = w.select(
+        "doc_id",
+        F.posexplode(
+            F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0)))
+        ).alias("i", "w1"),
+        F.col("w"),
+    ).select("doc_id", "w1", F.element_at(F.col("w"), F.col("i") + 2).alias("w2"))
+    pairs = pairs.cache()
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = bg.groupBy("w1").agg(F.sum("cnt").alias("total"))
+    rare = F.col("cnt") * RARE_DEN < F.col("total")
+    return (
+        pairs.join(bg, ["w1", "w2"])
+        .join(tot, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(rare, 1)).alias("n_rare"),
+            (F.count(F.when(rare, 1)).cast("double") / F.count(F.lit(1))).alias(
+                "rare_ratio"
+            ),
+            (
+                F.count(F.when(rare, 1)) * FLAG_DEN > F.count(F.lit(1)) * FLAG_NUM
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# 16 hex buckets on a stable content key: 12 train / 2 val / 2 test.
+SPLIT_TRAIN = tuple("0123456789ab")
+SPLIT_VAL = ("c", "d")
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_TRAIN!r} THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_VAL!r} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars, lang
+        FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share,
+           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Deterministic train/val/test split (the dataset-building "
+    "primitive): bucket every document by the first hex digit of "
+    "md5(doc_id) — 12/2/2 of 16 buckets = 75%/12.5%/12.5% — and report "
+    "per-split size, share, mean length, and language coverage. md5 is "
+    "bit-identical across engines (and across reshards/reruns at 100 TB: "
+    "the assignment depends only on the row key, never on partitioning, "
+    "row order, or cluster size). Single scan, one hash agg; the split "
+    "column in production becomes a partition column so every later "
+    "reader prunes to its split.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(c.isin(*SPLIT_TRAIN), "train")
+        .when(c.isin(*SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+    agg = d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    total = W.partitionBy()
+    return agg.select(
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(total)).alias("share"),
+        (F.col("sum_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        "n_langs",
+    ).orderBy("split")
+
+
+@query(
+    "constraint_quality_report",
+    oracle="""
+    SELECT 'orders_rowcount' AS metric,
+           CAST(count(*) AS DOUBLE) AS value FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique_ratio',
+           CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_nonpositive',
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_min', min(o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_max', max(o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'lineitem_rowcount', CAST(count(*) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_null_count',
+           CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range_violations',
+           CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+                AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkeys',
+           CAST(count(*) AS DOUBLE)
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem) li
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+    UNION ALL
+    SELECT 'customer_mktsegment_cardinality',
+           CAST(count(DISTINCT c_mktsegment) AS DOUBLE) FROM customer
+    ORDER BY metric
+    """,
+    doc="Data-quality constraint suite (the Deequ/Great-Expectations "
+    "shape): completeness, uniqueness, range-conformance, and "
+    "referential-integrity metrics over the star schema, emitted as one "
+    "long-format (metric, value) report. Each table is scanned once "
+    "with all its metrics fused into a single aggregate; the "
+    "referential check is a distinct-project + left-anti join on the "
+    "join key (never a row-level anti join of the full fact table). "
+    "This is the validation gate a 100 TB ingest runs before promoting "
+    "a batch.",
+)
+def constraint_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    dbl = lambda col: col.cast("double")  # noqa: E731
+
+    o_agg = o.agg(
+        dbl(F.count(F.lit(1))).alias("orders_rowcount"),
+        (F.countDistinct("o_orderkey").cast("double") / F.count(F.lit(1))).alias(
+            "orders_orderkey_unique_ratio"
+        ),
+        dbl(F.count(F.when(F.col("o_totalprice") <= 0, 1))).alias(
+            "orders_totalprice_nonpositive"
+        ),
+        F.min("o_totalprice").alias("orders_totalprice_min"),
+        F.max("o_totalprice").alias("orders_totalprice_max"),
+    )
+    li_agg = li.agg(
+        dbl(F.count(F.lit(1))).alias("lineitem_rowcount"),
+        dbl(F.count(F.when(F.col("l_quantity").isNull(), 1))).alias(
+            "lineitem_quantity_null_count"
+        ),
+        dbl(
+            F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1))
+        ).alias("lineitem_discount_range_violations"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .distinct()
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(dbl(F.count(F.lit(1))).alias("lineitem_orphan_orderkeys"))
+    )
+    c_agg = c.agg(
+        dbl(F.countDistinct("c_mktsegment")).alias("customer_mktsegment_cardinality")
+    )
+    wide = o_agg.crossJoin(li_agg).crossJoin(orphans).crossJoin(c_agg)
+    metrics = [
+        "orders_rowcount",
+        "orders_orderkey_unique_ratio",
+        "orders_totalprice_nonpositive",
+        "orders_totalprice_min",
+        "orders_totalprice_max",
+        "lineitem_rowcount",
+        "lineitem_quantity_null_count",
+        "lineitem_discount_range_violations",
+        "lineitem_orphan_orderkeys",
+        "customer_mktsegment_cardinality",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return wide.selectExpr(
+        f"stack({len(metrics)}, {stack}) AS (metric, value)"
+    ).orderBy("metric")
