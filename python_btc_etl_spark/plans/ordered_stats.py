@@ -413,3 +413,120 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MAD_K = 3  # flag |x - median| > MAD_K * MAD
+
+
+@query(
+    "mad_outliers_by_type",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           any_value(d.med) AS med,
+           any_value(a.mad) AS mad,
+           count(*) AS n,
+           CAST(count(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 END) AS BIGINT)
+               AS n_outliers,
+           CAST(count(CASE WHEN d.dev > {MAD_K} * a.mad THEN 1 END) AS DOUBLE)
+               / count(*) AS outlier_ratio
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc="Robust outlier detection via median absolute deviation: per "
+    f"event_type exact median, then the median of absolute deviations, "
+    f"then the count of points beyond {MAD_K}*MAD — the robust-statistics "
+    "alternative to the z-score query (immune to the outliers it hunts). "
+    "Cross-engine exactness: both engines linear-interpolate "
+    "quantile_cont between the same two order statistics with the same "
+    "IEEE ops, verified bit-identical. Plan: two grouped exact "
+    "percentiles + broadcast join-backs of the tiny per-type stats "
+    "table; the event stream shuffles once on event_type and the sorted "
+    "grouped percentile reuses that partitioning. At 100 TB swap "
+    "percentile for approx_percentile and nothing else changes.",
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    out = F.col("dev") > MAD_K * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(out, 1)).alias("n_outliers"),
+            (F.count(F.when(out, 1)).cast("double") / F.count(F.lit(1))).alias(
+                "outlier_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+N_DECILES = 10
+
+
+@query(
+    "decile_stats_order_totals",
+    oracle=f"""
+    WITH d AS (
+        SELECT o_totalprice,
+               ntile({N_DECILES}) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS decile
+        FROM orders
+    )
+    SELECT decile,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           {sql_dsum('o_totalprice', 2)} AS total
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc=f"Equal-height binning: ntile({N_DECILES}) splits orders into "
+    "deciles by total price (unique-key tie-break makes the assignment "
+    "deterministic in both engines), then per-decile count/min/max/exact-"
+    "decimal sum — the quantile-bucket profile feeding price-band "
+    "reports and equi-depth histogram statistics. NOTE the global ntile "
+    "window is a single-partition sort: correct here, but the 100 TB "
+    "form computes approx-percentile cut points first and assigns "
+    "buckets with width_bucket in the scan — the zorder_layout_stats "
+    "query demonstrates exactly that broadcast-cutpoint pattern.",
+)
+def decile_stats_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    win = PW.orderBy("o_totalprice", "o_orderkey")
+    d = o.select("o_totalprice", F.ntile(N_DECILES).over(win).alias("decile"))
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice", 2).alias("total"),
+        )
+        .orderBy("decile")
+    )

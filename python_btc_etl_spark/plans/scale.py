@@ -311,3 +311,78 @@ def hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+Z_BITS = 21  # per-dimension bits: covers keys to 2M, z fits in 42 bits
+Z_BUCKETS = 32
+
+
+def _z_expr(c1: str, c2: str) -> str:
+    return (
+        f"aggregate(sequence(0, {Z_BITS - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + shiftleft(shiftright({c1}, i) & 1, 2*i) "
+        f"+ shiftleft(shiftright({c2}, i) & 1, 2*i+1))"
+    )
+
+
+def _sql_z_expr(c1: str, c2: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {Z_BITS}), "
+        f"i -> ((({c1} >> i) & 1) << (2*i)) + ((({c2} >> i) & 1) << (2*i+1)))), "
+        f"(a, b) -> a + b)"
+    )
+
+
+@query(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               {_sql_z_expr('l_partkey', 'l_suppkey')} AS zval
+        FROM lineitem
+    ),
+    rng AS (SELECT min(zval) AS zmin, max(zval) AS zmax FROM z),
+    b AS (
+        SELECT z.*, (z.zval - r.zmin) // (((r.zmax - r.zmin) // {Z_BUCKETS}) + 1)
+                   AS bucket
+        FROM z, rng r
+    )
+    SELECT bucket,
+           count(*) AS n,
+           min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+           min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Z-order (Morton-curve) layout statistics: interleave the bits "
+    f"of (l_partkey, l_suppkey) into a {2 * Z_BITS}-bit z-value, split "
+    f"the z-range into {Z_BUCKETS} equal-width cells, and report each "
+    "cell's min/max on BOTH key columns — the file-level statistics a "
+    "z-ordered table write would produce, where every cell has a "
+    "bounded range on every clustered dimension (a single-column sort "
+    "bounds only its own column, leaving the other's span at full "
+    "width). Everything is integer bit arithmetic — bit-identical "
+    "across engines — and fully distributed: the z-range comes from "
+    "one broadcast min/max aggregate and bucketing is a scan-local "
+    "expression, unlike a global ntile sort. This is the write-time "
+    "clustering recipe for multi-dimension predicate skipping at "
+    "100 TB (Delta/Iceberg OPTIMIZE ZORDER does exactly this).",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = li.withColumn("zval", F.expr(_z_expr("l_partkey", "l_suppkey")))
+    rng = z.agg(F.min("zval").alias("zmin"), F.max("zval").alias("zmax"))
+    b = z.crossJoin(F.broadcast(rng)).withColumn(
+        "bucket",
+        F.expr(f"(zval - zmin) div (((zmax - zmin) div {Z_BUCKETS}) + 1)"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("pk_lo"),
+            F.max("l_partkey").alias("pk_hi"),
+            F.min("l_suppkey").alias("sk_lo"),
+            F.max("l_suppkey").alias("sk_hi"),
+        )
+        .orderBy("bucket")
+    )

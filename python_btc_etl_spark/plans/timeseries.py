@@ -485,3 +485,90 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+EWMA_K = 8  # lookback days; decay 0.5 per day (exact powers of two)
+
+
+@query(
+    "ewma_daily_decay",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+               {sql_dsum('value')} AS total
+        FROM events GROUP BY event_type, day_idx
+    ),
+    terms AS (
+        SELECT a.event_type, a.day_idx, b.day_idx AS p_day,
+               b.total * power(0.5, a.day_idx - b.day_idx) AS term
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type
+         AND b.day_idx BETWEEN a.day_idx - {EWMA_K - 1} AND a.day_idx
+    )
+    SELECT event_type,
+           strftime(to_timestamp(day_idx * 86400), '%Y-%m-%d') AS day,
+           count(*) AS n_terms,
+           list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY p_day)),
+                       (x, y) -> x + y) AS decayed_sum
+    FROM terms
+    GROUP BY event_type, day_idx
+    ORDER BY event_type, day
+    """,
+    doc=f"Exponentially-decayed daily volume (EWMA-style smoothing, "
+    f"decay 1/2 per day over a {EWMA_K}-day lookback): each day's "
+    "smoothed value folds the trailing daily totals with power-of-two "
+    "weights. Determinism is engineered end-to-end: daily totals are "
+    "exact decimal sums, pow(0.5, k) is exactly representable, and the "
+    "final float sum is an ORDERED fold (sort_array + aggregate vs "
+    "DuckDB's list(ORDER BY) + list_reduce) — identical sequential IEEE "
+    "adds, bit-identical results, where a plain SUM() would vary with "
+    "partial-aggregation order. The range self-join runs on the "
+    "aggregated (types x days) table, thousands of times smaller than "
+    "raw events; at 100 TB the fold width stays K, independent of data "
+    "volume.",
+)
+def ewma_daily_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 86400).cast("bigint").alias("day_idx"),
+    ).agg(dsum("value").alias("total"))
+    a = daily.select("event_type", "day_idx")
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day_idx").alias("p_day"),
+        F.col("total").alias("b_total"),
+    )
+    terms = a.join(
+        b,
+        (F.col("b_type") == F.col("event_type"))
+        & F.col("p_day").between(F.col("day_idx") - (EWMA_K - 1), F.col("day_idx")),
+    ).select(
+        "event_type",
+        "day_idx",
+        "p_day",
+        (F.col("b_total") * F.pow(F.lit(0.5), F.col("day_idx") - F.col("p_day"))).alias(
+            "term"
+        ),
+    )
+    return (
+        terms.groupBy("event_type", "day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col("p_day"), F.col("term")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("decayed_sum"),
+        )
+        .select(
+            "event_type",
+            F.date_format(
+                F.timestamp_seconds(F.col("day_idx") * 86400), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_terms",
+            "decayed_sum",
+        )
+        .orderBy("event_type", "day")
+    )
