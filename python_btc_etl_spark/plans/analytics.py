@@ -1099,3 +1099,76 @@ def day_over_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_total"),
         ((F.col("total") - prev) / prev).alias("pct_change"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "longest_streak_per_user",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, day_idx,
+               day_idx - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day_idx) AS streak_key
+        FROM ud
+    ),
+    streaks AS (
+        SELECT user_id, streak_key,
+               count(*) AS streak_len,
+               min(day_idx) AS start_idx, max(day_idx) AS end_idx
+        FROM runs GROUP BY user_id, streak_key
+    ),
+    best AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY streak_len DESC, start_idx) AS rn
+        FROM streaks
+    )
+    SELECT user_id, streak_len,
+           strftime(to_timestamp(start_idx * 86400), '%Y-%m-%d') AS start_day,
+           strftime(to_timestamp(end_idx * 86400), '%Y-%m-%d')   AS end_day
+    FROM best WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Gaps-and-islands: each user's longest run of consecutive active "
+    "days (earliest such run on ties). The classic day_idx - row_number "
+    "constant-key trick turns consecutive days into one group with zero "
+    "joins: distinct (user, day) projection, one window, one "
+    "aggregation, one top-1 window — three stages sharing the user_id "
+    "shuffle key. All integer arithmetic. The windows run over the "
+    "deduped user-day table, thousands of times smaller than raw "
+    "events.",
+)
+def longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", (F.col("ts").cast("long") / 86400).cast("bigint").alias("day_idx")
+    ).distinct()
+    runs = ud.withColumn(
+        "streak_key",
+        F.col("day_idx")
+        - F.row_number().over(PW.partitionBy("user_id").orderBy("day_idx")),
+    )
+    streaks = runs.groupBy("user_id", "streak_key").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day_idx").alias("start_idx"),
+        F.max("day_idx").alias("end_idx"),
+    )
+    best = streaks.withColumn(
+        "rn",
+        F.row_number().over(
+            PW.partitionBy("user_id").orderBy(F.desc("streak_len"), F.asc("start_idx"))
+        ),
+    ).filter(F.col("rn") == 1)
+    day_s = lambda c: F.date_format(F.timestamp_seconds(F.col(c) * 86400), "yyyy-MM-dd")  # noqa: E731
+    return best.select(
+        "user_id",
+        "streak_len",
+        day_s("start_idx").alias("start_day"),
+        day_s("end_idx").alias("end_day"),
+    ).orderBy("user_id")

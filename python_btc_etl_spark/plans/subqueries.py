@@ -246,3 +246,43 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "skyline_parts_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    ORDER BY p.p_partkey
+    """,
+    doc="Skyline / Pareto-frontier query: parts not dominated on "
+    "(retailprice, size) — no other part is <= on both dimensions and "
+    "strictly better on one. The oracle is the textbook quadratic "
+    "NOT-EXISTS self-join; the engine runs the O(n log n) 2-D sweep "
+    "instead: collapse to one (price, min_size) row per distinct price, "
+    "take the running minimum of size over all STRICTLY cheaper prices "
+    "(one ordered window on a price-distinct table), and keep a part "
+    "iff its size equals its price group's minimum AND beats every "
+    "cheaper group's best. The full part table never self-joins — only "
+    "the distinct-price spine (tiny) sorts globally, then one broadcast "
+    "join back. A 100 TB catalog scan stays linear where the naive "
+    "plan is a BroadcastNestedLoopJoin.",
+)
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    by_price = p.groupBy("p_retailprice").agg(F.min("p_size").alias("min_size"))
+    w = PW.orderBy("p_retailprice").rowsBetween(PW.unboundedPreceding, -1)
+    spine = by_price.withColumn("prev_best", F.min("min_size").over(w))
+    keep = p.join(F.broadcast(spine), "p_retailprice").filter(
+        (F.col("p_size") == F.col("min_size"))
+        & (F.col("prev_best").isNull() | (F.col("prev_best") > F.col("p_size")))
+    )
+    return keep.select("p_partkey", "p_retailprice", "p_size").orderBy("p_partkey")

@@ -572,3 +572,86 @@ def ewma_daily_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "asof_next_purchase",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT user_id, ts AS purchase_ts, min(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{TS_FMT_DUCK}')            AS click_ts,
+           strftime(p.purchase_ts, '{TS_FMT_DUCK}')   AS purchase_ts,
+           p.purchase_id,
+           CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+               - CAST(floor(epoch(c.ts)) AS BIGINT)   AS wait_s
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+    ORDER BY c.event_id
+    """,
+    doc="FORWARD as-of join (the mirror of asof_purchase_last_click): for "
+    "each click, the same user's EARLIEST purchase at or after it, plus "
+    "the wait in seconds — the attribution / time-to-convert shape. "
+    "Same union + single-sorted-window trick, but with "
+    "first(ignorenulls) over the FOLLOWING frame; purchases sort after "
+    "clicks at equal timestamps so a simultaneous purchase is visible "
+    "(<= semantics). One shuffle on user_id, linear in events, no "
+    "per-row subquery; the oracle is DuckDB's native forward ASOF "
+    "LEFT JOIN.",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            F.col("purchase_ts").alias("ts"),
+            "purchase_ts",
+            "purchase_id",
+            F.lit(1).alias("is_purchase"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(0).alias("is_purchase"),
+        "event_id",
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "purchase_id")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    return (
+        merged.withColumn(
+            "next_purchase_ts", F.first("purchase_ts", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_purchase_id", F.first("purchase_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_purchase") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+            F.date_format("next_purchase_ts", TS_FMT_SPARK).alias("purchase_ts"),
+            F.col("next_purchase_id").alias("purchase_id"),
+            (
+                F.col("next_purchase_ts").cast("long") - F.col("ts").cast("long")
+            ).alias("wait_s"),
+        )
+        .orderBy("event_id")
+    )
