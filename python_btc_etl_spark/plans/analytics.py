@@ -1172,3 +1172,225 @@ def longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_s("start_idx").alias("start_day"),
         day_s("end_idx").alias("end_day"),
     ).orderBy("user_id")
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _type_bit_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN '{t}' THEN {1 << i}" for i, t in enumerate(EVENT_TYPES)
+    )
+    return f"(CASE {col} {cases} ELSE 0 END)::BIGINT"
+
+
+@query(
+    "user_event_type_sets",
+    oracle=f"""
+    WITH masks AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week_idx,
+               bit_or({_type_bit_sql('event_type')}) AS type_mask
+        FROM events GROUP BY user_id, week_idx
+    )
+    SELECT type_mask,
+           ltrim({" || ".join(
+               f"CASE WHEN (type_mask >> {i}) & 1 = 1 THEN '+{t}' ELSE '' END"
+               for i, t in enumerate(EVENT_TYPES)
+           )}, '+') AS type_set,
+           count(*) AS n_user_weeks
+    FROM masks
+    GROUP BY type_mask
+    ORDER BY type_mask
+    """,
+    doc="Behavioral segmentation by exact event-type SET per user-week: each type maps "
+    "to one bit, bit_or folds a user's events into a bitmask (an "
+    "order-free, merge-friendly aggregate — partial masks OR together "
+    "across partitions with no ordering concerns), then one count per "
+    "distinct mask with a human-readable decoded label. The bitmask is "
+    "the 5-bit exact analogue of a bloom filter over set membership; "
+    "at 100 TB the same fold handles thousands of types as a bitmap "
+    "sketch. Pure integer ops, bit-identical across engines.",
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    masks = e.groupBy(
+        "user_id",
+        (F.col("ts").cast("long") / 604800).cast("bigint").alias("week_idx"),
+    ).agg(
+        F.expr(
+            "bit_or(" + _type_bit_sql("event_type").replace("::BIGINT", "") + ")"
+        )
+        .cast("bigint")
+        .alias("type_mask")
+    )
+    label = F.ltrim(
+        F.concat(*[
+            F.when(
+                F.shiftright(F.col("type_mask"), i).bitwiseAND(1) == 1,
+                F.lit("+" + t),
+            ).otherwise(F.lit(""))
+            for i, t in enumerate(EVENT_TYPES)
+        ]),
+        F.lit("+"),
+    )
+    return (
+        masks.groupBy("type_mask")
+        .agg(F.count(F.lit(1)).alias("n_user_weeks"))
+        .select("type_mask", label.alias("type_set"), "n_user_weeks")
+        .orderBy("type_mask")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM t
+            GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST(t.n AS DOUBLE) / tot.row_total AS prob
+    FROM t JOIN tot ON tot.prev_type = t.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() orders each user's stream (event_id tie-break), "
+    "pair counts aggregate into the matrix, and each row normalizes to "
+    "transition probabilities (integer/integer IEEE division — "
+    "deterministic). One shuffle on user_id for the window; the matrix "
+    "itself is types² rows, so the normalizing join is a broadcast. "
+    "The behavioral twin of the word-bigram LM table.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(PW.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total")).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "activity_heatmap_hour_dow",
+    oracle="""
+    WITH b AS (
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+               (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour,
+               value
+        FROM events
+    )
+    SELECT dow, hour, count(*) AS n,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(24,6)))
+                AS VARCHAR) AS DOUBLE) AS total_value
+    FROM b GROUP BY dow, hour ORDER BY dow, hour
+    """,
+    doc="Activity heatmap: day-of-week x hour-of-day grid of event count "
+    "and exact-decimal value. Both bin coordinates come from EPOCH "
+    "INTEGER ARITHMETIC ((days+4) % 7 anchors Monday=0 from the Unix "
+    "epoch Thursday) rather than calendar functions, sidestepping the "
+    "engines' different dayofweek numbering conventions entirely. One "
+    "hash aggregation on a 168-cell key space - at 100 TB this is the "
+    "map-side-combine ideal case: partials collapse to 168 rows per "
+    "partition before the shuffle.",
+)
+def activity_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    return (
+        e.select(
+            ((epoch / 86400).cast("bigint") + 4) % 7,
+            (epoch % 86400 / 3600).cast("bigint"),
+            "value",
+        )
+        .toDF("dow", "hour", "value")
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@query(
+    "events_since_last_purchase",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, event_type,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS purchase_epoch
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (
+                   PARTITION BY user_id, purchase_epoch ORDER BY event_id)
+                AS BIGINT) AS n_since_purchase
+    FROM seq
+    WHERE event_type <> 'purchase'
+    ORDER BY event_id
+    """,
+    doc="Counter-with-reset window pattern: for every non-purchase event, "
+    "how many events the user has produced since their last purchase. A "
+    "cumulative conditional sum assigns each event to a 'purchase epoch' "
+    "(the reset boundary), then a row_number within (user, epoch) "
+    "counts position - the standard two-window decomposition of a "
+    "running counter that resets, with no self-join and no iteration. "
+    "Purchase rows are filtered out BETWEEN the two windows (the epoch "
+    "window must see them, the position window must not; SQL's "
+    "where-before-window evaluation order does this for free in the "
+    "oracle's single block). Both windows share the user_id shuffle; "
+    "all integer arithmetic.",
+)
+def events_since_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    cum = (
+        PW.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(PW.unboundedPreceding, 0)
+    )
+    seq = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(cum)
+        .cast("bigint")
+        .alias("purchase_epoch"),
+    )
+    pos = PW.partitionBy("user_id", "purchase_epoch").orderBy("event_id")
+    return (
+        seq.filter(F.col("event_type") != "purchase")
+        .withColumn("n_since_purchase", F.row_number().over(pos).cast("bigint"))
+        .select("event_id", "user_id", "n_since_purchase")
+        .orderBy("event_id")
+    )
