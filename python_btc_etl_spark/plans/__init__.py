@@ -8,6 +8,7 @@ from . import (  # noqa: F401  (registration side-effect)
     extended,
     graph,
     ingest,
+    modern,
     multimodal,
     ordered_stats,
     partitioned,

@@ -1,0 +1,240 @@
+"""Modern SQL-surface coverage (Spark 4.x engine features): recursive
+CTEs, LATERAL correlated subqueries, the VARIANT semi-structured type,
+and re-aggregatable HLL sketch algebra.
+
+These are engine capabilities a user migrating from any contemporary
+warehouse expects; each is exercised through the same oracle-checked
+registry contract as every other operator. The reference has no
+analogue (its SQL surface is SQLAlchemy ORM inserts, reference
+btc_etl.py:60-88) — this module is pure §2.B extension surface.
+
+Scale notes:
+
+- The recursive CTE executes as Spark's iterative UNION-ALL loop — one
+  join per round, exactly the hand-rolled label-propagation loop in
+  plans/graph.py but planned by the engine; rounds are bounded by the
+  dup-DAG depth (edges always point small→large doc_id, so the
+  recursion provably terminates without UNION-dedup support).
+- LATERAL top-k decorrelates into a ranked window join — no per-row
+  subquery execution at scale.
+- VARIANT keeps semi-structured data in a binary columnar encoding;
+  extraction pushes into the scan stage (no JSON string re-parse per
+  field at 100 TB).
+- HLL sketches are the mergeable-state story: per-partition partial
+  sketches union associatively, so distinct-count rollups re-aggregate
+  from stored sketches instead of raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .dedup import EXACT_EVERY, EXACT_OFFSET, TRUNC_EVERY, TRUNC_OFFSET
+from .registry import query
+
+
+def _rec_closure_sql(sha_fn: str) -> str:
+    """Shared recursive-closure text; ``sha_fn`` is the dialect's sha-256
+    function invocation over column ``text``."""
+    return f"""
+    WITH RECURSIVE aug AS (
+        SELECT doc_id, lower(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + {EXACT_OFFSET}, lower(text) FROM documents
+        WHERE doc_id % {EXACT_EVERY} = 0
+    ),
+    sha AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY {sha_fn}) AS canon
+        FROM aug
+    ),
+    edges AS (
+        SELECT canon AS src, doc_id AS dst FROM sha WHERE doc_id <> canon
+        UNION ALL
+        SELECT doc_id, doc_id + {TRUNC_OFFSET} FROM aug
+        WHERE doc_id % {TRUNC_EVERY} = 0 AND doc_id < {TRUNC_OFFSET}
+    ),
+    reach(anc, node) AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT r.anc, e.dst FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    roots AS (SELECT node, min(anc) AS root FROM reach GROUP BY node),
+    nodes AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM aug
+            UNION ALL SELECT src FROM edges
+            UNION ALL SELECT dst FROM edges
+        ) u
+    ),
+    labeled AS (
+        SELECT n.doc_id, coalesce(r.root, n.doc_id) AS component_id
+        FROM nodes n LEFT JOIN roots r ON r.node = n.doc_id
+    )
+    SELECT component_id, count(*) AS n_members,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM labeled GROUP BY component_id
+    HAVING count(*) > 1
+    ORDER BY component_id
+    """
+
+
+@query(
+    "recursive_cte_components",
+    oracle=_rec_closure_sql("sha256(text)"),
+    doc="NATIVE recursive CTE (Spark 4 WITH RECURSIVE): transitive "
+    "closure over the duplicate-document DAG — the same component "
+    "semantics as dedup_connected_components, but the iteration is "
+    "planned and executed by the engine's recursive-union operator "
+    "instead of a driver loop. Spark supports UNION ALL recursion "
+    "only, so the query is shaped for it: edges always point "
+    "small→large doc_id (canon = group min), making the graph a DAG "
+    "whose closure terminates in diameter rounds with no dedup "
+    "needed; per-node min(ancestor) then names the component. Both "
+    "engines run the IDENTICAL query text modulo the sha-256 function "
+    "name. Cites: reference has no graph ops; recursion shape follows "
+    "plans/graph.py:75-117's oracle.",
+)
+def recursive_cte_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_rec_closure_sql("sha2(text, 256)"))
+
+
+@query(
+    "lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) l
+    ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+    """,
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT (top-2 orders "
+    "per customer): the modern SQL spelling of per-group top-k. "
+    "Catalyst decorrelates the lateral into a ranked window join — "
+    "verify with .explain(): no per-customer subquery execution "
+    "remains, so the plan scales as one shuffle on the join key. Both "
+    "engines run the identical query text. Inner joins drop orderless "
+    "customers (LATERAL without OUTER), pinned by the oracle.",
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) l
+        ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+        """
+    )
+
+
+@query(
+    "variant_event_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           min(CAST(json_extract(props, '$.k') AS INTEGER))  AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER))  AS max_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="VARIANT semi-structured type (Spark 4): parse the JSON props "
+    "column once into the binary VARIANT encoding, extract a typed "
+    "field with variant_get, and aggregate — the open-schema "
+    "event-payload pattern. Against a 100 TB event lake the payload is "
+    "STORED as VARIANT, so extraction is columnar shredding in the "
+    "scan, not a JSON string parse per row per field (the "
+    "json_event_props query shows the legacy string path). Integer "
+    "aggregates — bit-identical across engines.",
+)
+def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "hll_union_region_customers",
+    oracle="""
+    SELECT r.r_name AS region,
+           count(DISTINCT o.o_custkey) AS exact_customers,
+           TRUE AS within_tolerance
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    doc="HLL sketch ALGEBRA (Datasketches, Spark 4): build one "
+    "hll_sketch_agg(o_custkey) per nation, then hll_union_agg the "
+    "nation sketches up to region and estimate — the re-aggregatable "
+    "rollup pattern: at 100 TB the nation-level sketches are computed "
+    "once (or stored), and every coarser rollup unions kilobyte "
+    "sketches instead of re-scanning raw orders. Like "
+    "approx_distinct_parts, the checkable contract is the exact "
+    "distinct count plus a within-tolerance flag (lgConfigK=12 => "
+    "relative error ~1.6%, flag bound 5%).",
+)
+def hll_union_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    enriched = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    per_nation = enriched.groupBy("r_name", "n_nationkey").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.expr("count(DISTINCT o_custkey)").alias("exact_nation"),
+    )
+    return (
+        per_nation.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx"),
+            F.sum("exact_nation").alias("_sum_nation"),
+        )
+        .join(
+            enriched.groupBy(F.col("r_name").alias("region")).agg(
+                F.countDistinct("o_custkey").alias("exact_customers")
+            ),
+            "region",
+        )
+        .select(
+            "region",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("within_tolerance"),
+        )
+        .orderBy("region")
+    )
