@@ -546,3 +546,130 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("n_name", "metric")
+
+
+@query(
+    "try_arith_null_audit",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(CASE WHEN l_discount = 0 THEN 1 END) AS n_div_null,
+           min(CASE WHEN l_discount = 0 THEN NULL ELSE 1.0 / l_discount END)
+               AS min_inv_disc,
+           max(CASE WHEN l_discount = 0 THEN NULL ELSE 1.0 / l_discount END)
+               AS max_inv_disc,
+           count(CASE WHEN TRY_CAST(l_returnflag AS INTEGER) IS NULL
+                      THEN 1 END) AS n_cast_null,
+           CAST(sum(TRY_CAST(substr(l_linestatus, 1, 1) IN ('O') AS INTEGER))
+                AS BIGINT) AS n_open
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="ANSI-safe error-free arithmetic (try_* family): try_divide "
+    "returns NULL on division by zero instead of raising under ANSI "
+    "mode, try_cast returns NULL on malformed input — the semantics a "
+    "pipeline needs to survive dirty data at 100 TB without per-row "
+    "exception handling (one poison row must not kill a 1000-executor "
+    "stage). The oracle mirrors each null-production site with an "
+    "explicit CASE, pinning exactly which rows null out. min/max of "
+    "the surviving ratios are raw IEEE doubles (no sum of repeating "
+    "decimals - deterministic).",
+)
+def try_arith_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    inv = F.expr("try_divide(1.0, l_discount)")
+    # try_divide(1, 0) -> NULL; everything else is plain IEEE division.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_div_null"),
+            F.min(inv).alias("min_inv_disc"),
+            F.max(inv).alias("max_inv_disc"),
+            F.count(
+                F.when(F.expr("try_cast(l_returnflag AS INT)").isNull(), 1)
+            ).alias("n_cast_null"),
+            F.sum(
+                F.expr("try_cast(substr(l_linestatus, 1, 1) IN ('O') AS INT)")
+            )
+            .cast("bigint")
+            .alias("n_open"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "collated_distinct_segments",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_mktsegment AS seg FROM customer
+        UNION ALL
+        SELECT lower(c_mktsegment) FROM customer
+        UNION ALL
+        SELECT concat(upper(substr(c_mktsegment, 1, 1)),
+                      lower(substr(c_mktsegment, 2))) FROM customer
+    )
+    SELECT count(DISTINCT seg)        AS n_binary_distinct,
+           count(DISTINCT lower(seg)) AS n_lcase_distinct
+    FROM mixed
+    """,
+    doc="Case-insensitive COLLATION (Spark 4 collated strings): distinct "
+    "segment count over a deliberately case-mixed union, under binary "
+    "collation vs UTF8_LCASE. Spark counts the collated column "
+    "directly - comparison, hashing, and grouping all honor the "
+    "collation at the type level, with no lower() rewrite at every "
+    "use site (the oracle spells it with lower(), the legacy "
+    "engine-portable form). 3x15 case variants collapse to 5 under "
+    "case-insensitive rules.",
+)
+def collated_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    title = F.concat(F.upper(F.substring(seg, 1, 1)), F.lower(F.expr("substr(c_mktsegment, 2)")))
+    mixed = (
+        c.select(seg.alias("seg"))
+        .unionAll(c.select(F.lower(seg).alias("seg")))
+        .unionAll(c.select(title.alias("seg")))
+    )
+    return mixed.agg(
+        F.countDistinct("seg").alias("n_binary_distinct"),
+        F.countDistinct(F.expr("collate(seg, 'UTF8_LCASE')")).alias(
+            "n_lcase_distinct"
+        ),
+    )
+
+
+@query(
+    "filtered_agg_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+           max(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="ANSI FILTER clause on aggregates - the standard spelling of "
+    "conditional aggregation (identical query text on both engines; "
+    "Catalyst folds each FILTER into the aggregate's input projection, "
+    "same plan as the CASE WHEN form used elsewhere, one pass, "
+    "map-side combinable).",
+)
+def filtered_agg_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+               max(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
