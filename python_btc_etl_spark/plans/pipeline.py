@@ -770,3 +770,135 @@ def constraint_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(metrics)}, {stack}) AS (metric, value)"
     ).orderBy("metric")
+
+
+TOKEN_BUDGET = 50_000  # total token budget to allocate across sources
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len({TX.sql_words('text')})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per_source),
+    quota AS (
+        SELECT s.source, s.n_tokens,
+               (s.n_tokens * {TOKEN_BUDGET}) // t.total        AS floor_alloc,
+               (s.n_tokens * {TOKEN_BUDGET}) % t.total         AS remainder_num
+        FROM per_source s, tot t
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY remainder_num DESC, source)
+                   AS rem_rank,
+               CAST({TOKEN_BUDGET} - sum(floor_alloc) OVER () AS BIGINT)
+                   AS n_leftover
+        FROM quota
+    )
+    SELECT source, n_tokens,
+           CAST(floor_alloc + CASE WHEN rem_rank <= n_leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    ORDER BY source
+    """,
+    doc=f"Token-budget allocation (the data-recipe step of corpus "
+    f"assembly): split a {TOKEN_BUDGET}-token training budget across "
+    "sources proportionally to their token counts using "
+    "LARGEST-REMAINDER rounding — floor each quota, then hand the "
+    "leftover tokens to the sources with the largest fractional "
+    "remainders (remainder comparison stays in exact integer "
+    "arithmetic: numerator n_tokens*budget % total, never a float "
+    "quota). Allocations sum to the budget EXACTLY — the property "
+    "naive per-source rounding loses. One agg over documents, then "
+    "windows on the tiny per-source table.",
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(TX.words(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    quota = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"(n_tokens * {TOKEN_BUDGET}) div total").alias("floor_alloc"),
+        ((F.col("n_tokens") * TOKEN_BUDGET) % F.col("total")).alias("remainder_num"),
+    )
+    allw = PW.partitionBy()
+    ranked = quota.select(
+        "source",
+        "n_tokens",
+        "floor_alloc",
+        F.row_number()
+        .over(PW.orderBy(F.desc("remainder_num"), F.asc("source")))
+        .alias("rem_rank"),
+        (F.lit(TOKEN_BUDGET) - F.sum("floor_alloc").over(allw))
+        .cast("bigint")
+        .alias("n_leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rem_rank") <= F.col("n_leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    ).orderBy("source")
+
+
+BPE_TOP = 10  # report the top-N candidate merges
+
+
+@query(
+    "bpe_first_merges",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({TX.sql_words('text')}) AS word FROM documents
+    ),
+    pairs AS (
+        SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2,
+               count(*) AS n
+        FROM w, unnest(range(1, length(word))) AS t(i)
+        WHERE length(word) >= 2
+        GROUP BY c1, c2
+    )
+    SELECT c1, c2, n
+    FROM pairs
+    ORDER BY n DESC, c1, c2
+    LIMIT {BPE_TOP}
+    """,
+    doc=f"BPE tokenizer bootstrap — the first merge step: count every "
+    "ADJACENT CHARACTER PAIR inside every word across the corpus and "
+    f"rank the top {BPE_TOP} merge candidates (byte-pair encoding "
+    "picks argmax, then re-segments and repeats; each round is exactly "
+    "this aggregation over the current symbol sequence). Pair "
+    "extraction is a posexplode over word characters — rows = total "
+    "corpus characters — feeding one map-side-combinable count on a "
+    "key space of only |alphabet|², then a TakeOrderedAndProject "
+    "top-k. Count tie-break is lexicographic, pinned in both engines.",
+)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    words = d.select(F.explode(TX.words(F.col("text"))).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("i", "pair")
+    ).select(
+        F.substring("pair", 1, 1).alias("c1"), F.substring("pair", 2, 1).alias("c2")
+    )
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "c1", "c2")
+        .limit(BPE_TOP)
+    )
