@@ -530,3 +530,39 @@ def decile_stats_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+QV_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+
+@query(
+    "quantile_vector_by_flag",
+    oracle=f"""
+    SELECT l_returnflag,
+           {", ".join(f"quantile_cont(l_extendedprice, {p}) AS q{int(p * 100)}" for p in QV_PROBS)}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact quantile VECTOR in one aggregate: percentile(col, "
+    f"array({', '.join(str(p) for p in QV_PROBS)})) computes all four "
+    "order statistics from a single per-group sort (one pass, one "
+    "sort), where four scalar percentile calls would sort four times. "
+    "Interpolation is bit-identical across engines (verified for the "
+    "scalar case by percentile_quantity; this pins the array form, "
+    "unpacked to scalar columns so the driver's value-hash sees plain "
+    "doubles).",
+)
+def quantile_vector_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    probs = ", ".join(str(p) for p in QV_PROBS)
+    qv = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({probs}))").alias("qv")
+    )
+    return qv.select(
+        "l_returnflag",
+        *[
+            F.element_at("qv", i + 1).alias(f"q{int(p * 100)}")
+            for i, p in enumerate(QV_PROBS)
+        ],
+    ).orderBy("l_returnflag")
