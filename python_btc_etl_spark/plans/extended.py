@@ -673,3 +673,113 @@ def filtered_agg_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "grouped_map_quantile_norm",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN 0.0
+                ELSE CAST(rank() OVER (
+                         PARTITION BY user_id ORDER BY value) - 1 AS DOUBLE)
+                     / (count(*) OVER (PARTITION BY user_id) - 1)
+           END AS qnorm
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Grouped-map applyInPandas (the plain Arrow grouped-map face — "
+    "mapInPandas, grouped-agg pandas_udf, applyInPandasWithState and "
+    "the Arrow UDTF are each exercised elsewhere; this completes the "
+    "set): per-user quantile normalization of event values to [0,1] "
+    "via pandas rank(method='min'). The contract is exactly SQL "
+    "percent_rank — which IS the oracle and the form production should "
+    "prefer (JVM window, no Python); the pandas path pins the Arrow "
+    "batch semantics (ties, singleton groups, null-free doubles) "
+    "against it. One shuffle on user_id either way.",
+)
+def grouped_map_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def norm(pdf):
+        n = len(pdf)
+        if n == 1:
+            pdf["qnorm"] = 0.0
+        else:
+            pdf["qnorm"] = (pdf["value"].rank(method="min") - 1.0) / (n - 1.0)
+        return pdf[["event_id", "user_id", "qnorm"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(norm, "event_id long, user_id long, qnorm double")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "cogrouped_merge_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ORDER BY p.event_id
+    """,
+    doc="Cogrouped applyInPandas: the two event streams cogroup on "
+    "user_id and each pandas cogroup runs pd.merge_asof (backward, "
+    "exact matches allowed — the >= as-of contract), mirroring the "
+    "native-window as-of join (asof_purchase_last_click) through the "
+    "cogrouped-map Arrow face. This is the escape hatch for per-key "
+    "two-sided logic the DataFrame API can't express; here the "
+    "semantics ARE expressible (the oracle is DuckDB's native ASOF "
+    "LEFT JOIN), which is what makes the Arrow path verifiable. "
+    "Cogroup shuffles both sides once on user_id — same cost shape as "
+    "the window form.",
+)
+def cogrouped_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+
+    def asof(left, right):
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "click_id": []}
+            ).astype({"event_id": "int64", "user_id": "int64", "click_id": "float64"})
+        left = left.sort_values("ts")
+        if len(right) == 0:
+            out = left[["event_id", "user_id"]].copy()
+            out["click_id"] = pd.array([None] * len(out), dtype="float64")
+            return out
+        right = right.sort_values("click_ts")
+        merged = pd.merge_asof(
+            left,
+            right[["click_ts", "click_id"]],
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[["event_id", "user_id", "click_id"]]
+
+    out = purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        asof, "event_id long, user_id long, click_id double"
+    )
+    return out.select(
+        "event_id", "user_id", F.col("click_id").cast("bigint").alias("click_id")
+    ).orderBy("event_id")
