@@ -115,3 +115,61 @@ def btc_hourly_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "btc_max_drawdown",
+    oracle=f"""
+    WITH bars AS ({_DUCK_RAW}),
+    daily AS (
+        SELECT CAST(date_time AS DATE) AS day,
+               last(close_price ORDER BY date_time) AS close
+        FROM bars GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, close,
+           max(close) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max,
+           (max(close) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - close)
+             / max(close) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drawdown
+    FROM daily
+    ORDER BY day
+    """,
+    doc="Maximum-drawdown series over the reference corpus: daily closing "
+    "price (last bar per day), the running all-time high, and the "
+    "fractional drawdown from it — the canonical financial risk window "
+    "(cumulative-max frame). Deterministic without any decimal fold: "
+    "close/run_max are raw parsed doubles and drawdown is one IEEE "
+    "subtract + divide of identical inputs. The window is a single "
+    "global sort over ~2 daily rows per file — tiny after the daily "
+    "pre-aggregation, which is where the 100 TB bar stream collapses "
+    "to a per-day series.",
+)
+def btc_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    bars = ingest_bars(spark, CORPUS)
+    daily = (
+        bars.withColumn(
+            "rn",
+            F.row_number().over(
+                PW.partitionBy(F.col("date_time").cast("date")).orderBy(
+                    F.desc("date_time")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("date_time").cast("date").alias("day"),
+            F.col("close_price").alias("close"),
+        )
+    )
+    w = PW.orderBy("day").rowsBetween(PW.unboundedPreceding, 0)
+    run_max = F.max("close").over(w)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "close",
+        run_max.alias("run_max"),
+        ((run_max - F.col("close")) / run_max).alias("drawdown"),
+    ).orderBy("day")
