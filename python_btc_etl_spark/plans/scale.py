@@ -405,3 +405,51 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+NULLKEY_EVERY = 97  # synthesize a null join key on ~1% of orders
+
+
+@query(
+    "null_key_isolated_join",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_custkey % {NULLKEY_EVERY} = 0 THEN NULL
+                    ELSE o_custkey END AS cust_fk
+        FROM orders
+    )
+    SELECT o.o_orderkey, o.cust_fk, c.c_mktsegment, o.o_totalprice
+    FROM o LEFT JOIN customer c ON c.c_custkey = o.cust_fk
+    ORDER BY o.o_orderkey
+    """,
+    doc="Null-key skew isolation: a LEFT JOIN whose foreign key is NULL "
+    "on ~1% of rows (synthesized here; in real 100 TB fact tables "
+    "null FKs are routine and EVERY null hashes to the same shuffle "
+    "partition, making one straggler task carry all of them — they "
+    "can never match anyway). The rewrite splits null-key rows out "
+    "BEFORE the shuffle, joins only the non-null side, and unions the "
+    "null rows back with null dim columns; the oracle is the plain "
+    "unsplit LEFT JOIN, differentially proving the rewrite exact "
+    "(including the null-never-matches SQL semantics). Same family as "
+    "salted_skew_join/aqe_skew_join - the third classic skew surgery.",
+)
+def null_key_isolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_custkey") % NULLKEY_EVERY == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    nn = o.filter(F.col("cust_fk").isNotNull())
+    nulls = o.filter(F.col("cust_fk").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    joined = nn.join(c, nn["cust_fk"] == c["c_custkey"], "left").drop("c_custkey")
+    return (
+        joined.unionByName(nulls)
+        .select("o_orderkey", "cust_fk", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
