@@ -783,3 +783,39 @@ def cogrouped_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("click_id").cast("bigint").alias("click_id")
     ).orderBy("event_id")
+
+
+@query(
+    "ps_api_event_profile",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="pandas-on-Spark API face (pyspark.pandas): the same grouped "
+    "profile expressed in pandas idiom — groupby().agg() over a "
+    "ps.DataFrame — then surfaced back as a Spark DataFrame. The ps "
+    "layer compiles to the identical Catalyst plan as the native "
+    "form (one hash aggregate; verify with .explain()), so a pandas "
+    "codebase migrates to 100 TB without a rewrite. Integer counts "
+    "only - no float aggregation drift.",
+)
+def ps_api_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps  # noqa: F401  (requires the ps session ext)
+
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    psdf = e.pandas_api()
+    out = (
+        psdf.groupby("event_type")
+        .agg(n_events=("user_id", "count"), n_users=("user_id", "nunique"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+    ).orderBy("event_type")

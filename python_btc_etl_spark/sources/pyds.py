@@ -134,6 +134,85 @@ class SyntheticBars(DataSource):
     def streamReader(self, schema) -> SyntheticBarsStreamReader:
         return SyntheticBarsStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "JsonDirWriter":
+        # The connector's THIRD face: df.write.format("synthetic_bars")
+        # .option("path", dir).save() lands JSON-lines with two-phase
+        # commit (JsonDirWriter below).
+        return JsonDirWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticBars)
+
+
+# ---------------------------------------------------------------------------
+# Writer face: a JSON-lines directory sink with two-phase commit
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonDirWriter(DataSourceWriter):
+    """Executor-side writer: each task streams its partition to a
+    UNIQUELY-NAMED temp file, and only the driver-side commit() renames
+    the complete set into place and drops a ``_SUCCESS`` manifest —
+    the classic two-phase commit that makes task retries and
+    speculative duplicates harmless (a failed/duplicate attempt's temp
+    file is simply never committed). abort() removes every temp file.
+    This is the sink-side mirror of the reader's exactly-once story
+    (reference analogue: the Redis processed-set guarding re-inserts,
+    reference btc_etl.py:137-147 — here the atomicity is filesystem
+    rename, no external state)."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("option 'path' is required for the jsonl writer")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        manifest = []
+        for m in messages:
+            final = m.tmp_path.replace(".tmp", "").replace("/.part-", "/part-")
+            os.rename(m.tmp_path, final)
+            manifest.append({"file": os.path.basename(final), "rows": m.n_rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"files": manifest, "total": sum(x["rows"] for x in manifest)}, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
