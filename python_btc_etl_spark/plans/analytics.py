@@ -1439,7 +1439,10 @@ def argminmax_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = e.groupBy("user_id").agg(
         F.expr("min_by(event_id, struct(ts, event_id))").alias("first_id")
     )
-    marked = e.join(F.broadcast(firsts), "user_id")
+    # NOT broadcast: firsts is user-cardinality (huge at 100 TB); the
+    # join key equals the aggregation key, so the shuffle is shared and
+    # AQE may still broadcast at small scale on its own.
+    marked = e.join(firsts, "user_id")
     return (
         marked.groupBy("user_id")
         .agg(
