@@ -655,3 +655,155 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+ROLLMED_W = 7  # rolling window width in days
+
+
+@query(
+    "rolling_median_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               {sql_dsum('value')} AS total
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day, total,
+           median(total) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ROLLMED_W - 1} PRECEDING AND CURRENT ROW)
+               AS rolling_median
+    FROM daily
+    ORDER BY event_type, day
+    """,
+    doc=f"Rolling ORDER STATISTIC: the trailing-{ROLLMED_W}-day median of "
+    "daily totals per event type — the robust smoother (a rolling mean "
+    "chases spikes; the median ignores them). Spark has no percentile "
+    "window function, so the engine collects the bounded frame "
+    "(<= {ROLLMED_W} values) with collect_list OVER, sorts the tiny "
+    "array, and interpolates the middle in closed form — per-row cost "
+    "O(W log W) with W fixed at {ROLLMED_W}, independent of data "
+    "volume; the oracle uses DuckDB's native windowed median and both "
+    "interpolate identically (verified bit-exact for quantile_cont "
+    "elsewhere). Inputs are exact decimal daily sums, so the only "
+    "float op is the even-size midpoint average - deterministic IEEE.",
+)
+def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(dsum("value").alias("total"))
+    w = (
+        PW.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ROLLMED_W - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("total").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        ((mid_lo + mid_hi) / 2).alias("rolling_median"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               ts
+        FROM gaps
+    ),
+    intervals AS (
+        SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+        FROM sess GROUP BY user_id, sid
+    ),
+    points AS (
+        SELECT s AS ts, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT e, -1 FROM intervals
+    ),
+    sweep AS (
+        SELECT ts, delta,
+               CAST(sum(delta) OVER (ORDER BY ts, delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS live
+        FROM points
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           max(live) AS max_concurrent
+    FROM sweep
+    GROUP BY day
+    ORDER BY day
+    """,
+    doc="Interval-sweep concurrency: sessionize per user (30-min gaps), "
+    "convert each session to a +1 start / -1 end point, and the "
+    "running sum over the globally ordered point stream is the live "
+    "session count — per-day maxima reported. Tie rule pinned: at an "
+    "equal timestamp, starts (+1) process before ends (CLOSED "
+    "intervals — a single-event session still counts as live at its "
+    "instant), encoded as ORDER BY ts, delta DESC in both engines. "
+    "The sweep sorts only 2x#sessions points (already thousands of "
+    "times smaller than events); the sessionization shuffle is the "
+    "same user_id key every session query shares. All integer "
+    "arithmetic.",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        <= 30 * 60 * 1_000_000
+    )
+    sess = (
+        e.withColumn("new_session", F.when(gap_ok, 0).otherwise(1))
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                PW.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(PW.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    points = sess.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sweep = points.withColumn(
+        "live",
+        F.sum("delta")
+        .over(
+            PW.orderBy(F.col("ts"), F.desc("delta")).rowsBetween(
+                PW.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint"),
+    )
+    return (
+        sweep.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.max("live").alias("max_concurrent"))
+        .orderBy("day")
+    )
