@@ -8,6 +8,8 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from python_btc_etl_spark.sources.csv_bars import ingest_bars
 from python_btc_etl_spark.streaming.file_stream import stream_ingest_once
 
@@ -166,3 +168,56 @@ def test_stream_transform_matches_batch(spark, tmp_path):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_agg_state_recovers_across_query_restart(spark, tmp_path):
+    """AGGREGATION STATE recovery, not just source offsets: drain batch A
+    into a grouped count, STOP the query, deliver batch B (same grouping
+    key, different file), and start a brand-new query on the same
+    checkpoint with a fresh sink. The new sink sees only batch-B
+    updates — so the updated count can only be correct if the state
+    store restored batch A's partial count from the checkpoint."""
+    import shutil
+
+    from python_btc_etl_spark.streaming.file_stream import stream_bars
+
+    name = "btcusd-2012-01-21.csv"
+    a = tmp_path / "src" / "a"
+    b = tmp_path / "src" / "b"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    shutil.copy(CORPUS / name, a / name)
+    src_glob = str(tmp_path / "src" / "*")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "updates")
+
+    def drain() -> None:
+        counts = (
+            stream_bars(spark, src_glob)
+            .groupBy(F.to_date("date_time").alias("day"))
+            .count()
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    per_file = ingest_bars(spark, str(a)).count()
+    got1 = spark.read.parquet(out).agg({"count": "max"}).collect()[0][0]
+    assert got1 == per_file > 0
+
+    # same-date file lands in a sibling dir → same aggregation key
+    shutil.copy(CORPUS / name, b / name)
+    drain()  # BRAND-NEW query object, same checkpoint
+    got2 = spark.read.parquet(out).agg({"count": "max"}).collect()[0][0]
+    assert got2 == 2 * per_file
