@@ -1457,3 +1457,74 @@ def argminmax_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "from_json_typed_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+    doc="Schema-projected JSON parse (from_json with an explicit struct "
+    "schema) — the third JSON face beside get_json_object (string "
+    "path extraction, json_event_props) and VARIANT (open-schema "
+    "binary, variant_event_props). With a declared schema the parse "
+    "happens once into typed columns and Catalyst prunes unreferenced "
+    "fields from the parse itself; string re-parsing per field "
+    "disappears. Integer-only outputs.",
+)
+def from_json_typed_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parsed = e.filter(F.col("event_type") == "click").select(
+        F.from_json(F.col("props"), "k INT").alias("p")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "binary_scalar_suite",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name)                                   AS name_md5,
+           sha256(p_name)                                AS name_sha256,
+           to_base64(encode(p_name))                     AS name_b64,
+           octet_length(encode(p_name))                  AS n_bytes,
+           hex(encode(substr(p_name, 1, 4)))             AS prefix_hex
+    FROM part
+    WHERE p_partkey % 97 = 0
+    ORDER BY p_partkey
+    """,
+    doc="Portable binary/codec scalar suite: md5 / sha-256 / base64 / "
+    "utf-8 byte length / hex over part names — the content-addressing "
+    "toolkit (cache keys, content ids, shard keys) verified "
+    "bit-identical across engines. Every function is JVM codegen'd; "
+    "the filter prunes at the scan so the suite runs on ~1% of rows.",
+)
+def binary_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    name_bin = F.col("p_name").cast("binary")
+    return (
+        p.filter(F.col("p_partkey") % 97 == 0)
+        .select(
+            "p_partkey",
+            F.md5(name_bin).alias("name_md5"),
+            F.sha2("p_name", 256).alias("name_sha256"),
+            F.base64(name_bin).alias("name_b64"),
+            F.octet_length("p_name").cast("bigint").alias("n_bytes"),
+            F.hex(F.substring("p_name", 1, 4).cast("binary")).alias("prefix_hex"),
+        )
+        .orderBy("p_partkey")
+    )
