@@ -142,6 +142,18 @@ class SyntheticBars(DataSource):
 
 
 def register(spark) -> None:
+    # Python data source registration binds to the JVM's ACTIVE session,
+    # not necessarily the one this handle wraps: any query that ran on a
+    # cloned session (spark.newSession(), e.g. aqe_skew_join's conf
+    # sandbox) leaves the clone active, and a subsequent register() would
+    # silently land there — later lookups on this session then fail with
+    # DATA_SOURCE_NOT_FOUND. Pin the active session to this handle first.
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # pragma: no cover — JVM API moved; registration may still work
+        pass
     spark.dataSource.register(SyntheticBars)
 
 
