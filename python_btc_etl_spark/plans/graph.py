@@ -74,7 +74,7 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return nodes, edges
 
 
-_CC_ORACLE = f"""
+_CC_ORACLE_CTES = f"""
     WITH RECURSIVE aug AS ({SQL_DOCS_EXACT}),
     sha AS (
         SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS canon
@@ -105,7 +105,9 @@ _CC_ORACLE = f"""
     ),
     comp AS (
         SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
-    )
+    )"""
+
+_CC_ORACLE = f"""{_CC_ORACLE_CTES}
     SELECT c.component_id, count(*) AS n_members,
            min(c.doc_id) AS min_doc, max(c.doc_id) AS max_doc
     FROM comp c
@@ -132,6 +134,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_label_propagation(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    labels = _cc_labels(nodes, edges)
+    return (
+        labels.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("component_id")
+    )
+
+
+def _cc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node (doc_id, component_id) labels via min-label propagation."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -163,16 +180,7 @@ def _cc_label_propagation(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         if changed == 0:
             break
 
-    return (
-        labels.groupBy("component_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-        .filter(F.col("n_members") > 1)
-        .orderBy("component_id")
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -292,3 +300,58 @@ def cc_large_small_star(
         .select("doc_id", F.coalesce("root", "doc_id").alias("component_id"))
     )
     return labels, rounds
+
+
+@query(
+    "dedup_apply_canonical",
+    oracle=f"""{_CC_ORACLE_CTES},
+    doclen AS (SELECT doc_id, length(text) AS doc_len FROM aug),
+    ranked AS (
+        SELECT c.doc_id, c.component_id,
+               coalesce(l.doc_len, -1) AS doc_len,
+               row_number() OVER (PARTITION BY c.component_id
+                   ORDER BY coalesce(l.doc_len, -1) DESC, c.doc_id) AS rn
+        FROM comp c LEFT JOIN doclen l ON l.doc_id = c.doc_id
+    )
+    SELECT d.doc_id, d.component_id, k.doc_id AS canonical_id, d.doc_len
+    FROM ranked d JOIN ranked k
+      ON k.component_id = d.component_id AND k.rn = 1
+    WHERE d.rn > 1
+    ORDER BY d.doc_id
+    """,
+    doc="APPLYING the dedup - the step every detector feeds: per "
+    "duplicate component, elect one canonical survivor (longest "
+    "document, smallest doc_id on ties) and emit the eviction list "
+    "(dropped doc -> its canonical replacement). Labels come from the "
+    "same min-label propagation as dedup_connected_components "
+    "(refactored shared helper); election is one ranking window over "
+    "the label table (component-key shuffle), and the output is "
+    "exactly what a 100 TB cleaning job anti-joins against the corpus "
+    "to produce the deduplicated training set. Planted-copy semantics "
+    "visible in the result: exact copies lose to their original by "
+    "the doc_id tie-break, truncated copies by length.",
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import docs_with_exact_copies
+
+    nodes, edges = _dup_edges(spark, sf_dir)
+    labels = _cc_labels(nodes, edges)
+    doclen = docs_with_exact_copies(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("doc_len")
+    )
+    withlen = labels.join(doclen, "doc_id", "left").withColumn(
+        "doc_len", F.coalesce(F.col("doc_len"), F.lit(-1)).cast("bigint")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("component_id").orderBy(F.desc("doc_len"), F.asc("doc_id"))
+    )
+    ranked = withlen.withColumn("rn", rn)
+    canon = ranked.filter(F.col("rn") == 1).select(
+        F.col("component_id"), F.col("doc_id").alias("canonical_id")
+    )
+    return (
+        ranked.filter(F.col("rn") > 1)
+        .join(canon, "component_id")
+        .select("doc_id", "component_id", "canonical_id", "doc_len")
+        .orderBy("doc_id")
+    )
