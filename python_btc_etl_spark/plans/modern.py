@@ -238,3 +238,39 @@ def hll_union_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "pipe_sql_order_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(24,2)))
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="SQL PIPE syntax (Spark 4, the |> operator-chain form from "
+    "Google's 'SQL Has Problems' paper): FROM |> WHERE |> AGGREGATE "
+    "|> ORDER BY reads in execution order instead of inside-out. "
+    "Parses to the identical logical plan as the nested form — the "
+    "oracle is the classic spelling, proving the two surfaces "
+    "equivalent. Exact decimal revenue fold as everywhere.",
+)
+def pipe_sql_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(CAST(sum(CAST(CAST(o_totalprice AS STRING)
+                          AS DECIMAL(24,2))) AS STRING) AS DOUBLE) AS revenue,
+                     max(o_totalprice) AS max_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
