@@ -558,8 +558,9 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS min_inv_disc,
            max(CASE WHEN l_discount = 0 THEN NULL ELSE 1.0 / l_discount END)
                AS max_inv_disc,
-           count(CASE WHEN TRY_CAST(l_returnflag AS INTEGER) IS NULL
-                      THEN 1 END) AS n_cast_null,
+           count(CASE WHEN l_orderkey % 1000 = 0 THEN 1 END) AS n_cast_null,
+           min(CASE WHEN l_orderkey % 1000 = 0 THEN NULL ELSE l_quantity END)
+               AS min_clean_qty,
            CAST(sum(TRY_CAST(substr(l_linestatus, 1, 1) IN ('O') AS INTEGER))
                 AS BIGINT) AS n_open
     FROM lineitem
@@ -571,7 +572,11 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mode, try_cast returns NULL on malformed input — the semantics a "
     "pipeline needs to survive dirty data at 100 TB without per-row "
     "exception handling (one poison row must not kill a 1000-executor "
-    "stage). The oracle mirrors each null-production site with an "
+    "stage). Engineering note baked into the query shape: try_cast "
+    "pays a caught JVM exception per FAILING row, so it belongs on "
+    "mostly-clean columns (0.1% dirt here) — putting it on an "
+    "always-failing column measured 20x slower. The oracle mirrors "
+    "each null-production site with an "
     "explicit CASE, pinning exactly which rows null out. min/max of "
     "the surviving ratios are raw IEEE doubles (no sum of repeating "
     "decimals - deterministic).",
@@ -579,6 +584,15 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def try_arith_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     inv = F.expr("try_divide(1.0, l_discount)")
+    # try_cast over a MOSTLY-CLEAN column (0.1% poison rows): its cost is
+    # per-FAILURE (a caught JVM exception each bad row), so it's the right
+    # tool for rare dirt and the wrong one for bulk non-numeric input —
+    # measured 20x slower when every row fails. The oracle mirrors the
+    # poison-row pattern exactly.
+    dirty_cast = F.expr(
+        "try_cast(CASE WHEN l_orderkey % 1000 = 0 THEN l_linestatus"
+        " ELSE CAST(l_quantity AS STRING) END AS DOUBLE)"
+    )
     # try_divide(1, 0) -> NULL; everything else is plain IEEE division.
     return (
         li.groupBy("l_returnflag")
@@ -587,9 +601,8 @@ def try_arith_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_div_null"),
             F.min(inv).alias("min_inv_disc"),
             F.max(inv).alias("max_inv_disc"),
-            F.count(
-                F.when(F.expr("try_cast(l_returnflag AS INT)").isNull(), 1)
-            ).alias("n_cast_null"),
+            F.count(F.when(dirty_cast.isNull(), 1)).alias("n_cast_null"),
+            F.min(dirty_cast).alias("min_clean_qty"),
             F.sum(
                 F.expr("try_cast(substr(l_linestatus, 1, 1) IN ('O') AS INT)")
             )
@@ -698,7 +711,17 @@ def filtered_agg_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against it. One shuffle on user_id either way.",
 )
 def grouped_map_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # Keyed spread: the one-file events scan + AQE's small-shuffle
+    # coalescing would otherwise collapse ALL pandas groups into ONE
+    # task (measured 3x on local[32]); an explicit hash repartition on
+    # the group key pins the parallelism and the groupBy reuses it
+    # (no second shuffle).
+    n = spark.sparkContext.defaultParallelism
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .repartition(n, "user_id")
+    )
 
     def norm(pdf):
         n = len(pdf)
@@ -747,13 +770,18 @@ def cogrouped_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    n = spark.sparkContext.defaultParallelism
+    # Keyed spread on both cogroup sides (see grouped_map_quantile_norm).
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .repartition(n, "user_id")
     )
     clicks = (
         e.filter(F.col("event_type") == "click")
         .groupBy("user_id", F.col("ts").alias("click_ts"))
         .agg(F.max("event_id").alias("click_id"))
+        .repartition(n, "user_id")
     )
 
     def asof(left, right):
