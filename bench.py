@@ -132,8 +132,13 @@ def main() -> int:
         detail["errors"] = errors
     if speedup is not None:
         detail["parallel_speedup"] = speedup
+    # Subset runs (SPARK_GRAFT_BENCH_QUERIES) are iteration probes — they
+    # must never clobber the last FULL run's detail file, which is the
+    # durable per-query timing record the round's bench artifact points
+    # at (round 2 lost 57 timings to exactly this kind of overwrite).
+    detail_name = "BENCH_DETAIL.json" if not only else "BENCH_DETAIL_partial.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -151,7 +156,7 @@ def main() -> int:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "sf": sf_val,
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": detail_name,
     }
     if speedup is not None:
         out["parallel_speedup"] = speedup
