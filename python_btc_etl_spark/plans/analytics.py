@@ -1528,3 +1528,150 @@ def binary_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+SCD2_CUTOVER = "1998-06-01"  # version-2 validity start (mid order range)
+
+
+@query(
+    "temporal_dim_join",
+    oracle=f"""
+    WITH versions AS (
+        SELECT c_custkey, 1 AS version, c_acctbal AS acctbal,
+               DATE '1990-01-01' AS valid_from,
+               CASE WHEN c_custkey % {SCD2_EVERY} = 0
+                    THEN DATE '{SCD2_CUTOVER}' ELSE DATE '9999-12-31'
+               END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, c_acctbal + {SCD2_DELTA},
+               DATE '{SCD2_CUTOVER}', DATE '9999-12-31'
+        FROM customer WHERE c_custkey % {SCD2_EVERY} = 0
+    )
+    SELECT v.version,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(CAST(o.o_totalprice AS VARCHAR)
+                AS DECIMAL(24,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(CAST(v.acctbal AS VARCHAR)
+                AS DECIMAL(24,2))) AS VARCHAR) AS DOUBLE) AS acctbal_exposure
+    FROM orders o
+    JOIN versions v
+      ON v.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+     AND CAST(o.o_orderdate AS DATE) <  v.valid_to
+    GROUP BY v.version
+    ORDER BY v.version
+    """,
+    doc="POINT-IN-TIME (temporal) dimension join: each fact row joins the "
+    "SCD2 dimension version that was valid ON ITS OWN DATE "
+    "(half-open [valid_from, valid_to) windows from the same update "
+    "pattern as scd2_customer_versions) — the correctness rule that "
+    "keeps ML training features leakage-free and restated reports "
+    "honest; joining is_current instead silently rewrites history. "
+    "Plan: equi join on the customer key carries the validity "
+    "predicate as a cheap residual (<= 2 versions per key, so the "
+    "range filter is O(1) per match, never a range-join blowup). "
+    "Exact decimal folds both sides.",
+)
+def temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    upd = F.col("c_custkey") % SCD2_EVERY == 0
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.when(upd, F.lit(SCD2_CUTOVER)).otherwise(F.lit("9999-12-31")).cast("date").alias("valid_to"),
+    )
+    v2 = cust.filter(upd).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        (F.col("c_acctbal") + SCD2_DELTA).alias("acctbal"),
+        F.lit(SCD2_CUTOVER).cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+    )
+    versions = v1.unionByName(v2)
+    od = F.col("o_orderdate").cast("date")
+    joined = o.join(
+        versions,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (od >= F.col("valid_from"))
+        & (od < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+            dsum("acctbal", 2).alias("acctbal_exposure"),
+        )
+        .orderBy("version")
+    )
+
+
+CHECKSUM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+@query(
+    "table_checksum_manifest",
+    oracle="""
+    SELECT 'customer' AS tbl, count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(concat_ws('|', c_custkey, c_name,
+               c_nationkey, c_mktsegment)), 1, 15))::BIGINT) AS content_sig
+    FROM customer
+    UNION ALL
+    SELECT 'nation', count(*),
+           bit_xor(('0x' || substr(md5(concat_ws('|', n_nationkey, n_name,
+               n_regionkey)), 1, 15))::BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 'part', count(*),
+           bit_xor(('0x' || substr(md5(concat_ws('|', p_partkey, p_name,
+               p_brand, p_size)), 1, 15))::BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'region', count(*),
+           bit_xor(('0x' || substr(md5(concat_ws('|', r_regionkey, r_name)),
+               1, 15))::BIGINT)
+    FROM region
+    UNION ALL
+    SELECT 'supplier', count(*),
+           bit_xor(('0x' || substr(md5(concat_ws('|', s_suppkey, s_name,
+               s_nationkey)), 1, 15))::BIGINT)
+    FROM supplier
+    ORDER BY tbl
+    """,
+    doc="Cross-system reconciliation manifest: per table, row count + an "
+    "ORDER-FREE content signature (bit_xor of a 60-bit md5-prefix row "
+    "hash over the stable columns) — the check a migration runs on "
+    "both sides to prove a copy is complete without sorting or "
+    "transferring either dataset. XOR is commutative/associative, so "
+    "partial signatures combine across partitions in any order "
+    "(map-side combinable, one scan per table); md5 is bit-identical "
+    "across engines, making the signature itself portable — THIS "
+    "query's oracle literally validates DuckDB's copy of the lake "
+    "against Spark's.",
+)
+def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = {
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "part": ["p_partkey", "p_name", "p_brand", "p_size"],
+        "region": ["r_regionkey", "r_name"],
+        "supplier": ["s_suppkey", "s_name", "s_nationkey"],
+    }
+    out = None
+    for tbl in sorted(cols):
+        t = load(spark, sf_dir, tbl)
+        joined = ", ".join(cols[tbl])
+        sig = (
+            "bit_xor(cast(conv(substring(md5(cast(concat_ws('|', "
+            f"{joined}) as binary)), 1, 15), 16, 10) as bigint))"
+        )
+        agg = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(sig).alias("content_sig"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "content_sig")
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("tbl")
