@@ -1675,3 +1675,92 @@ def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tbl).alias("tbl"), "n_rows", "content_sig")
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("tbl")
+
+
+@query(
+    "user_type_set_arrays",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           len(list(DISTINCT event_type)) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Array-valued aggregation output: per user the SORTED distinct "
+    "event-type array (canonical order makes the array hashable and "
+    "engine-comparable — an unsorted collect_set is nondeterministic "
+    "by construction and can never be differentially checked). One "
+    "hash aggregation; the sort is per-row over <= 5 elements.",
+)
+def user_type_set_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT max(n) AS max_n, quantile_cont(n, 0.5) AS median_n,
+               count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+        FROM per_key
+    ),
+    topk AS (
+        SELECT user_id, n,
+               row_number() OVER (ORDER BY n DESC, user_id) AS rn
+        FROM per_key
+    )
+    SELECT t.rn AS rank, t.user_id, t.n,
+           CAST(t.n AS DOUBLE) / s.median_n AS skew_ratio,
+           s.n_keys, s.n_rows
+    FROM topk t, stats s
+    WHERE t.rn <= 5
+    ORDER BY t.rn
+    """,
+    doc="Shuffle-key skew diagnostic — the profiling query run BEFORE "
+    "choosing a join strategy: per-key row counts, the top-5 heaviest "
+    "keys, and each key's ratio to the median key (the number AQE's "
+    "skewedPartitionFactor thresholds against). One aggregation on "
+    "the candidate key + a tiny top-k; the global stats row "
+    "broadcasts. This is the evidence that decides between plain "
+    "join, AQE skew split, salting, or null isolation — the three "
+    "remedies this repo implements as aqe_skew_join / "
+    "salted_skew_join / null_key_isolated_join.",
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("median_n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    topk = per_key.withColumn(
+        "rn", F.row_number().over(PW.orderBy(F.desc("n"), F.asc("user_id")))
+    ).filter(F.col("rn") <= 5)
+    return (
+        topk.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("rn").alias("rank"),
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("median_n")).alias("skew_ratio"),
+            "n_keys",
+            "n_rows",
+        )
+        .orderBy("rank")
+    )
