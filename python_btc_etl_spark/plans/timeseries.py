@@ -807,3 +807,90 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").alias("max_concurrent"))
         .orderBy("day")
     )
+
+
+PATH_LEN = 5  # leading events per session that define its path
+PATH_TOP = 10
+
+
+@query(
+    "top_session_paths",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {PATH_LEN}
+        GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP}
+    """,
+    doc=f"Clickstream path mining: each session's leading {PATH_LEN}-event "
+    "type sequence becomes a '>'-joined path string, and the corpus "
+    f"reports its top {PATH_TOP} most common paths — the entry-flow "
+    "report behind every product-analytics tool. Sessionization and "
+    "the in-session ordering share one user_id shuffle; path strings "
+    "aggregate map-side (the path-string key space is tiny versus "
+    "events); TakeOrderedAndProject caps the result. Ordered "
+    "string_agg on both engines pins tie-free concatenation order "
+    "(rn is unique within a session).",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        <= 30 * 60 * 1_000_000
+    )
+    sess = e.withColumn("new_session", F.when(gap_ok, 0).otherwise(1)).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            PW.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(PW.unboundedPreceding, 0)
+        ),
+    )
+    ranked = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            PW.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("rn"), F.col("event_type")))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
