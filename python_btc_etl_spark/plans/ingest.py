@@ -173,3 +173,38 @@ def btc_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_max.alias("run_max"),
         ((run_max - F.col("close")) / run_max).alias("drawdown"),
     ).orderBy("day")
+
+
+@query(
+    "binaryfile_ingest_manifest",
+    oracle=f"""
+    SELECT parse_filename(filename) AS file_name,
+           size AS n_bytes,
+           md5(decode(content)) AS content_md5
+    FROM read_blob('{CORPUS}/btcusd-*.csv')
+    ORDER BY file_name
+    """,
+    doc="Opaque-binary file ingestion (the binaryFile datasource): every "
+    "corpus file lands as one (path, length, content bytes) row, "
+    "hashed for a content manifest — the front door for image/audio/"
+    "video corpora, where files are NOT parsed at ingest but "
+    "registered, content-addressed, and handed to downstream decode "
+    "operators (plans/multimodal.py) as binary columns. Parallelism "
+    "is per-file (732 independent tasks); md5 over identical bytes is "
+    "engine-portable, so the oracle (DuckDB read_blob) re-reads the "
+    "same files independently — a true cross-reader ingest "
+    "verification, same pattern as the CSV ingest oracle "
+    "(reference analogue: the filename-pattern scan, reference "
+    "btc_etl.py:104-134, minus any parsing).",
+)
+def binaryfile_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "btcusd-*.csv")
+        .load(CORPUS)
+    )
+    return raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    ).orderBy("file_name")
