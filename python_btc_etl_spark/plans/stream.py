@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.file_stream import (
     run_sessionized_events,
     run_stream_dedup,
+    run_stream_dedup_then_window,
     run_stream_stream_join,
     run_windowed_ohlcv,
 )
@@ -228,3 +229,31 @@ def stream_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> DataFra
     from ..streaming.file_stream import run_stream_stream_left_join
 
     return run_stream_stream_left_join(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_then_window",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+           e.event_type,
+           count(*) AS n_events
+    FROM events e, mx
+    WHERE date_trunc('day', e.ts) + INTERVAL 1 DAY
+              <= mx.max_ts - INTERVAL 1 HOUR
+    GROUP BY day, e.event_type
+    ORDER BY day, e.event_type
+    """,
+    doc="CHAINED stateful streaming operators in ONE query (Spark 4 "
+    "multi-stateful append mode): dropDuplicatesWithinWatermark feeds "
+    "a tumbling 1-day windowed count. The input is the stream unioned "
+    "with itself (100% duplicates), so correct counts prove the dedup "
+    "stage ran; append-mode window-emission semantics are pinned by "
+    "the oracle, which keeps exactly the windows whose END the final "
+    "watermark (max ts - 1 h) passed — the trailing partial day never "
+    "emits. Both stages' state is watermark-bounded; at 100 TB this "
+    "one query replaces a dedup job + a rollup job and their "
+    "intermediate storage.",
+)
+def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_dedup_then_window(spark, sf_dir)

@@ -447,3 +447,46 @@ def run_stream_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
         .orderBy(F.desc("total_value"), "user_id")
         .limit(k)
     )
+
+
+def run_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4 allows
+    multiple stateful ops in append mode): exactly-once dedup
+    (``dropDuplicatesWithinWatermark``) feeding a tumbling one-day
+    windowed aggregation. The duplicated input (stream unioned with
+    itself) proves the dedup stage: window counts equal the DISTINCT
+    batch counts, not 2x.
+
+    Append-mode semantics pinned by the oracle: a window only emits once
+    the watermark (max event time - 1 h) passes its END, so the final
+    partial day never appears — the oracle filters to exactly the
+    closed windows. Both operators' state is watermark-bounded.
+    """
+    dup = _events_stream(spark, sf_dir)
+    dup2 = _events_stream(spark, sf_dir)
+    out = (
+        dup.unionByName(dup2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    spark_ = out.sparkSession
+    try:
+        spark_.catalog.dropTempView("stream_dedup_window")
+    except Exception:
+        pass
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_window")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark_.table("stream_dedup_window").orderBy("day", "event_type")
