@@ -421,3 +421,90 @@ def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+SQ_LEVELS = 255  # int8 scalar-quantization levels
+EMB_DIM = 64
+
+
+@query(
+    "embedding_int8_quantization",
+    oracle=f"""
+    WITH dims AS (
+        SELECT e.vec_id, t.pos, CAST(e.embedding[t.pos] AS DOUBLE) AS val
+        FROM embeddings e, unnest(range(1, {EMB_DIM + 1})) AS t(pos)
+    ),
+    stats AS (
+        SELECT pos, min(val) AS vmin, max(val) AS vmax FROM dims GROUP BY pos
+    ),
+    q AS (
+        SELECT d.vec_id, d.pos, d.val,
+               CASE WHEN s.vmax = s.vmin THEN 0
+                    ELSE floor((d.val - s.vmin) * {SQ_LEVELS}
+                               / (s.vmax - s.vmin) + 0.5)
+               END AS code,
+               s.vmin, s.vmax
+        FROM dims d JOIN stats s ON s.pos = d.pos
+    ),
+    err AS (
+        SELECT vec_id, pos,
+               (val - (vmin + code * (vmax - vmin) / {SQ_LEVELS}))
+             * (val - (vmin + code * (vmax - vmin) / {SQ_LEVELS})) AS sq_err,
+               abs(val - (vmin + code * (vmax - vmin) / {SQ_LEVELS})) AS abs_err
+        FROM q
+    )
+    SELECT vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE, list(sq_err ORDER BY pos)),
+                       (a, b) -> a + b) AS l2_sq_err,
+           max(abs_err) AS max_abs_err
+    FROM err
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    doc=f"Embedding int8 scalar quantization (the FAISS-SQ storage step "
+    "that cuts a vector lake 4x): per-DIMENSION global min/max define "
+    f"{SQ_LEVELS + 1} levels, each value rounds to its code via "
+    "floor(x + 0.5) (explicit floor — never engine round(), whose "
+    "half-way rule differs between engines), and every vector reports "
+    "its exact reconstruction error (L2 via the deterministic ORDERED "
+    "fold in dimension order, max-abs via plain max). Plan: one "
+    f"posexplode + a {EMB_DIM}-row broadcast stats join + per-vector "
+    "re-aggregation — at 100 TB the stats come from a sample and the "
+    "encode is a scan-local expression on the write path.",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load(spark, sf_dir, "embeddings"))
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos0", "valf")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    stats = dims.groupBy("pos").agg(F.min("val").alias("vmin"), F.max("val").alias("vmax"))
+    q = dims.join(F.broadcast(stats), "pos").withColumn(
+        "code",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0)).otherwise(
+            F.floor(
+                (F.col("val") - F.col("vmin"))
+                * SQ_LEVELS
+                / (F.col("vmax") - F.col("vmin"))
+                + 0.5
+            )
+        ),
+    )
+    recon = F.col("vmin") + F.col("code") * (F.col("vmax") - F.col("vmin")) / SQ_LEVELS
+    err = q.select(
+        "vec_id",
+        "pos",
+        ((F.col("val") - recon) * (F.col("val") - recon)).alias("sq_err"),
+        F.abs(F.col("val") - recon).alias("abs_err"),
+    )
+    return (
+        err.groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col("pos"), F.col("sq_err")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["sq_err"],
+            ).alias("l2_sq_err"),
+            F.max("abs_err").alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
