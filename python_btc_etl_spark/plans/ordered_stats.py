@@ -566,3 +566,80 @@ def quantile_vector_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(QV_PROBS)
         ],
     ).orderBy("l_returnflag")
+
+
+@query(
+    "correlation_matrix_types",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+               {sql_dsum('value')} AS total
+        FROM events GROUP BY event_type, day_idx
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n,
+               {sql_dsum('a.total', 6)} AS sx,
+               {sql_dsum('b.total', 6)} AS sy,
+               {sql_dsum('a.total * a.total', 12)} AS sxx,
+               {sql_dsum('b.total * b.total', 12)} AS syy,
+               {sql_dsum('a.total * b.total', 12)} AS sxy
+        FROM daily a JOIN daily b
+          ON b.day_idx = a.day_idx AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+    FROM pairs
+    ORDER BY type_a, type_b
+    """,
+    doc="Pairwise correlation MATRIX over daily per-type volumes (the "
+    "co-movement profile behind metric dashboards and feature "
+    "selection): the long daily table self-joins on the day key "
+    "(types x types pairs, upper triangle), then each pair's "
+    "correlation comes from EXACT decimal moment sums — products of "
+    "daily totals carry 12 decimal digits, so the sums are "
+    "order-independent, and the final corr is a fixed IEEE expression "
+    "(sub/mul/div/sqrt are all correctly rounded) — bit-identical "
+    "across engines where built-in corr() would drift with partial-"
+    "aggregation order. The join runs on the aggregated daily table "
+    "(~types x days rows), never on raw events.",
+)
+def correlation_matrix_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 86400).cast("bigint").alias("day_idx"),
+    ).agg(dsum("value").alias("total"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day_idx"),
+        F.col("total").alias("xa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day_idx"),
+        F.col("total").alias("xb"),
+    )
+    pairs = (
+        a.join(b, "day_idx")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("xa", 6).alias("sx"),
+            dsum("xb", 6).alias("sy"),
+            dsum(F.col("xa") * F.col("xa"), 12).alias("sxx"),
+            dsum(F.col("xb") * F.col("xb"), 12).alias("syy"),
+            dsum(F.col("xa") * F.col("xb"), 12).alias("sxy"),
+        )
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select("type_a", "type_b", "n", corr.alias("corr")).orderBy(
+        "type_a", "type_b"
+    )
