@@ -894,3 +894,106 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(PATH_TOP)
     )
+
+
+DEBOUNCE_S = 7200  # suppress same user+type re-fires within 2 hours
+
+
+@query(
+    "debounce_events",
+    oracle=f"""
+    WITH marked AS (
+        SELECT event_type,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id))) AS BIGINT)
+                         <= {DEBOUNCE_S}
+                    THEN 1 ELSE 0 END AS debounced
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(debounced) AS BIGINT) AS n_debounced,
+           CAST(count(*) - sum(debounced) AS BIGINT) AS n_kept
+    FROM marked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Debouncing (double-fire suppression): an event is dropped when "
+    "the SAME user produced the SAME type within the trailing 2 h — "
+    "the retry/double-click cleaning rule event pipelines apply before "
+    "any counting. NOTE the chain semantics pinned by the oracle: the "
+    "gap test is against the previous RAW event, not the previous KEPT "
+    "one, so a burst collapses to its first event (lag-based, one "
+    "window, no iteration; the kept-anchor variant needs the "
+    "counter-with-reset pattern shown in events_since_last_purchase). "
+    "One shuffle on (user, type); epoch integer arithmetic "
+    "throughout.",
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    w = PW.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "event_type",
+        F.when(gap <= DEBOUNCE_S, 1).otherwise(0).alias("debounced"),
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("debounced").cast("bigint").alias("n_debounced"),
+            (F.count(F.lit(1)) - F.sum("debounced")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "seasonality_index_dow",
+    oracle=f"""
+    WITH dowt AS (
+        SELECT event_type,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+               {sql_dsum('value')} AS dow_total
+        FROM events GROUP BY event_type, dow
+    ),
+    tot AS (
+        SELECT event_type, {sql_dsum('value')} AS type_total
+        FROM events GROUP BY event_type
+    )
+    SELECT d.event_type, d.dow, d.dow_total,
+           d.dow_total / t.type_total AS dow_share
+    FROM dowt d JOIN tot t ON t.event_type = d.event_type
+    ORDER BY d.event_type, d.dow
+    """,
+    doc="Day-of-week seasonality index: each weekday's share of its "
+    "event type's total value (Monday=0 via epoch integer arithmetic, "
+    "as in the heatmap query). Determinism is by construction: BOTH "
+    "numerator and denominator are independent exact decimal folds "
+    "over the raw events — never a float window-sum over the grouped "
+    "rows, whose addend order differs between engines — and the share "
+    "is one IEEE division of two deterministic doubles. Two "
+    "aggregations sharing the scan; the 5-row totals table "
+    "broadcasts.",
+)
+def seasonality_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    dow = ((F.col("ts").cast("long") / 86400).cast("bigint") + 4) % 7
+    dowt = e.groupBy("event_type", dow.alias("dow")).agg(
+        dsum("value").alias("dow_total")
+    )
+    tot = e.groupBy("event_type").agg(dsum("value").alias("type_total"))
+    return (
+        dowt.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "dow_total",
+            (F.col("dow_total") / F.col("type_total")).alias("dow_share"),
+        )
+        .orderBy("event_type", "dow")
+    )
