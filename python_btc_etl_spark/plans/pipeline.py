@@ -902,3 +902,79 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "c1", "c2")
         .limit(BPE_TOP)
     )
+
+
+FH_DIM = 1024  # hashing-trick feature dimension
+
+
+@query(
+    "feature_hashing_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({TX.sql_words('text')})) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, tok, {TX.sql_hash28('tok')} % {FH_DIM} AS bucket
+        FROM toks
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               count(DISTINCT bucket) AS nnz
+        FROM hashed GROUP BY doc_id
+    ),
+    corpus AS (
+        SELECT count(DISTINCT tok) AS vocab,
+               count(DISTINCT bucket) AS occupied
+        FROM hashed
+    )
+    SELECT p.doc_id, p.n_tokens, p.nnz,
+           CAST(p.n_tokens - p.nnz AS BIGINT) AS doc_collisions,
+           c.vocab, c.occupied,
+           1.0 - CAST(c.occupied AS DOUBLE) / c.vocab AS corpus_collision_rate
+    FROM per_doc p, corpus c
+    ORDER BY p.doc_id
+    """,
+    doc=f"Feature hashing (the hashing trick): distinct document tokens "
+    f"map to a fixed {FH_DIM}-dim space via hash %% {FH_DIM} — the "
+    "vocabulary-free featurizer that makes bag-of-words viable at "
+    "100 TB (no vocabulary table to build, broadcast, or keep "
+    "consistent across shards; the encoder is a stateless scan-local "
+    "expression). The query audits the trick's one cost: per-doc and "
+    "corpus-wide collision loss (tokens sharing a bucket). All "
+    "integer arithmetic off the shared 28-bit sha-carved token hash "
+    "(functions/text.py) — the identical hash the dedup family uses.",
+)
+def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.words(F.col("text")))).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id", "tok", (TX.hash28(F.col("tok")) % FH_DIM).alias("bucket")
+    )
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("bucket").alias("nnz"),
+    )
+    corpus = hashed.agg(
+        F.countDistinct("tok").alias("vocab"),
+        F.countDistinct("bucket").alias("occupied"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nnz",
+            (F.col("n_tokens") - F.col("nnz")).cast("bigint").alias("doc_collisions"),
+            "vocab",
+            "occupied",
+            (F.lit(1.0) - F.col("occupied").cast("double") / F.col("vocab")).alias(
+                "corpus_collision_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
