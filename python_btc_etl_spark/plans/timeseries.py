@@ -997,3 +997,57 @@ def seasonality_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "batch_session_window_stats",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="session_window() as a BATCH aggregation key (the same engine "
+    "primitive the streaming module uses, applied to a static table): "
+    "groupBy(session_window(ts, '30 minutes'), user_id) merges "
+    "overlapping per-event windows into gap-separated sessions inside "
+    "the aggregate itself — no lag/cumsum window pass. The oracle is "
+    "the classic gaps-and-islands SQL, differentially proving the "
+    "engine primitive implements exactly those semantics (note the "
+    "boundary rule pinned: session_window treats a gap of EXACTLY the "
+    "timeout as a new session — strict <, hence the oracle's < "
+    "INTERVAL 30 MINUTE). One shuffle on user_id either way; the "
+    "engine form also works unchanged on a stream.",
+)
+def batch_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
