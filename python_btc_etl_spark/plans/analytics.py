@@ -1764,3 +1764,73 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "missing_days_by_type",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS lo,
+               CAST(floor(epoch(max(ts))) AS BIGINT) // 86400 AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.d AS day_idx FROM bounds b, unnest(range(b.lo, b.hi + 1)) AS t(d)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    observed AS (
+        SELECT DISTINCT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+        FROM events
+    )
+    SELECT ty.event_type,
+           count(*) AS n_expected_days,
+           CAST(count(o.day_idx) AS BIGINT) AS n_active_days,
+           CAST(count(*) - count(o.day_idx) AS BIGINT) AS n_missing_days
+    FROM types ty
+    CROSS JOIN spine s
+    LEFT JOIN observed o
+      ON o.event_type = ty.event_type AND o.day_idx = s.day_idx
+    GROUP BY ty.event_type
+    ORDER BY ty.event_type
+    """,
+    doc="Calendar-spine completeness audit: generate the full day spine "
+    "between the corpus's first and last event (sequence() — no "
+    "calendar table needed), cross with the type dimension, and "
+    "left-join observed activity to count silent days per type — the "
+    "data-freshness / ingestion-gap monitor (a day with zero events "
+    "for a type usually means a broken upstream, not quiet users). "
+    "The spine is days x types rows (tiny, broadcast); the observed "
+    "set is the deduped (type, day) projection.",
+)
+def missing_days_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / 86400).cast("bigint")
+    bounds = e.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_idx")
+    )
+    types = e.select("event_type").distinct()
+    observed = e.select(
+        F.col("event_type").alias("o_type"), day.alias("o_day")
+    ).distinct()
+    return (
+        types.crossJoin(spine)
+        .join(
+            observed,
+            (F.col("o_type") == F.col("event_type"))
+            & (F.col("o_day") == F.col("day_idx")),
+            "left",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_expected_days"),
+            F.count("o_type").cast("bigint").alias("n_active_days"),
+            (F.count(F.lit(1)) - F.count("o_type")).cast("bigint").alias(
+                "n_missing_days"
+            ),
+        )
+        .orderBy("event_type")
+    )

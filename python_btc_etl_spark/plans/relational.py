@@ -661,3 +661,36 @@ def sql_cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY regionkey, rnk, nation
         """
     )
+
+
+@query(
+    "topk_with_ties_parts",
+    oracle="""
+    WITH r AS (
+        SELECT p_brand, p_partkey, p_retailprice,
+               dense_rank() OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice DESC) AS dr
+        FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, dr
+    FROM r WHERE dr <= 2
+    ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """,
+    doc="Top-k WITH TIES (dense_rank <= k): every part sharing the two "
+    "highest prices per brand survives — the tie-inclusive contract "
+    "(ANSI FETCH FIRST ... WITH TIES), vs topk_parts_per_brand's "
+    "row_number form that arbitrarily tie-breaks to exactly k rows. "
+    "Same single window pass; result size is data-dependent, which is "
+    "precisely the semantic difference this pins.",
+)
+def topk_with_ties_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    p = load(spark, sf_dir, "part")
+    w = PW.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", "dr")
+        .orderBy("p_brand", F.desc("p_retailprice"), "p_partkey")
+    )
