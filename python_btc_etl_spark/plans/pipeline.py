@@ -978,3 +978,117 @@ def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Cleaning-funnel thresholds (integer-exact gates)
+FUNNEL_MIN_WORDS = 20
+FUNNEL_LANGS = ("de", "en", "es", "fr")  # keep these labeled languages
+FUNNEL_REP_NUM, FUNNEL_REP_DEN = 1, 5  # drop if dup-3-grams > 1/5
+
+
+@query(
+    "cleaning_funnel_report",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, lower(text) AS ltext,
+               {TX.sql_words('text')} AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT *,
+               len({TX.sql_grams_all('w')}) AS n_grams,
+               len(list_distinct({TX.sql_grams_all('w')})) AS n_distinct
+        FROM w
+    ),
+    canon AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(ltext)) AS keeper
+        FROM g
+    ),
+    staged AS (
+        SELECT g.doc_id,
+               len(g.w) >= {FUNNEL_MIN_WORDS} AS s1,
+               len(g.w) >= {FUNNEL_MIN_WORDS}
+                   AND g.lang IN {FUNNEL_LANGS!r} AS s2,
+               len(g.w) >= {FUNNEL_MIN_WORDS}
+                   AND g.lang IN {FUNNEL_LANGS!r}
+                   AND (g.n_grams - g.n_distinct) * {FUNNEL_REP_DEN}
+                           <= g.n_grams * {FUNNEL_REP_NUM} AS s3,
+               len(g.w) >= {FUNNEL_MIN_WORDS}
+                   AND g.lang IN {FUNNEL_LANGS!r}
+                   AND (g.n_grams - g.n_distinct) * {FUNNEL_REP_DEN}
+                           <= g.n_grams * {FUNNEL_REP_NUM}
+                   AND c.keeper = g.doc_id AS s4
+        FROM g JOIN canon c ON c.doc_id = g.doc_id
+    )
+    SELECT stage, n_surviving,
+           CAST(n_surviving AS DOUBLE)
+               / first(n_surviving) OVER (ORDER BY stage
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS survival_rate
+    FROM (
+        SELECT '0_ingested' AS stage, count(*) AS n_surviving FROM staged
+        UNION ALL
+        SELECT '1_min_length', count(CASE WHEN s1 THEN 1 END) FROM staged
+        UNION ALL
+        SELECT '2_language', count(CASE WHEN s2 THEN 1 END) FROM staged
+        UNION ALL
+        SELECT '3_repetition', count(CASE WHEN s3 THEN 1 END) FROM staged
+        UNION ALL
+        SELECT '4_exact_dedup', count(CASE WHEN s4 THEN 1 END) FROM staged
+    )
+    ORDER BY stage
+    """,
+    doc="The cleaning-funnel report — the headline artifact of every "
+    "training-data pipeline: how many documents survive each "
+    "successive filter (minimum length → allowed language → "
+    "within-doc repetition → exact dedup keep-first), with cumulative "
+    "survival rates. All four gates are integer-exact (word counts, "
+    "label membership, cross-multiplied repetition ratio, md5-group "
+    "min); the whole funnel is ONE scan + one content-hash window — "
+    "each stage is a flag, not a materialized intermediate table, "
+    "which is precisely how a 100 TB cleaning pass avoids writing "
+    "four copies of the corpus.",
+)
+def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    w = TX.words(F.col("text"))
+    grams = TX.grams_all(w)
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.lower("text").alias("ltext"),
+        F.size(w).alias("n_words"),
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    keeper = F.min("doc_id").over(PW.partitionBy(F.md5(F.col("ltext").cast("binary"))))
+    s1 = F.col("n_words") >= FUNNEL_MIN_WORDS
+    s2 = s1 & F.col("lang").isin(*FUNNEL_LANGS)
+    s3 = s2 & (
+        (F.col("n_grams") - F.col("n_distinct")) * FUNNEL_REP_DEN
+        <= F.col("n_grams") * FUNNEL_REP_NUM
+    )
+    staged = g.withColumn("keeper", keeper).select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
+        (s3 & (F.col("keeper") == F.col("doc_id"))).alias("s4"),
+    )
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("0_ingested"),
+        F.count(F.when(F.col("s1"), 1)).alias("1_min_length"),
+        F.count(F.when(F.col("s2"), 1)).alias("2_language"),
+        F.count(F.when(F.col("s3"), 1)).alias("3_repetition"),
+        F.count(F.when(F.col("s4"), 1)).alias("4_exact_dedup"),
+    )
+    stages = ["0_ingested", "1_min_length", "2_language", "3_repetition", "4_exact_dedup"]
+    stack = ", ".join(f"'{s}', `{s}`" for s in stages)
+    long = counts.selectExpr(f"stack({len(stages)}, {stack}) AS (stage, n_surviving)")
+    base = F.first("n_surviving").over(
+        PW.orderBy("stage").rowsBetween(PW.unboundedPreceding, 0)
+    )
+    return long.select(
+        "stage",
+        "n_surviving",
+        (F.col("n_surviving").cast("double") / base).alias("survival_rate"),
+    ).orderBy("stage")
