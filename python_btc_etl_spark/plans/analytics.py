@@ -1834,3 +1834,55 @@ def missing_days_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+           CAST(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(24,2))
+                    END) AS VARCHAR) AS DOUBLE) AS f_revenue,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+           CAST(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(24,2))
+                    END) AS VARCHAR) AS DOUBLE) AS o_revenue,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+           CAST(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(24,2))
+                    END) AS VARCHAR) AS DOUBLE) AS p_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="PIVOT with MULTIPLE aggregates per pivot value: one pass emits "
+    "both a count and an exact-decimal revenue column per order "
+    "status (pivot values pinned explicitly — never inferred with a "
+    "distinct pre-scan, the 100 TB pivot rule). Catalyst lowers this "
+    "to exactly the oracle's CASE-WHEN conditional aggregation: one "
+    "hash aggregate, map-side combinable, 2x|values| output columns. "
+    "Columns re-aliased to stable names on both sides (Spark's "
+    "generated pivot names embed the agg expression).",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load as _load
+
+    o = _load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_revenue").alias("f_revenue"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_revenue").alias("o_revenue"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_revenue").alias("p_revenue"),
+    ).orderBy("o_orderpriority")
