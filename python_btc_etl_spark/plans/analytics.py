@@ -1886,3 +1886,56 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_n").alias("p_n"),
         F.col("P_revenue").alias("p_revenue"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "week_over_week_change",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+               {sql_dsum('value')} AS total
+        FROM events GROUP BY event_type, day_idx
+    )
+    SELECT event_type,
+           strftime(to_timestamp(day_idx * 86400), '%Y-%m-%d') AS day,
+           total,
+           lag(total, 7) OVER (PARTITION BY event_type ORDER BY day_idx)
+               AS same_weekday_prev,
+           (total - lag(total, 7) OVER (PARTITION BY event_type ORDER BY day_idx))
+               / lag(total, 7) OVER (PARTITION BY event_type ORDER BY day_idx)
+               AS wow_change
+    FROM daily
+    ORDER BY event_type, day
+    """,
+    doc="Week-over-week change with WEEKDAY ALIGNMENT: lag(7) over the "
+    "daily series compares each day to the same weekday a week "
+    "earlier — the seasonality-adjusted growth metric (a plain "
+    "day-over-day delta confuses weekend dips with real change; see "
+    "day_over_day_change for the lag-1 form and "
+    "seasonality_index_dow for why alignment matters on this data). "
+    "NOTE the offset is POSITIONAL (7 rows), correct here because "
+    "the daily spine is gap-free — on sparse data the range-join "
+    "form (ewma_daily_decay's pattern) replaces it; "
+    "missing_days_by_type is the audit that validates the "
+    "assumption. Exact decimal daily totals; IEEE division.",
+)
+def week_over_week_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 86400).cast("bigint").alias("day_idx"),
+    ).agg(dsum("value").alias("total"))
+    w = PW.partitionBy("event_type").orderBy("day_idx")
+    prev = F.lag("total", 7).over(w)
+    return daily.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("day_idx") * 86400), "yyyy-MM-dd"
+        ).alias("day"),
+        "total",
+        prev.alias("same_weekday_prev"),
+        ((F.col("total") - prev) / prev).alias("wow_change"),
+    ).orderBy("event_type", "day")
