@@ -1681,16 +1681,17 @@ def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_type_set_arrays",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            len(list(DISTINCT event_type)) AS n_types
     FROM events
     GROUP BY user_id
     ORDER BY user_id
     """,
-    doc="Array-valued aggregation output: per user the SORTED distinct "
-    "event-type array (canonical order makes the array hashable and "
-    "engine-comparable — an unsorted collect_set is nondeterministic "
-    "by construction and can never be differentially checked). One "
+    doc="Set-valued aggregation, presented as a scalar: per user the SORTED "
+    "distinct event-type set, joined to one comma-separated string "
+    "(canonical order makes the value deterministic and engine-comparable "
+    "— an unsorted collect_set is nondeterministic by construction; a raw "
+    "array column cannot be value-hashed by scalar-only comparators). One "
     "hash aggregation; the sort is per-row over <= 5 elements.",
 )
 def user_type_set_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1698,7 +1699,9 @@ def user_type_set_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("types"),
             F.countDistinct("event_type").alias("n_types"),
         )
         .orderBy("user_id")

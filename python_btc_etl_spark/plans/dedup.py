@@ -56,6 +56,29 @@ MINHASH_JACCARD_T = 0.5
 SIMHASH_HAMMING_T = 8
 COSINE_T = 0.99
 
+# Broadcast cap for the dedup verify joins (per-doc signature tables).
+# Candidates outnumber docs by orders of magnitude, so shipping the doc
+# table once per executor beats shuffling (pair -> two ~kB arrays) rows —
+# measured 4x on the verify stage at sf0.1.  But at 100 TB the signature
+# table itself can outgrow executor memory, so the hint is conditional on
+# Catalyst's own size estimate; past the cap the join degrades gracefully
+# to the planner's choice (AQE + autoBroadcastJoinThreshold), i.e. a
+# shuffle join — no code change needed at scale.
+VERIFY_BROADCAST_CAP = 128 << 20  # bytes
+
+
+def _maybe_broadcast(df: DataFrame, cap: int | None = None) -> DataFrame:
+    """Broadcast-hint `df` only when Catalyst estimates it fits under the
+    cap.  Driver-side plan-stats lookup — no job is triggered.  On any
+    estimation failure the hint is omitted (planner decides)."""
+    cap = VERIFY_BROADCAST_CAP if cap is None else cap
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = int(raw) if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # noqa: BLE001 — estimate unavailable: let AQE decide
+        return df
+    return F.broadcast(df) if est <= cap else df
+
 
 # --------------------------------------------------------------------------
 # Planted-duplicate corpora (Spark + SQL mirrors)
@@ -247,15 +270,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size(
         F.array_union("hs_a", "hs_b")
     )
-    # Broadcast the per-DOC signature table into the pair-explosion join:
-    # candidates outnumber docs by orders of magnitude, so shuffling the
-    # (pair → two ~kB arrays) rows costs far more than shipping the doc
-    # table once per executor (measured 4x on the verify stage). When the
-    # signature table outgrows broadcast at extreme scale, drop the hint
-    # and the same plan degrades gracefully to a shuffle join.
+    # Size-conditional broadcast of the per-DOC signature table into the
+    # pair-explosion join (_maybe_broadcast doc + VERIFY_BROADCAST_CAP):
+    # hinted while the table fits, planner-chosen shuffle join past the cap.
     return (
-        cand.join(F.broadcast(x), "doc_a")
-        .join(F.broadcast(y), "doc_b")
+        cand.join(_maybe_broadcast(x), "doc_a")
+        .join(_maybe_broadcast(y), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
         .orderBy("doc_a", "doc_b")
@@ -348,8 +368,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Broadcast the doc-level signature table into the pair join — same
     # rationale as dedup_ngram_jaccard's verify (candidates >> docs).
     return (
-        cand.join(F.broadcast(x), "doc_a")
-        .join(F.broadcast(y), "doc_b")
+        cand.join(_maybe_broadcast(x), "doc_a")
+        .join(_maybe_broadcast(y), "doc_b")
         .select("doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard"))
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
         .orderBy("doc_a", "doc_b")
@@ -581,8 +601,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hs_a"), F.size("hs_b")
     )
     return (
-        cand.join(F.broadcast(x), "doc_a")
-        .join(F.broadcast(y), "doc_b")
+        cand.join(_maybe_broadcast(x), "doc_a")
+        .join(_maybe_broadcast(y), "doc_b")
         .select("doc_a", "doc_b", contain.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_T)
         .orderBy("doc_a", "doc_b")
@@ -688,8 +708,8 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_union("hs_a", "hs_b")
     )
     scored = (
-        cand.join(F.broadcast(x), "doc_a")
-        .join(F.broadcast(y), "doc_b")
+        cand.join(_maybe_broadcast(x), "doc_a")
+        .join(_maybe_broadcast(y), "doc_b")
         .select("doc_a", "doc_b", F.abs(est - jac).alias("abs_err"))
     )
     return scored.agg(

@@ -33,6 +33,21 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"day", "open", "high", "low", "close", "volume", "vwap", "n_trades"}
 
 
+def test_nonscalar_guard_detects_arrays(spark):
+    """The driver's canonicalizer can't hash Array/Map/Struct cells; every
+    parity run now rejects such outputs via complex_output_cols (enforced
+    inside check_query for all registered queries).  Prove the guard itself
+    fires on each complex type and stays quiet on scalars."""
+    from tools.selfcheck import complex_output_cols
+
+    df = spark.sql(
+        "SELECT 1 AS ok, array(1, 2) AS arr, map('k', 1) AS m, "
+        "named_struct('a', 1) AS st"
+    )
+    assert complex_output_cols(df) == ["arr", "m", "st"]
+    assert complex_output_cols(df.select("ok")) == []
+
+
 def test_registry_contract():
     qs = plans.queries()
     os_ = plans.oracle_sql()

@@ -1,0 +1,53 @@
+"""Round-4 plan-shape assertions: the dedup verify joins' size-guarded
+broadcast (`plans.dedup._maybe_broadcast`) must hint while the signature
+table fits under VERIFY_BROADCAST_CAP and degrade to a planner-chosen
+shuffle join past it — the 100 TB story with no code change."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_btc_etl_spark import plans
+from python_btc_etl_spark.plans import dedup
+
+from .conftest import SF_SMALL
+
+
+def _explained(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_maybe_broadcast_hints_under_cap(spark):
+    small = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    hinted = dedup._maybe_broadcast(small)
+    assert hinted is not small  # hint applied
+    plan = _explained(spark.range(100).join(hinted, F.col("id") == F.col("k")))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_maybe_broadcast_unhinted_past_cap(spark):
+    small = spark.range(10).select(F.col("id").alias("k"))
+    assert dedup._maybe_broadcast(small, cap=0) is small  # no hint, planner decides
+
+
+def test_verify_join_degrades_to_shuffle_past_cap(spark, monkeypatch):
+    """With the cap forced to 0 and auto-broadcast off, the ngram verify
+    plan must contain no broadcast join at all — pure shuffle joins, the
+    exact plan a 100 TB signature table would get."""
+    monkeypatch.setattr(dedup, "VERIFY_BROADCAST_CAP", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMALL)
+        plan = _explained(df)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_verify_join_still_broadcasts_at_test_scale(spark):
+    """Default cap: the sf0.001 signature table is tiny, so the verify
+    joins must carry the measured-4x broadcast hint."""
+    df = plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMALL)
+    assert "BroadcastHashJoin" in _explained(df)

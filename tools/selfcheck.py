@@ -58,9 +58,29 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def complex_output_cols(sdf) -> list[str]:
+    """Columns whose type the driver's pandas canonicalizer cannot hash.
+
+    The driver sorts/hashes result cells as scalars; an Array/Map/Struct
+    output column crashes it (round-3 `user_type_set_arrays` err:
+    ``TypeError: unhashable type: 'list'``).  Queries must present
+    collections as canonical scalars (e.g. ``array_join(sort_array(...))``).
+    """
+    from pyspark.sql import types as T
+
+    bad = (T.ArrayType, T.MapType, T.StructType)
+    return [f.name for f in sdf.schema.fields if isinstance(f.dataType, bad)]
+
+
 def check_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     spec = plans.REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
+    nonscalar = complex_output_cols(sdf)
+    if nonscalar:
+        return False, (
+            f"NONSCALAR output columns {nonscalar} — driver canonicalizer "
+            "cannot hash Array/Map/Struct; emit a sorted scalar instead"
+        )
     s_cols = sorted(sdf.columns)
     s_rows = [tuple(r[c] for c in s_cols) for r in sdf.collect()]
     if spec.oracle is None:
