@@ -3,10 +3,12 @@ payloads with typed metadata, and Arrow-batched feature extraction.
 
 The container has no codec libraries, so :func:`decode_image` is a
 REAL pure-numpy decoder for the uncompressed netpbm family (P5/P6 —
-no codec needed, just header parse + strided reshape) plus
-zlib-deflated netpbm streams (stdlib inflate), and raises
-``NotImplementedError`` for JPEG/full-PNG (need libjpeg / PNG
-unfiltering — wire Pillow/opencv there on a real cluster).
+no codec needed, just header parse + strided reshape), zlib-deflated
+netpbm streams (stdlib inflate), and non-interlaced 8-bit PNG
+(:func:`decode_png`: chunk parse + IDAT inflate + scanline unfilter,
+all five filter types). Only JPEG raises ``NotImplementedError``
+(DCT entropy coding genuinely needs libjpeg — wire Pillow/opencv
+there on a real cluster).
 :func:`fake_decode_features` remains the deterministic stand-in used
 by the oracle-checked feature pipeline so the Spark-side plumbing —
 BinaryType schema, ``mapInPandas`` batch shape, Arrow transfer — is
@@ -33,20 +35,26 @@ CHECKSUM_MOD = 9973
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a pixel array.
 
-    Real decoder for binary netpbm: P5 (grayscale → HxW uint8) and
-    P6 (RGB → HxWx3 uint8), maxval ≤ 255 — pure header parse + numpy
-    reshape, no codec library. A zlib-deflated payload (RFC 1950
-    stream wrapping a netpbm raster — the PNG-IDAT-style storage leg)
-    is inflated with the stdlib and decoded the same way. JPEG and
-    full PNG raise ``NotImplementedError``: JPEG needs libjpeg, PNG
-    needs chunk parsing + per-scanline unfiltering beyond the deflate
-    step; wire Pillow/opencv here on a real cluster.
+    Real decoders, no codec library:
+
+    - binary netpbm P5 (grayscale → HxW uint8) and P6 (RGB → HxWx3
+      uint8), maxval ≤ 255 — header parse + numpy reshape;
+    - a zlib-deflated payload (RFC 1950 stream wrapping a netpbm
+      raster) is inflated with the stdlib and decoded the same way;
+    - non-interlaced 8-bit PNG (:func:`decode_png`): chunk parse,
+      stdlib inflate of the IDAT stream, per-scanline unfilter
+      (None/Sub/Up/Average/Paeth) — gray / gray+alpha / RGB / RGBA.
+
+    JPEG raises ``NotImplementedError``: a DCT entropy-coded format
+    genuinely needs libjpeg; wire Pillow/opencv here on a real cluster.
     """
-    if payload[:3] in (b"\xff\xd8\xff",) or payload[:4] == b"\x89PNG":
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "JPEG/PNG require a codec library (Pillow/opencv), "
+            "JPEG requires a codec library (Pillow/opencv), "
             "not available in this environment"
         )
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     if (
         len(payload) >= 2
         and payload[0] == 0x78
@@ -82,6 +90,155 @@ def decode_image(payload: bytes) -> np.ndarray:
     channels = 1 if magic == b"P5" else 3
     raster = np.frombuffer(payload, dtype=np.uint8, count=width * height * channels, offset=pos)
     return raster.reshape((height, width) if channels == 1 else (height, width, channels))
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample count per pixel (bit depth 8 only).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy + stdlib decoder for non-interlaced 8-bit PNG.
+
+    Chunk walk → IHDR parse → concatenated-IDAT ``zlib.decompress`` →
+    per-scanline unfilter. Grayscale decodes to HxW; gray+alpha / RGB /
+    RGBA to HxWxC uint8. Unsupported legs raise explicitly: 16-bit and
+    palette need bit unpacking / PLTE lookup, Adam7 needs the 7-pass
+    deinterleave.
+
+    Filter vectorization: None and Up are whole-row numpy ops; Sub is a
+    per-channel cumulative sum (mod 256 distributes over the prefix
+    sum); Average and Paeth carry a true left-neighbor dependency, so
+    those rows fall back to a per-pixel loop — the standard trade-off
+    every pure-Python PNG reader makes. Inside the engine this runs in
+    ``mapInPandas`` workers over Arrow batches, one image per row, so
+    the per-row cost parallelizes across executors.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # header + data + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} (palette needs PLTE lookup)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    channels = _PNG_CHANNELS[color]
+    stride = width * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] → cumsum
+            cur = np.cumsum(line.reshape(width, channels), axis=0).reshape(stride) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average (left dep → loop)
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth (left dep → loop)
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape((height, width) if channels == 1 else (height, width, channels))
+
+
+def encode_png(img: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """Minimal non-interlaced 8-bit PNG encoder (the decode_png inverse).
+
+    ``row_filters`` pins the filter type per scanline (cycled); default
+    cycles 0→4 so a round-trip exercises every unfilter branch. The
+    filtered bytes are computed with whole-row numpy shifts — the
+    encoder side of each filter has no sequential dependency.
+    """
+    import struct
+    import zlib
+    from binascii import crc32
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, channels = img.shape[0], img.shape[1], 1
+        px = img.reshape(h, w, 1).astype(np.int32)
+    else:
+        h, w, channels = img.shape
+        px = img.astype(np.int32)
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    row_filters = row_filters or [0, 1, 2, 3, 4]
+    left = np.zeros_like(px)
+    left[:, 1:, :] = px[:, :-1, :]
+    up = np.zeros_like(px)
+    up[1:, :, :] = px[:-1, :, :]
+    upleft = np.zeros_like(px)
+    upleft[1:, 1:, :] = px[:-1, :-1, :]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+    filtered_by_type = {
+        0: px,
+        1: px - left,
+        2: px - up,
+        3: px - ((left + up) >> 1),
+        4: px - paeth,
+    }
+    lines = []
+    for y in range(h):
+        f = row_filters[y % len(row_filters)]
+        lines.append(bytes([f]) + (filtered_by_type[f][y] & 0xFF).astype(np.uint8).tobytes())
+    raster = zlib.compress(b"".join(lines), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raster)
+        + chunk(b"IEND", b"")
+    )
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -261,3 +261,87 @@ def _decode_zlib_batches(batches):
 def multimodal_decode_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select("doc_id")
     return d.mapInPandas(_decode_zlib_batches, schema=ZLIB_SCHEMA).orderBy("doc_id")
+
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField(c, T.LongType())
+        for c in ("doc_id", "h", "w", "channels", "pixel_sum", "n_filter_types")
+    ]
+)
+
+
+def _decode_png_batches(batches):
+    """mapInPandas worker: per doc, synthesize a deterministic raster
+    (grayscale for even doc_ids, RGB for odd), encode it as a REAL
+    non-interlaced 8-bit PNG with the scanline filter cycling 0→4,
+    decode it back with the pure-numpy PNG decoder, and prove the
+    filters were actually exercised by re-parsing the IDAT stream and
+    counting distinct filter bytes (h ≥ 8 > 5 ⇒ always 5)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_image, encode_png
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            h, w, c = 8 + d % 5, 8 + d % 7, 1 + 2 * (d % 2)
+            px = ((d * 31 + np.arange(h * w * c)) % 256).astype(np.uint8)
+            img = px.reshape((h, w) if c == 1 else (h, w, c))
+            payload = encode_png(img)
+            back = decode_image(payload)
+            assert np.array_equal(back, img)
+            # Independent proof the stream really was filtered: walk the
+            # chunks, inflate IDAT, collect the per-scanline filter bytes.
+            pos, idat = 8, []
+            while pos + 8 <= len(payload):
+                (length,) = struct.unpack(">I", payload[pos : pos + 4])
+                if payload[pos + 4 : pos + 8] == b"IDAT":
+                    idat.append(payload[pos + 8 : pos + 8 + length])
+                pos += 12 + length
+            raw = zlib.decompress(b"".join(idat))
+            stride = w * c + 1
+            filters = {raw[y * stride] for y in range(h)}
+            rows.append((d, h, w, c, int(back.sum()), len(filters)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "h", "w", "channels", "pixel_sum", "n_filter_types"]
+        )
+
+
+@query(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           8 + doc_id % 5 AS h,
+           8 + doc_id % 7 AS w,
+           1 + 2 * (doc_id % 2) AS channels,
+           list_reduce(list_transform(range(0, (8 + doc_id % 5) * (8 + doc_id % 7)
+                                               * (1 + 2 * (doc_id % 2))),
+                                      k -> (doc_id * 31 + k) % 256),
+                       (x, y) -> x + y) AS pixel_sum,
+           5 AS n_filter_types
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Full PNG decode through Spark: per doc a deterministic raster "
+    "(pixel(k) = (doc_id*31 + k) mod 256; grayscale for even ids, RGB "
+    "for odd) is encoded as a real non-interlaced 8-bit PNG whose "
+    "scanline filters cycle None/Sub/Up/Average/Paeth, then decoded by "
+    "the pure-numpy chunk-parse + stdlib-inflate + unfilter decoder "
+    "(functions/multimodal.decode_png) inside an Arrow mapInPandas "
+    "batch. n_filter_types re-parses the IDAT stream and counts "
+    "distinct filter bytes (always 5, h >= 8), proving the unfilter "
+    "branches all ran; the oracle recomputes the pixel sum in closed "
+    "form. Only JPEG remains behind the documented NotImplementedError "
+    "(needs libjpeg). Reference has no image path at all (extension "
+    "string checks only, reference utils.py) — this is engine surface "
+    "beyond parity.",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return d.mapInPandas(_decode_png_batches, schema=PNG_SCHEMA).orderBy("doc_id")

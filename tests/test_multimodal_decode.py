@@ -6,7 +6,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from python_btc_etl_spark.functions.multimodal import decode_image, resize_nearest
+from python_btc_etl_spark.functions.multimodal import (
+    decode_image,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
 
 
 def _ppm(pixels: np.ndarray, magic: bytes, comment: bool = False) -> bytes:
@@ -32,13 +37,60 @@ def test_decode_p6_rgb_with_comment():
     np.testing.assert_array_equal(out, img)
 
 
-def test_decode_rejects_compressed_formats():
+def test_decode_rejects_unsupported_formats():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # PNG signature but no IHDR/IDAT
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 16)
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (12, 9, 2), (10, 13, 3), (9, 8, 4)])
+@pytest.mark.parametrize(
+    "filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]]
+)
+def test_png_round_trip_all_filters(shape, filters):
+    """encode_png → decode_png must be the identity for every color type
+    (gray / gray+alpha / RGB / RGBA) under every scanline filter type,
+    including mixed cycles — this is what exercises each unfilter branch
+    (Sub cumsum, Up vector add, Average/Paeth loops)."""
+    rng = np.random.default_rng(int(np.prod(shape)) + sum(filters))
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = decode_png(encode_png(img, filters))
+    assert back.shape == img.shape
+    assert np.array_equal(back, img)
+
+
+def test_png_dispatch_through_decode_image():
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+def test_png_unsupported_legs_raise_explicitly():
+    import struct
+    from binascii import crc32
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    def png_with_ihdr(depth=8, color=0, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", b"x\x9c\x03\x00\x00\x00\x00\x01")
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):  # 16-bit
+        decode_png(png_with_ihdr(depth=16))
+    with pytest.raises(NotImplementedError):  # palette
+        decode_png(png_with_ihdr(color=3))
+    with pytest.raises(NotImplementedError):  # Adam7
+        decode_png(png_with_ihdr(interlace=1))
 
 
 def test_resize_nearest_downscale_and_upscale():
