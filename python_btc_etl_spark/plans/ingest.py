@@ -208,3 +208,86 @@ def binaryfile_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     ).orderBy("file_name")
+
+
+@query(
+    "ingest_incremental_e2e",
+    oracle=f"""
+    WITH bars AS ({_DUCK_RAW})
+    SELECT (SELECT count(*) FROM glob('{CORPUS}/*.csv')
+            WHERE regexp_matches(file, 'btcusd-\\d{{4}}-\\d{{2}}-\\d{{2}}\\.csv$'))
+               AS n_files,
+           0 AS rerun_new_files,
+           0 AS rerun_new_rows,
+           count(*) AS n_rows,
+           count(DISTINCT CAST(date_time AS DATE)) AS n_days,
+           strftime(min(date_time), '%Y-%m-%d %H:%M:%S') AS first_minute,
+           strftime(max(date_time), '%Y-%m-%d %H:%M:%S') AS last_minute,
+           CAST(CAST(sum(CAST(CAST(volume_btc AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+               AS total_btc,
+           CAST(CAST(sum(CAST(CAST(volume_currency AS VARCHAR) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+               AS total_currency,
+           min(low_price) AS low_min,
+           max(high_price) AS high_max
+    FROM bars
+    """,
+    doc="D1 idempotent ingest END-TO-END, driver-checkable: runs "
+    "ingest_incremental (sources/csv_bars.py:166-219 — ingestion-log "
+    "anti-join replacing the reference's Redis processed_files set, "
+    "reference utils.py:24-36) TWICE into a fresh temp table, then "
+    "summarizes the PARQUET TABLE THAT WAS WRITTEN (not the input "
+    "plan), so scan, validation, null-filter, timestamp assembly, "
+    "partitioned write, parquet round-trip, and ingestion-log "
+    "bookkeeping are all inside the differential. rerun_new_files/"
+    "rerun_new_rows pin the second run at exactly (0, 0) — the "
+    "idempotence property itself is part of the compared result. The "
+    "oracle recomputes every statistic from the raw CSVs with DuckDB's "
+    "own reader. Aggregates are computed eagerly so the temp table can "
+    "be deleted before returning; the returned one-row DataFrame is "
+    "plain literals.",
+)
+def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.csv_bars import ingest_incremental
+
+    base = tempfile.mkdtemp(prefix="ingest_e2e_")
+    table_path, log_path = f"{base}/bars", f"{base}/ingest_log"
+    try:
+        n1_files, n1_rows = ingest_incremental(spark, CORPUS, table_path, log_path)
+        n2_files, n2_rows = ingest_incremental(spark, CORPUS, table_path, log_path)
+        t = spark.read.parquet(table_path)
+        row = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col("date_time").cast("date")).alias("n_days"),
+            F.date_format(F.min("date_time"), "yyyy-MM-dd HH:mm:ss").alias("first_minute"),
+            F.date_format(F.max("date_time"), "yyyy-MM-dd HH:mm:ss").alias("last_minute"),
+            dsum("volume_btc", 12).alias("total_btc"),
+            dsum("volume_currency", 12).alias("total_currency"),
+            F.min("low_price").alias("low_min"),
+            F.max("high_price").alias("high_max"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = [
+        (
+            n1_files,
+            n2_files,
+            n2_rows,
+            row["n_rows"],
+            row["n_days"],
+            row["first_minute"],
+            row["last_minute"],
+            float(row["total_btc"]),
+            float(row["total_currency"]),
+            float(row["low_min"]),
+            float(row["high_max"]),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_files bigint, rerun_new_files bigint, rerun_new_rows bigint, "
+        "n_rows bigint, n_days bigint, first_minute string, last_minute string, "
+        "total_btc double, total_currency double, low_min double, high_max double",
+    )
