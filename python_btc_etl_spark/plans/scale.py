@@ -333,15 +333,28 @@ _SPREAD_MASKS = (
 )
 
 
-def _spread(expr: str) -> str:
-    e = f"({expr} & {(1 << Z_BITS) - 1})"
+def with_zval(df: DataFrame, c1: str, c2: str, out: str = "zval") -> DataFrame:
+    """Append the Morton z-value of (c1, c2) as column ``out``.
+
+    Each ``x = (x | x << s) & m`` step lands in its OWN projection alias
+    (withColumn chain), so every intermediate is bound once and the plan
+    really is ~20 long ops per row. A single interpolated SQL string
+    would nest the accumulated expression twice per step — 2^5 copies of
+    the base expression (~127 operator nodes per spread), leaning on
+    subexpression elimination to avoid 32x re-evaluation. Catalyst's
+    CollapseProject keeps multiply-referenced non-trivial aliases bound,
+    and the whole chain still fuses into one codegen stage.
+    """
+    lo_mask = (1 << Z_BITS) - 1
+    ta, tb = f"__{out}_a", f"__{out}_b"
+    df = df.withColumn(ta, F.col(c1).cast("long").bitwiseAND(F.lit(lo_mask)))
+    df = df.withColumn(tb, F.col(c2).cast("long").bitwiseAND(F.lit(lo_mask)))
     for sh, mask in _SPREAD_MASKS:
-        e = f"(({e} | shiftleft({e}, {sh})) & {mask})"
-    return e
-
-
-def _z_expr(c1: str, c2: str) -> str:
-    return f"({_spread(c1)} | shiftleft({_spread(c2)}, 1))"
+        for t in (ta, tb):
+            df = df.withColumn(
+                t, F.col(t).bitwiseOR(F.shiftleft(F.col(t), sh)).bitwiseAND(F.lit(mask))
+            )
+    return df.withColumn(out, F.col(ta).bitwiseOR(F.shiftleft(F.col(tb), 1))).drop(ta, tb)
 
 
 def _sql_z_expr(c1: str, c2: str) -> str:
@@ -388,7 +401,7 @@ def _sql_z_expr(c1: str, c2: str) -> str:
 )
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    z = li.withColumn("zval", F.expr(_z_expr("l_partkey", "l_suppkey")))
+    z = with_zval(li, "l_partkey", "l_suppkey")
     rng = z.agg(F.min("zval").alias("zmin"), F.max("zval").alias("zmax"))
     b = z.crossJoin(F.broadcast(rng)).withColumn(
         "bucket",

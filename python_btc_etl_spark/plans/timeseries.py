@@ -717,7 +717,7 @@ def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "max_concurrent_sessions",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id)
                         <= INTERVAL 30 MINUTE
@@ -726,7 +726,7 @@ def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
                ts
         FROM gaps
@@ -778,9 +778,12 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("new_session", F.when(gap_ok, 0).otherwise(1))
         .withColumn(
             "sid",
+            # (ts, event_id) tie-break, matching the gaps lag and the
+            # repo's pinned-tie-break invariant: two same-user events at
+            # an identical timestamp must assign sids deterministically.
             F.sum("new_session").over(
                 PW.partitionBy("user_id")
-                .orderBy("ts")
+                .orderBy("ts", "event_id")
                 .rowsBetween(PW.unboundedPreceding, 0)
             ),
         )

@@ -182,7 +182,17 @@ class JsonDirWriter(DataSourceWriter):
     This is the sink-side mirror of the reader's exactly-once story
     (reference analogue: the Redis processed-set guarding re-inserts,
     reference btc_etl.py:137-147 — here the atomicity is filesystem
-    rename, no external state)."""
+    rename, no external state).
+
+    Deployment constraint: write() creates temp files on the executor's
+    local disk and commit() renames them driver-side, so the two-phase
+    guarantee holds only when driver and executors share one filesystem
+    (local mode — this repo's bench target — or a shared mount/NFS). On
+    a multi-node cluster, point ``path`` at shared storage or use the
+    built-in file sinks, whose commit protocol ships commit messages,
+    not paths. ``_SUCCESS`` describes the files of the LATEST commit
+    (per-commit manifest semantics, like a streaming sink's per-batch
+    log); on append it does not enumerate files from earlier commits."""
 
     def __init__(self, options, overwrite: bool) -> None:
         self.path = options.get("path")
@@ -214,7 +224,12 @@ class JsonDirWriter(DataSourceWriter):
                     os.remove(os.path.join(self.path, f))
         manifest = []
         for m in messages:
-            final = m.tmp_path.replace(".tmp", "").replace("/.part-", "/part-")
+            # Transform ONLY the basename (".part-<id>.jsonl.tmp" →
+            # "part-<id>.jsonl"): a str.replace over the whole path would
+            # also rewrite a user-supplied directory that happens to
+            # contain ".tmp" or "/.part-", renaming into the wrong place.
+            d, base = os.path.dirname(m.tmp_path), os.path.basename(m.tmp_path)
+            final = os.path.join(d, base.removeprefix(".").removesuffix(".tmp"))
             os.rename(m.tmp_path, final)
             manifest.append({"file": os.path.basename(final), "rows": m.n_rows})
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:

@@ -9,7 +9,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from python_btc_etl_spark.plans.scale import Z_BITS, _sql_z_expr, _z_expr
+from python_btc_etl_spark.plans.scale import Z_BITS, _sql_z_expr, with_zval
 
 
 def _interleave_ref(a: int, b: int) -> int:
@@ -60,12 +60,9 @@ def test_spark_and_duckdb_exprs_equal_reference(spark):
 
     vals = [(i * 7919 % (1 << Z_BITS), i * 104729 % (1 << Z_BITS)) for i in range(64)]
     df = spark.createDataFrame(vals, "a long, b long")
-    df.createOrReplaceTempView("morton_probe")
     got = [
         r["z"]
-        for r in spark.sql(
-            f"SELECT {_z_expr('a', 'b')} AS z FROM morton_probe ORDER BY a, b"
-        ).collect()
+        for r in with_zval(df, "a", "b", "z").select("a", "b", "z").orderBy("a", "b").collect()
     ]
     want = [_interleave_ref(a, b) for a, b in sorted(vals)]
     assert got == want

@@ -51,3 +51,13 @@ def test_verify_join_still_broadcasts_at_test_scale(spark):
     joins must carry the measured-4x broadcast hint."""
     df = plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_SMALL)
     assert "BroadcastHashJoin" in _explained(df)
+
+
+def test_zorder_spread_plan_stays_linear(spark):
+    """with_zval binds each Morton shift-or-mask step to its own alias;
+    the physical plan must contain a LINEAR number of shiftleft nodes
+    (2 spreads x 5 steps + interleave ~ 22 printed), never the 2^5-copy
+    explosion an interpolated SQL string would produce (~250+)."""
+    df = plans.REGISTRY["zorder_layout_stats"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert 0 < plan.count("shiftleft") <= 40, plan.count("shiftleft")

@@ -54,3 +54,22 @@ def test_writer_overwrite_replaces(spark, sf_dir, tmp_path):
         [os.path.join(out, f) for f in files]
     )
     assert back.count() == half.count() == 2
+
+
+def test_writer_path_containing_tmp_and_part_tokens(spark, sf_dir, tmp_path):
+    """Regression: commit() must transform only the BASENAME when building
+    final file names. A sink directory containing '.tmp' or '/.part-' in
+    its own path used to be rewritten by the whole-path str.replace,
+    renaming committed files into a different (nonexistent) directory."""
+    register(spark)
+    out = str(tmp_path / "out.tmp" / ".part-x" / "job")
+    df = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    df.write.format("synthetic_bars").mode("append").option("path", out).save()
+
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert files, os.listdir(out)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["total"] == df.count()
+    back = spark.read.schema(df.schema).json([os.path.join(out, f) for f in files])
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
