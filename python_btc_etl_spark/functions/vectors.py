@@ -52,6 +52,11 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Order-deterministic squared L2 distance (left-to-right fold)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
 def plane_weight(p: Column, d: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1]:
     LCG(p*DIM+d) — exact int64 math, mirrored in SQL."""
@@ -92,6 +97,12 @@ def sql_fold_sum(arr: str) -> str:
 
 def sql_dot(a: str, b: str) -> str:
     return sql_fold_sum(f"list_transform(range(1, {DIM} + 1), i -> {a}[i] * {b}[i])")
+
+
+def sql_sq_dist(a: str, b: str) -> str:
+    return sql_fold_sum(
+        f"list_transform(range(1, {DIM} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    )
 
 
 def sql_norm(a: str) -> str:

@@ -466,3 +466,106 @@ def null_key_isolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "cust_fk", "c_mktsegment", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+RANGE_PARTS = 16
+
+
+@query(
+    "range_partition_layout",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           min(event_id) AS id_lo,
+           max(event_id) AS id_hi,
+           {RANGE_PARTS} AS n_parts,
+           0 AS overlap_violations,
+           0 AS unsorted_partitions
+    FROM events
+    """,
+    doc="Range partitioning + within-partition sort — the write layout "
+    "for ordered tables at 100 TB (repartitionByRange gives every "
+    "output file a disjoint key range, so file-level min/max pruning "
+    "answers range predicates; a hash layout cannot). The query "
+    "repartitionByRange(16)s events by event_id, probes the PHYSICAL "
+    "layout with one mapInPandas pass (per-partition min/max/count + "
+    "a cross-batch sortedness check — Arrow batches preserve "
+    "partition-internal order), then asserts the partition intervals "
+    "are pairwise disjoint and each partition is sorted. The layout "
+    "properties (overlap_violations = 0, unsorted_partitions = 0, "
+    "n_parts = 16) plus the row-conservation stats are the compared "
+    "result; Spark's range boundaries themselves are "
+    "sampling-determined and deliberately NOT in the oracle. "
+    "Scale note: the boundary sampling pass is O(parts · sample) and "
+    "the shuffle is one exchange — the same cost ORDER BY pays, but "
+    "unlike a global sort the result stays partition-parallel for "
+    "downstream writes.",
+)
+def range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "events").select("event_id")
+    rp = e.repartitionByRange(RANGE_PARTS, F.col("event_id")).sortWithinPartitions(
+        "event_id"
+    )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("p_lo", T.LongType()),
+            T.StructField("p_hi", T.LongType()),
+            T.StructField("p_rows", T.LongType()),
+            T.StructField("p_sorted", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches):
+        # One mapInPandas invocation == one physical partition; batches
+        # arrive in partition order, so carrying `last` across batches
+        # checks global partition sortedness, not per-batch sortedness.
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        lo = hi = last = None
+        rows, ok = 0, 1
+        for pdf in batches:
+            v = pdf["event_id"]
+            if len(v) == 0:
+                continue
+            if not v.is_monotonic_increasing:
+                ok = 0
+            if last is not None and v.iloc[0] < last:
+                ok = 0
+            last = int(v.iloc[-1])
+            lo = int(v.iloc[0]) if lo is None else lo
+            hi = last
+            rows += len(v)
+        if rows == 0:
+            return
+        yield pd.DataFrame(
+            {"pid": [pid], "p_lo": [lo], "p_hi": [hi], "p_rows": [rows], "p_sorted": [ok]}
+        )
+
+    parts = rp.mapInPandas(probe, schema=probe_schema)
+    w = W.orderBy("p_lo")
+    return (
+        parts.withColumn("prev_hi", F.lag("p_hi").over(w))
+        .agg(
+            F.sum("p_rows").alias("n_rows"),
+            F.min("p_lo").alias("id_lo"),
+            F.max("p_hi").alias("id_hi"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(F.col("p_lo") <= F.col("prev_hi"), 1)).alias(
+                "overlap_violations"
+            ),
+            F.count(F.when(F.col("p_sorted") == 0, 1)).alias("unsorted_partitions"),
+        )
+        .select(
+            "n_rows",
+            "id_lo",
+            "id_hi",
+            F.col("n_parts").cast("int").alias("n_parts"),
+            F.col("overlap_violations").cast("int").alias("overlap_violations"),
+            F.col("unsorted_partitions").cast("int").alias("unsorted_partitions"),
+        )
+    )

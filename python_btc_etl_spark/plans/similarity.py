@@ -508,3 +508,134 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) — distributed iterative clustering
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2  # unrolled assign->update rounds (both engines identical)
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids against the
+    corpus (the corpus never shuffles for assignment), order-deterministic
+    squared-L2 fold, (distance, cluster) tie-break."""
+    from pyspark.sql.window import Window as PW
+
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "d", VX.sq_dist(F.col("v"), F.col("cv"))
+    )
+    w = PW.partitionBy("vec_id").orderBy("d", "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster")
+    )
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update as (cluster, dim, cval, n_members) rows.
+
+    The per-dimension mean uses an ORDERED fold (collect members sorted
+    by vec_id, then left-to-right sum) so both engines produce the exact
+    same IEEE doubles — the differential-determinism harness. Production
+    at 100 TB uses a plain `sum(val)/count(*)` partial aggregate instead
+    (order-dependent but statistically irrelevant); the plan shape —
+    explode to (cluster, dim) keys, one shuffle, reassemble — is the
+    same either way, and the (cluster, dim) key space (K x DIM) is tiny
+    however large the corpus."""
+    expl = assigned.select(
+        "cluster", "vec_id", F.posexplode("v").alias("dim0", "val")
+    ).withColumn("dim", F.col("dim0") + 1)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("vec_id", "val"))), lambda x: x["val"]
+    )
+    return expl.groupBy("cluster", "dim").agg(
+        (F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x) / F.count(F.lit(1))).alias(
+            "cval"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _kmeans_reassemble(update: DataFrame) -> DataFrame:
+    return update.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda x: x["cval"]
+        ).alias("cv")
+    )
+
+
+_SQL_KM_DIST = VX.sql_sq_dist("e.v", "c.cv")
+
+
+@query(
+    "kmeans_lloyd_centroids",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, (embedding::DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    a1 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_DIST}, c.cluster) AS rn
+            FROM e, c0 c)
+        WHERE rn = 1
+    ),
+    x1 AS (
+        SELECT cluster, t.i AS dim, v[t.i] AS val, vec_id
+        FROM a1, unnest(range(1, {VX.DIM} + 1)) AS t(i)
+    ),
+    u1 AS (
+        SELECT cluster, dim,
+               list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) / count(*) AS cval
+        FROM x1 GROUP BY cluster, dim
+    ),
+    c1 AS (SELECT cluster, list(cval ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+    a2 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_DIST}, c.cluster) AS rn
+            FROM e, c1 c)
+        WHERE rn = 1
+    ),
+    x2 AS (
+        SELECT cluster, t.i AS dim, v[t.i] AS val, vec_id
+        FROM a2, unnest(range(1, {VX.DIM} + 1)) AS t(i)
+    )
+    SELECT cluster, dim,
+           list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y) / count(*) AS cval,
+           count(*) AS n_members
+    FROM x2 GROUP BY cluster, dim
+    ORDER BY cluster, dim
+    """,
+    doc=f"K-means via {KMEANS_ITERS} unrolled Lloyd iterations over the "
+    f"embedding corpus: deterministic init (vec_id < {KMEANS_K} as "
+    "seeds), nearest-centroid assignment by broadcast-join + "
+    "order-deterministic squared-L2 fold with (distance, cluster) "
+    "tie-break, centroid update by posexplode to (cluster, dim) keys "
+    "+ ordered-fold mean (exact cross-engine doubles; see "
+    "_kmeans_update for the production sum/count variant). Output is "
+    f"the final {KMEANS_K} x {VX.DIM} centroid matrix as scalar "
+    "(cluster, dim, cval, n_members) rows. The iterative-ML "
+    "plan shape: per iteration one broadcast (K centroids), zero "
+    "corpus shuffles for assignment, one tiny-key shuffle for the "
+    "update — at 100 TB the corpus scan dominates and parallelizes "
+    "perfectly; iterations chain as unrolled plan stages exactly as "
+    "here (with localCheckpoint lineage truncation past ~10 rounds, "
+    "cf. plans/graph.py).",
+)
+def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    update = None
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(vecs, cents)
+        update = _kmeans_update(assigned)
+        cents = _kmeans_reassemble(update)
+    return update.select("cluster", "dim", "cval", "n_members").orderBy("cluster", "dim")

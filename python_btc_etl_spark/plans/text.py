@@ -269,3 +269,117 @@ def repetition_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (planted, like the dedup corpora)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no PII, so — exactly like the dedup
+# suite's planted duplicates — both engines append deterministic PII to
+# a known subset of docs, then the operator must find and scrub ALL of
+# it. The planting is part of the query definition; parity covers the
+# whole detect→redact pipeline.
+PII_EMAIL_EVERY = 10  # doc_id % 10 == 0 gets an email appended
+PII_PHONE_EVERY = 7  # doc_id % 7 == 0 gets a phone number appended
+# Same regex text in Java (Spark) and RE2 (DuckDB): character classes,
+# bounded repeats and literals only — no lookaround, no backrefs.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "pii_redaction_audit",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % {PII_EMAIL_EVERY} = 0
+                       THEN ' contact user' || doc_id || '@example-mail.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % {PII_PHONE_EVERY} = 0
+                       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    scanned AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+               text
+        FROM planted
+    )
+    SELECT count(*) AS n_docs,
+           count(*) FILTER (n_emails > 0) AS docs_with_email,
+           count(*) FILTER (n_phones > 0) AS docs_with_phone,
+           CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           CAST(sum(n_phones) AS BIGINT) AS total_phones,
+           CAST(sum(len(regexp_extract_all(redacted, '{PII_EMAIL_RE}'))
+                    + len(regexp_extract_all(redacted, '{PII_PHONE_RE}'))) AS BIGINT)
+               AS residual_matches,
+           CAST(sum(len(text) - len(redacted)) AS BIGINT) AS chars_removed
+    FROM scanned
+    """,
+    doc="PII detect + redact over the documents corpus (planted "
+    "deterministically on both sides, like the dedup corpora): "
+    "regexp_count finds emails/phones, regexp_replace scrubs them to "
+    "[EMAIL]/[PHONE] tags, and the audit re-scans the REDACTED text — "
+    "residual_matches is computed from the actual scrub output and "
+    "must be 0, so the redaction itself (not just the detection) is "
+    "inside the differential, along with exact match counts and the "
+    "redaction's total character delta. All JVM-side regexp "
+    "expressions (one scan, codegen'd, zero Python); the regex "
+    "dialect is the Java∩RE2 common subset so both engines run the "
+    "identical pattern. The cleaning step every training-data "
+    "pipeline needs before publishing a corpus; at 100 TB this is "
+    "scan-speed work with no shuffle at all until the final one-row "
+    "summary.",
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % PII_EMAIL_EVERY == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example-mail.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % PII_PHONE_EVERY == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scanned = planted.select(
+        "doc_id",
+        "text",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("n_emails") > 0, 1)).alias("docs_with_email"),
+        F.count(F.when(F.col("n_phones") > 0, 1)).alias("docs_with_phone"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(
+            F.regexp_count("redacted", F.lit(PII_EMAIL_RE))
+            + F.regexp_count("redacted", F.lit(PII_PHONE_RE))
+        ).alias("residual_matches"),
+        F.sum(F.length("text") - F.length("redacted")).alias("chars_removed"),
+    )

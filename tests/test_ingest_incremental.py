@@ -45,8 +45,10 @@ def test_multimodal_decode_stub():
 
     from python_btc_etl_spark.functions.multimodal import decode_image, fake_decode_features
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+    with _pytest.raises(NotImplementedError):  # JPEG: genuinely needs libjpeg
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+    with _pytest.raises(ValueError):  # PNG signature but empty body
+        decode_image(b"\x89PNG\r\n\x1a\n")
     f = fake_decode_features(b"abcd" * 3)
     assert f["n_bytes"] == 12
     assert f["checksum"] == (sum(b"abcd") * 3) % 9973
