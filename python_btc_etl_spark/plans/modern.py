@@ -274,3 +274,65 @@ def pipe_sql_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+XML_EVERY = 20  # orders subset for the row-level XML round-trip
+
+
+@query(
+    "xml_roundtrip_orders",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_orderstatus AS status_rt,
+           o_totalprice AS price_rt,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_rt,
+           0 AS n_parse_errors
+    FROM orders
+    WHERE o_orderkey % {XML_EVERY} = 0
+    ORDER BY o_orderkey
+    """,
+    doc="Native XML support (Spark 4 built-in, no spark-xml package): "
+    "each selected order is serialized with to_xml(struct(...)) and "
+    "parsed back with from_xml against an explicit schema; the "
+    "row-level differential compares the ROUND-TRIPPED values against "
+    "the oracle's direct read of the base table, so serializer, "
+    "parser, and schema mapping are all inside the check "
+    "(n_parse_errors pins from_xml's PERMISSIVE null-on-failure at "
+    "zero). The XML *file* datasource leg (spark.read.format('xml'), "
+    "rowTag) is exercised in tests/test_formats.py. Both directions "
+    "are JVM-side expressions — at 100 TB XML ingest parallelizes "
+    "per-file/per-row with no Python involved.",
+)
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % XML_EVERY == 0)
+    xml = o.select(
+        "o_orderkey",
+        F.to_xml(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            )
+        ).alias("payload"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        F.from_xml("payload", "status STRING, price DOUBLE, odate STRING").alias("s"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("s.status").alias("status_rt"),
+        F.col("s.price").alias("price_rt"),
+        F.col("s.odate").alias("date_rt"),
+        # Real per-row parse check, not a literal: any failed/partial parse
+        # shows as 1 here and breaks the differential against the oracle's 0.
+        F.when(
+            F.col("s").isNull()
+            | F.col("s.status").isNull()
+            | F.col("s.price").isNull()
+            | F.col("s.odate").isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_parse_errors"),
+    ).orderBy("o_orderkey")

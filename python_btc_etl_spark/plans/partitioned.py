@@ -194,3 +194,85 @@ def compacted_events_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Deterministic change-batch classes for the MERGE differential; disjoint
+# by construction (a %13 delete never also updates).
+MERGE_INS_OFFSET = 30_000_000
+
+
+@query(
+    "merge_full_cdc_apply",
+    oracle=f"""
+    WITH changes AS (
+        SELECT o_orderkey AS k, o_totalprice + 1000 AS new_price, 'U' AS op
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 'D'
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + {MERGE_INS_OFFSET}, o_totalprice / 2, 'I'
+        FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT coalesce(o.o_orderkey, c.k) AS o_orderkey,
+           CASE WHEN c.op IN ('U', 'I') THEN c.new_price
+                ELSE o.o_totalprice END AS o_totalprice,
+           CASE WHEN c.op = 'U' THEN 'U'
+                WHEN c.op = 'I' THEN 'I'
+                ELSE o.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IN ('U', 'I') THEN 2 ELSE 1 END AS row_version
+    FROM orders o FULL OUTER JOIN changes c ON c.k = o.o_orderkey
+    WHERE op IS DISTINCT FROM 'D'
+    ORDER BY o_orderkey
+    """,
+    doc="Three-clause MERGE INTO (complement of extended.merge_upsert_orders, which covers update+insert with an aggregate check): a deterministic "
+    "change batch (updates for key%10, deletes for key%13, inserts at "
+    "offset keys for key%25 — classes disjoint by construction) is "
+    "applied to orders via ONE full-outer join on the merge key + CASE "
+    "resolution: WHEN MATCHED AND op='U' THEN UPDATE, AND op='D' THEN "
+    "DELETE, WHEN NOT MATCHED THEN INSERT. This is exactly the "
+    "physical plan Delta/Iceberg MERGE INTO compiles to; at 100 TB the "
+    "join shuffles on the merge key (or co-locates via bucketing — "
+    "sources/formats.write_bucketed — and with a partitioned target "
+    "only touched partitions rewrite, cf. the DPP layout above). The "
+    "full merged relation is the compared result, so every row's "
+    "post-merge value and the survivor set are both in the "
+    "differential.",
+)
+def merge_full_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 10 == 0) & (k % 13 != 0)).select(
+        k.alias("k"),
+        (F.col("o_totalprice") + 1000).alias("new_price"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter(k % 13 == 0).select(
+        k.alias("k"), F.lit(None).cast("double").alias("new_price"), F.lit("D").alias("op")
+    )
+    ins = o.filter(k % 25 == 0).select(
+        (k + MERGE_INS_OFFSET).alias("k"),
+        (F.col("o_totalprice") / 2).alias("new_price"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = o.join(changes, o.o_orderkey == changes.k, "full_outer")
+    return (
+        merged.filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            F.coalesce(o.o_orderkey, F.col("k")).alias("o_orderkey"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("op") == "U", F.lit("U"))
+            .when(F.col("op") == "I", F.lit("I"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("op").isin("U", "I"), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("row_version"),
+        )
+        .orderBy("o_orderkey")
+    )
