@@ -847,3 +847,106 @@ def ps_api_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("n_users").cast("bigint").alias("n_users"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native Python faces: mapInArrow / applyInArrow (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_doc_stats_batches(batches):
+    """mapInArrow worker: pure pyarrow.compute kernels, no pandas
+    materialization — the zero-copy columnar Python face. Output types
+    cast to int64 explicitly (Arrow kernels return int32 where the
+    declared Spark schema is long; the JVM reader does not coerce)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column("text")
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("doc_id"),
+                pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                pc.cast(pc.count_substring(text, " "), pa.int64()),
+            ],
+            names=["doc_id", "n_bytes", "n_spaces"],
+        )
+
+
+@query(
+    "arrow_map_doc_bytes",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="mapInArrow face: per-doc byte length and space count computed "
+    "entirely with pyarrow.compute kernels on the raw Arrow "
+    "RecordBatches — no pandas conversion, no per-row Python. This is "
+    "the lowest-overhead Python execution face (zero-copy Arrow in "
+    "AND out); with mapInPandas, grouped-map/cogrouped applyInPandas, "
+    "grouped-agg pandas_udf, applyInPandasWithState, the Arrow UDTF "
+    "and applyInArrow (below), every Arrow-transfer API face is now "
+    "exercised. Oracle recomputes both stats relationally.",
+)
+def arrow_map_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return d.mapInArrow(
+        _arrow_doc_stats_batches, schema="doc_id long, n_bytes long, n_spaces long"
+    ).orderBy("doc_id")
+
+
+def _arrow_lang_rollup(table):
+    """applyInArrow worker: one Arrow Table per lang group in, one
+    aggregated Table out — pyarrow.compute aggregations only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = table.column("text")
+    n_bytes = pc.sum(pc.binary_length(pc.cast(text, pa.binary()))).as_py() or 0
+    return pa.table(
+        {
+            "lang": pa.array([table.column("lang")[0].as_py()], pa.string()),
+            "n_docs": pa.array([table.num_rows], pa.int64()),
+            "total_bytes": pa.array([int(n_bytes)], pa.int64()),
+            "max_doc_id": pa.array(
+                [pc.max(table.column("doc_id")).as_py()], pa.int64()
+            ),
+        }
+    )
+
+
+@query(
+    "arrow_grouped_lang_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="applyInArrow face (Spark 4 GroupedData.applyInArrow): per-lang "
+    "rollup where each group arrives as ONE pyarrow Table and the "
+    "aggregation runs in pyarrow.compute — the grouped-map pattern "
+    "without the pandas detour. Scale note: like all grouped-map "
+    "faces this shuffles the full group to one worker, so it is for "
+    "bounded groups (a per-lang corpus shard here); unbounded-group "
+    "aggregation belongs in native partial aggregates.",
+)
+def arrow_grouped_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        d.groupBy("lang")
+        .applyInArrow(
+            _arrow_lang_rollup,
+            schema="lang string, n_docs long, total_bytes long, max_doc_id long",
+        )
+        .orderBy("lang")
+    )

@@ -355,3 +355,143 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "component_id", "canonical_id", "doc_len")
         .orderBy("doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer--supplier trade graph
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 3  # unrolled power-iteration rounds, identical in both engines
+PR_TOP = 25
+PR_SUPP_OFFSET = 10_000_000  # supplier node ids, disjoint from custkeys
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) edges of the bipartite customer--supplier
+    graph: an edge where a customer's order contains a supplier's line.
+    One orders x lineitem shuffle join + distinct; both directions are
+    emitted so the walk is over the undirected graph."""
+    from ..catalog import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("supp"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+
+
+@query(
+    "pagerank_trade_graph",
+    oracle="""
+    WITH tp AS (
+        SELECT DISTINCT o.o_custkey AS cust,
+               l.l_suppkey + 10000000 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, supp AS dst FROM tp
+        UNION ALL
+        SELECT supp, cust FROM tp
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (SELECT node, degree, 1.0 / (SELECT n_nodes FROM n) AS rank FROM deg),
+    r1 AS (
+        SELECT d.node, d.degree,
+               CAST(0.15000000000000002 AS DOUBLE) / (SELECT n_nodes FROM n)
+               + CAST(0.85 AS DOUBLE) * list_reduce(list_prepend(0.0,
+                     list(r.rank / r.degree ORDER BY r.node)), (a, b) -> a + b)
+                   AS rank
+        FROM deg d
+        JOIN edges e ON e.dst = d.node
+        JOIN r0 r ON r.node = e.src
+        GROUP BY d.node, d.degree
+    ),
+    r2 AS (
+        SELECT d.node, d.degree,
+               CAST(0.15000000000000002 AS DOUBLE) / (SELECT n_nodes FROM n)
+               + CAST(0.85 AS DOUBLE) * list_reduce(list_prepend(0.0,
+                     list(r.rank / r.degree ORDER BY r.node)), (a, b) -> a + b)
+                   AS rank
+        FROM deg d
+        JOIN edges e ON e.dst = d.node
+        JOIN r1 r ON r.node = e.src
+        GROUP BY d.node, d.degree
+    ),
+    r3 AS (
+        SELECT d.node, d.degree,
+               CAST(0.15000000000000002 AS DOUBLE) / (SELECT n_nodes FROM n)
+               + CAST(0.85 AS DOUBLE) * list_reduce(list_prepend(0.0,
+                     list(r.rank / r.degree ORDER BY r.node)), (a, b) -> a + b)
+                   AS rank
+        FROM deg d
+        JOIN edges e ON e.dst = d.node
+        JOIN r2 r ON r.node = e.src
+        GROUP BY d.node, d.degree
+    )
+    SELECT node, rank, degree,
+           CASE WHEN node >= 10000000 THEN 1 ELSE 0 END AS is_supplier
+    FROM (SELECT *, row_number() OVER (ORDER BY rank DESC, node) AS rn FROM r3)
+    WHERE rn <= 25
+    ORDER BY rank DESC, node
+    """,
+    doc="PageRank (3 unrolled power iterations, damping 0.85) over the "
+    "bipartite customer--supplier trade graph: rank mass flows along "
+    "symmetric edges as rank/degree contributions, re-aggregated per "
+    "target with an ORDERED fold (contributions sorted by source node, "
+    "left-to-right sum) so both engines produce bit-identical doubles "
+    "-- the same determinism harness as kmeans_lloyd_centroids; "
+    "production swaps the fold for a plain partial-aggregate sum. "
+    "Per iteration: one edges x ranks shuffle join + one per-node "
+    "aggregate -- the canonical distributed PageRank round; past ~10 "
+    "rounds add localCheckpoint lineage truncation exactly as the "
+    "label-propagation loop above. Output is the global top-25 nodes "
+    "(TakeOrdered path) with degree and side flag.",
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir).cache()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n_nodes = deg.count()  # one scalar action; the graph is cached
+    ranks = deg.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(PR_ITERS):
+        contribs = edges.join(ranks, edges.src == ranks.node).select(
+            F.col("dst"),
+            F.col("src"),
+            (F.col("rank") / F.col("degree")).alias("contrib"),
+        )
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct("src", "contrib"))),
+            lambda x: x["contrib"],
+        )
+        summed = contribs.groupBy(F.col("dst").alias("node")).agg(
+            F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x).alias("s")
+        )
+        ranks = deg.join(summed, "node").select(
+            "node",
+            "degree",
+            (
+                F.lit((1.0 - PR_DAMPING) / n_nodes) + F.lit(PR_DAMPING) * F.col("s")
+            ).alias("rank"),
+        )
+    w = W.orderBy(F.desc("rank"), "node")
+    return (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PR_TOP)
+        .select(
+            "node",
+            "rank",
+            "degree",
+            F.when(F.col("node") >= PR_SUPP_OFFSET, 1).otherwise(0).alias("is_supplier"),
+        )
+        .orderBy(F.desc("rank"), "node")
+    )
