@@ -336,3 +336,82 @@ def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("n_parse_errors"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "sql_udf_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR)
+                              AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN "
+    "<expr>): the discount-revenue expression is declared once as a "
+    "named SQL function and used inside an aggregate. Unlike external "
+    "UDFs, SQL UDFs are MACRO-EXPANDED by the analyzer into the plan — "
+    "the aggregate still runs fully inside WholeStageCodegen with zero "
+    "per-row call overhead, so this is the correct way to share "
+    "business expressions at 100 TB (the function is free; a Python "
+    "UDF here would serialize every row). Oracle inlines the same "
+    "expression; the session-scoped function name is namespaced to "
+    "avoid cross-query collisions.",
+)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pbe_disc_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               CAST(CAST(sum(CAST(CAST(pbe_disc_rev(l_extendedprice, l_discount)
+                                  AS STRING) AS DECIMAL(24,6))) AS STRING) AS DOUBLE)
+                   AS revenue
+        FROM sqludf_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "scan_file_provenance",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           count(*) AS n_rows,
+           min(event_id) AS id_lo,
+           max(event_id) AS id_hi
+    FROM events
+    GROUP BY 1
+    ORDER BY file_name
+    """,
+    doc="Hidden _metadata scan column: per-source-file row counts and "
+    "key ranges pulled from the parquet reader's file-provenance "
+    "struct (_metadata.file_name) — no path parsing, works under "
+    "splittable reads where input_file_name() semantics get murky. "
+    "The lineage primitive for incremental processing at 100 TB: "
+    "which files fed this result, and what key range each "
+    "contributed (file-level min/max is exactly what manifest-based "
+    "incremental engines store). The oracle pins the known corpus "
+    "layout (one file per table in the test data).",
+)
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("id_lo"),
+            F.max("event_id").alias("id_hi"),
+        )
+        .orderBy("file_name")
+    )
