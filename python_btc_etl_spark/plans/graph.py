@@ -495,3 +495,113 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank"), "node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           n_triangles,
+           CAST(3 * n_triangles AS DOUBLE)
+               / CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS DOUBLE)
+               AS global_clustering
+    FROM tri
+    """,
+    doc="Triangle counting + global clustering coefficient over the "
+    "part co-purchase graph (parts sharing an order are connected). "
+    "The Spark side runs the DEGREE-ORIENTED algorithm (Suri & "
+    "Vassilvitskii's MR node-iterator++ shape): every edge is directed "
+    "from its lower-(degree, id) endpoint, wedges are generated only "
+    "at each triangle's minimum-degree vertex, and a final edge join "
+    "closes them — out-degrees are bounded by O(sqrt(m)), so wedge "
+    "generation never explodes on hub nodes, which is what makes the "
+    "count feasible at 100 TB (the naive id-ordered 3-join the ORACLE "
+    "uses — deliberately a different algorithm arriving at the same "
+    "integer — explodes on hubs). All-integer output plus one "
+    "double ratio with both operands cast identically.",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
+    )
+    # Orient each edge from its lower-(degree, id) endpoint.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    # Close each wedge with the oriented edge between b and c (either
+    # orientation — b<c is id order, the edge's direction is by degree).
+    close = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    )
+    n_tri = wedges.join(close, ["b", "c"]).count()
+    n_edges = edges.count()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    ).collect()[0]
+    row = [
+        (
+            stats["n_nodes"],
+            n_edges,
+            stats["n_wedges"],
+            n_tri,
+            float(3 * n_tri) / float(stats["n_wedges"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_nodes bigint, n_edges bigint, n_wedges bigint, n_triangles bigint, "
+        "global_clustering double",
+    )
