@@ -1942,3 +1942,75 @@ def week_over_week_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("same_weekday_prev"),
         ((F.col("total") - prev) / prev).alias("wow_change"),
     ).orderBy("event_type", "day")
+
+
+# Columns profiled by table_profile_orders; doubles are excluded on
+# purpose (min/max-as-string would hit engine float-formatting
+# differences; the checksum/dsum queries already cover numeric content).
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS ndv,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val, CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d'), strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*) - count(o_orderkey), count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    ORDER BY col
+    """,
+    doc="ANALYZE-style column profile (the statistics CBO join reordering "
+    "and broadcast decisions feed on): per column null count, exact "
+    "NDV, and min/max — computed in ONE scan with a single multi-"
+    "aggregate projection, then unpivoted to (col, stats) rows via "
+    "stack(); the oracle spells it as per-column UNION ALL aggregates. "
+    "Exact countDistinct here is the correctness gate; production "
+    "ANALYZE uses the HLL twin (see approx_distinct_parts / "
+    "hll_union_region_customers) for the same one-pass shape at "
+    "100 TB. Double columns are deliberately out of scope: min/max "
+    "rendered to strings would compare engine float formatting, not "
+    "data (numeric content is covered by the checksum/dsum suites).",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in PROFILE_COLS:
+        # min/max on the NATIVE type, stringified after — min(cast) would
+        # compare lexicographically ('99' > '149') and profile garbage.
+        def as_str(agg_col):
+            return (
+                F.date_format(agg_col, "yyyy-MM-dd")
+                if c == "o_orderdate"
+                else agg_col.cast("string")
+            )
+
+        aggs += [
+            (total - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            as_str(F.min(F.col(c))).alias(f"{c}__min"),
+            as_str(F.max(F.col(c))).alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, ndv, min_val, max_val)"
+    ).orderBy("col")

@@ -35,6 +35,11 @@ def test_verify_join_degrades_to_shuffle_past_cap(spark, monkeypatch):
     plan must contain no broadcast join at all — pure shuffle joins, the
     exact plan a 100 TB signature table would get."""
     monkeypatch.setattr(dedup, "VERIFY_BROADCAST_CAP", 0)
+    # Earlier tests may have materialized the shingle cache: a cached
+    # InMemoryRelation keeps the physical plan it was BUILT with (incl.
+    # its broadcast joins) inside the explain text, which would
+    # false-positive the no-BHJ assertion below.
+    spark.catalog.clearCache()
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
