@@ -573,6 +573,12 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # Deliberately NOT cached despite three consumers: A/B-measured
+    # 8.8-13.2 s uncached vs 15.3-18.1 s cached at sf0.1 — the cached
+    # variant serializes materialization of ~1M rows before the wedge
+    # join, while uncached the degree joins recompute inside each
+    # consumer's pipelined stage (edges itself IS cached, so the
+    # recomputation is two cheap in-memory joins, not a rescan).
     oriented = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
