@@ -1092,3 +1092,76 @@ def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_surviving",
         (F.col("n_surviving").cast("double") / base).alias("survival_rate"),
     ).orderBy("stage")
+
+
+@query(
+    "group_coherent_split_events",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, value,
+               CASE
+                 WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_TRAIN!r} THEN 'train'
+                 WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_VAL!r} THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM events
+    ),
+    leak AS (
+        SELECT CAST(coalesce(sum(n_splits - 1), 0) AS BIGINT) AS leaked_users
+        FROM (SELECT user_id, count(DISTINCT split) AS n_splits
+              FROM tagged GROUP BY user_id)
+    )
+    SELECT split,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           (SELECT leaked_users FROM leak) AS leaked_users
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="GROUP-coherent train/val/test split: the split key is the GROUP "
+    "(user_id), not the row, so every event of a user lands in exactly "
+    "one split — the leakage-prevention form of split_train_val_test "
+    "(row-keyed splitting of correlated rows leaks user behavior from "
+    "train into test; for an LLM corpus the group is the source "
+    "document/domain and the rows are its chunks). leaked_users "
+    "recounts distinct splits per user from the tagged rows themselves "
+    "and must be 0 — the invariant is computed, not assumed. Same "
+    "md5-first-hex-digit bucketing: reshard/rerun-stable at 100 TB, "
+    "one scan, one hash agg.",
+)
+def group_coherent_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_hex = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(first_hex.isin(*SPLIT_TRAIN), "train")
+        .when(first_hex.isin(*SPLIT_VAL), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.coalesce(F.sum(F.col("n_splits") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("leaked_users")
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_users", "n_events", "total_value", "leaked_users")
+        .orderBy("split")
+    )
