@@ -257,3 +257,32 @@ def stream_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup_then_window(spark, sf_dir)
+
+
+@query(
+    "stream_update_mode_counts",
+    oracle="""
+    SELECT event_type,
+           count(*) AS final_count,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+               AS final_total_value,
+           count(DISTINCT event_id % 8) AS n_emissions
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="UPDATE output mode over real multiple micro-batches (events "
+    "pre-sliced into 8 files on event_id % 8, drained one file per "
+    "batch): the sink accumulates one row per changed-key emission, so "
+    "per event_type the final running count/sum must equal the batch "
+    "aggregate AND the emission count must equal the number of slices "
+    "containing that type — all batch-order-independent, hence "
+    "oracle-checkable. Completes the output-mode matrix: append "
+    "(stream_ohlcv_5min et al.), complete (stream_topk_users_complete), "
+    "update (this). See streaming/file_stream.run_stream_update_mode_"
+    "counts for the changelog-sink scale rationale.",
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.file_stream import run_stream_update_mode_counts
+
+    return run_stream_update_mode_counts(spark, sf_dir)

@@ -490,3 +490,80 @@ def run_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark_.table("stream_dedup_window").orderBy("day", "event_type")
+
+
+N_UPDATE_SLICES = 8
+
+
+def run_stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode across REAL multiple micro-batches.
+
+    Complete mode re-emits every key per batch and append mode emits a
+    key once; update mode emits exactly the keys whose aggregate CHANGED
+    in that batch — the changelog face none of the other stream queries
+    exercise. To make the emission pattern oracle-checkable, events are
+    first laid out as N_UPDATE_SLICES parquet files keyed on
+    ``event_id % 8`` (a DETERMINISTIC slicing both engines can compute —
+    repartition(8) would hash rows engine-internally), and the stream
+    drains them one file per micro-batch. The update-mode memory sink
+    then accumulates one row per (key, emission); per event_type the
+    final running count equals the batch count, and the number of
+    emissions equals the number of slices containing that type —
+    batch-ORDER-independent, so the differential is deterministic even
+    though intermediate counts are not. State is the running per-key
+    aggregate, O(|keys|), the same state complete mode would carry —
+    update mode's win at 100 TB is the SINK volume: changed rows per
+    batch instead of the full result table."""
+    import os
+    from pathlib import Path
+
+    ensure_session_confs(spark)
+    root = Path(__file__).resolve().parents[2]
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = str(root / "spark-warehouse" / f"events_slices_{sfname}")
+    if not os.path.exists(os.path.join(path, "_SLICED")):
+        src = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict((f.name, f.dataType.simpleString()) for f in src.schema).get("ts") == "bigint":
+            src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        (
+            src.withColumn("slice", F.col("event_id") % N_UPDATE_SLICES)
+            .repartition("slice")
+            .write.mode("overwrite")
+            .partitionBy("slice")
+            .parquet(path)
+        )
+        with open(os.path.join(path, "_SLICED"), "w") as fh:
+            fh.write(str(N_UPDATE_SLICES))
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    counts = raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
+    name = "stream_update_counts"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name)
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.max("n").alias("final_count"),
+            F.max_by("total_value", F.col("n")).alias("final_total_value"),
+            F.count(F.lit(1)).alias("n_emissions"),
+        )
+        .orderBy("event_type")
+    )
