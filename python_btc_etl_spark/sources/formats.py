@@ -19,6 +19,13 @@ practices that matter at 100 TB:
   ``method='multi'`` multi-row INSERT). Gated: no database exists in the
   test container, so ``read_jdbc``/``write_jdbc`` build the reader/writer
   but only execute when a URL is supplied by the caller.
+
+Boundary: Avro is NOT wired — it has been an external module since
+Spark 2.4 (org.apache.spark:spark-avro_*) and the jar is absent in this
+container (no network to fetch packages; probed, fails with "Failed to
+find data source: avro"). On a real cluster add the spark-avro package
+and ``read_any``/``write_any`` accept ``fmt="avro"`` unchanged — the
+helpers don't allowlist formats.
 """
 
 from __future__ import annotations
