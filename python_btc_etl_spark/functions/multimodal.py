@@ -303,3 +303,57 @@ def sample_frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(
             {"doc_id": doc_ids, "frame_idx": idxs, "frame_sha": shas, "frame_bytes": sizes}
         )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure numpy + struct decoder for PCM WAV (RIFF/WAVE).
+
+    Returns (samples, sample_rate); samples are int16 shaped (n,) for
+    mono or (n, channels) otherwise. Chunk-walks the RIFF container
+    (fmt / data; other chunks skipped), supports format tag 1 (integer
+    PCM) at 16-bit depth — the overwhelmingly common storage form.
+    Compressed codecs (MP3/AAC/FLAC) genuinely need codec libraries and
+    stay out of scope, like JPEG on the image side.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"WAV format tag {audio_format} (only PCM=1)")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit WAV (only 16-bit PCM)")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return samples, sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal 16-bit PCM WAV writer (decode_wav's inverse)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    channels = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks

@@ -345,3 +345,68 @@ def _decode_png_batches(batches):
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select("doc_id")
     return d.mapInPandas(_decode_png_batches, schema=PNG_SCHEMA).orderBy("doc_id")
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField(c, T.LongType())
+        for c in ("doc_id", "n_samples", "channels", "sample_rate", "amp_sum")
+    ]
+)
+
+
+def _decode_wav_batches(batches):
+    """mapInPandas worker: synthesize deterministic 16-bit PCM per doc
+    (sample(k) = ((doc_id*31 + k) mod 65536) - 32768; mono for even
+    ids, stereo for odd), container it as a REAL RIFF/WAVE stream, and
+    decode it back with the pure-numpy WAV reader — the audio leg's
+    equivalent of the PNG round-trip."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_wav, encode_wav
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n, c = 64 + d % 32, 1 + d % 2
+            rate = 8000 + (d % 4) * 4000
+            pcm = (((d * 31 + np.arange(n * c)) % 65536) - 32768).astype(np.int16)
+            pcm = pcm.reshape(n) if c == 1 else pcm.reshape(n, c)
+            back, got_rate = decode_wav(encode_wav(pcm, rate))
+            assert got_rate == rate and np.array_equal(back, pcm)
+            rows.append((d, n, c, rate, int(back.astype(np.int64).sum())))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "channels", "sample_rate", "amp_sum"]
+        )
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           64 + doc_id % 32 AS n_samples,
+           1 + doc_id % 2 AS channels,
+           8000 + (doc_id % 4) * 4000 AS sample_rate,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, (64 + doc_id % 32) * (1 + doc_id % 2)),
+                              k -> CAST((doc_id * 31 + k) % 65536 - 32768 AS BIGINT))),
+               (x, y) -> x + y) AS amp_sum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Audio decode through Spark: per doc a deterministic 16-bit PCM "
+    "signal (mono/stereo by parity, varying sample rates) is wrapped "
+    "in a real RIFF/WAVE container and decoded by the pure-numpy WAV "
+    "reader (functions/multimodal.decode_wav: chunk walk, fmt parse, "
+    "int16 frombuffer + channel reshape) inside an Arrow mapInPandas "
+    "batch; the oracle recomputes sample counts and amplitude sums in "
+    "closed form. Upgrades the audio leg from stub to real decode, "
+    "like decode_png for images; compressed codecs (MP3/AAC/FLAC) "
+    "remain behind NotImplementedError as they genuinely need codec "
+    "libraries.",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return d.mapInPandas(_decode_wav_batches, schema=WAV_SCHEMA).orderBy("doc_id")

@@ -108,3 +108,29 @@ def test_resize_rgb_keeps_channels():
     out = resize_nearest(img, 2, 3)
     assert out.shape == (2, 3, 3)
     np.testing.assert_array_equal(out, img[::2, ::2])
+
+
+@pytest.mark.parametrize("shape,rate", [((100,), 8000), ((64, 2), 44100), ((33, 4), 22050)])
+def test_wav_round_trip(shape, rate):
+    from python_btc_etl_spark.functions.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(int(np.prod(shape)))
+    s = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+    back, got = decode_wav(encode_wav(s, rate))
+    assert got == rate and back.shape == s.shape and np.array_equal(back, s)
+
+
+def test_wav_unsupported_legs():
+    import struct
+
+    from python_btc_etl_spark.functions.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a riff stream")
+    # format tag 3 (IEEE float) and 8-bit depth raise explicitly
+    fmt_float = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt_float
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav)
