@@ -383,3 +383,81 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("residual_matches"),
         F.sum(F.length("text") - F.length("redacted")).alias("chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) via the first-occurrence rewrite
+# ---------------------------------------------------------------------------
+
+HEAPS_CHECKPOINTS = 10
+
+
+@query(
+    "vocab_growth_heaps",
+    oracle=f"""
+    WITH maxid AS (SELECT max(doc_id) AS m FROM documents),
+    ck AS (
+        SELECT t.i AS checkpoint,
+               ((SELECT m FROM maxid) + 1) * t.i / {HEAPS_CHECKPOINTS} - 1 AS hi
+        FROM unnest(range(1, {HEAPS_CHECKPOINTS} + 1)) AS t(i)
+    ),
+    w AS (
+        SELECT d.doc_id, u.w
+        FROM (SELECT doc_id, {TX.sql_words('text')} AS ws FROM documents) d,
+             unnest(d.ws) AS u(w)
+    ),
+    first_occ AS (SELECT w, min(doc_id) AS first_doc FROM w GROUP BY w),
+    tok AS (SELECT doc_id, count(*) AS n_tok FROM w GROUP BY doc_id)
+    SELECT c.checkpoint,
+           CAST(c.hi AS BIGINT) AS max_doc_id,
+           (SELECT count(*) FROM first_occ f WHERE f.first_doc <= c.hi) AS vocab_size,
+           (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM tok
+            WHERE doc_id <= c.hi) AS tokens_cum
+    FROM ck c
+    ORDER BY c.checkpoint
+    """,
+    doc="Heaps'-law vocabulary growth curve: distinct-vocabulary size "
+    "after each tenth of the corpus (in doc_id order) with cumulative "
+    "token counts — the tokenizer-budget planning curve. The naive "
+    "form is a distinct-count over every growing prefix (quadratic "
+    "work, or an ever-growing dedup state); the relational rewrite "
+    "computes each word's FIRST-occurrence doc once (one explode + "
+    "min-aggregate) and then vocab(checkpoint) is a simple filtered "
+    "count over first occurrences — one shuffle on the word key "
+    "regardless of checkpoint count, fully scalable. Both engines run "
+    "the same rewrite.",
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    w = d.select("doc_id", F.explode(TX.words(F.col("text"))).alias("w"))
+    first_occ = w.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    tok = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    max_id = d.agg(F.max("doc_id").alias("m"))
+    ck = (
+        spark.range(1, HEAPS_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "checkpoint")
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            "checkpoint",
+            ((F.col("m") + 1) * F.col("checkpoint") / HEAPS_CHECKPOINTS - 1)
+            .cast("bigint")
+            .alias("max_doc_id"),
+        )
+    )
+    vocab = (
+        ck.join(first_occ, first_occ.first_doc <= ck.max_doc_id, "left")
+        .groupBy("checkpoint", "max_doc_id")
+        .agg(F.count("w").alias("vocab_size"))
+    )
+    tokens = (
+        ck.join(tok, tok.doc_id <= ck.max_doc_id, "left")
+        .groupBy(F.col("checkpoint").alias("ck2"))
+        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("tokens_cum"))
+    )
+    return (
+        # F.col, not vocab.checkpoint: attribute access collides with the
+        # DataFrame.checkpoint METHOD and returns the bound function.
+        vocab.join(tokens, F.col("checkpoint") == F.col("ck2"))
+        .select("checkpoint", "max_doc_id", "vocab_size", "tokens_cum")
+        .orderBy("checkpoint")
+    )
