@@ -357,3 +357,166 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (variable code width, clear/EOI codes)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    dict_init = {(i,): i for i in range(1 << min_code_size)}
+    table = dict(dict_init)
+    next_code, width = eoi + 1, min_code_size + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    seq: tuple[int, ...] = ()
+    for px in indices.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        out_bits.append((table[seq], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > (1 << 12):
+            out_bits.append((clear, width))
+            table = dict(dict_init)
+            next_code, width = eoi + 1, min_code_size + 1
+        seq = (px,)
+    if seq:
+        out_bits.append((table[seq], width))
+    out_bits.append((eoi, width))
+    # LSB-first bit packing
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW decoder (the _lzw_compress inverse)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+    width = min_code_size + 1
+    acc = n = pos = 0
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_pixels:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            # widen AFTER appending: the encoder widens when next_code
+            # overflows the current width
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.array(out[:n_pixels], dtype=np.uint8)
+
+
+GIF_PALETTE_BITS = 5  # 32-color global palette
+
+
+def gif_palette() -> np.ndarray:
+    """Deterministic 32-color palette: channel ramps (no codec tables)."""
+    k = np.arange(1 << GIF_PALETTE_BITS)
+    return np.stack([(k * 8) % 256, (k * 16 + 3) % 256, (k * 24 + 7) % 256], axis=1).astype(
+        np.uint8
+    )
+
+
+def encode_gif(frames: list[np.ndarray]) -> bytes:
+    """Minimal animated GIF89a writer: global 32-color palette, one
+    image descriptor per frame (no transparency/disposal), REAL LZW."""
+    import struct
+
+    h, w = frames[0].shape
+    pal = gif_palette()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((GIF_PALETTE_BITS - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    for fr in frames:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(GIF_PALETTE_BITS)  # LZW minimum code size
+        data = _lzw_compress(fr.reshape(-1), GIF_PALETTE_BITS)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """Pure numpy + stdlib decoder for non-interlaced GIF87a/89a with a
+    global color table: header parse → block walk (extensions skipped)
+    → per-frame LZW decompression → palette-indexed HxW uint8 frames.
+    Returns the INDEX frames (palette lookup is a separate concern);
+    local color tables and interlacing raise explicitly."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (1 << ((packed & 7) + 1))  # global color table
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top, fw, fh, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x80:
+                raise NotImplementedError("GIF local color tables not supported")
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            frames.append(_lzw_decompress(bytes(data), min_code, fw * fh).reshape(fh, fw))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return frames

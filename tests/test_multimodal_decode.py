@@ -134,3 +134,30 @@ def test_wav_unsupported_legs():
            + b"data" + struct.pack("<I", 0))
     with pytest.raises(NotImplementedError):
         decode_wav(wav)
+
+
+def test_gif_round_trip_with_dict_growth_and_resets():
+    from python_btc_etl_spark.functions.multimodal import (
+        GIF_PALETTE_BITS,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 1 << GIF_PALETTE_BITS, size=(9, 13)).astype(np.uint8)
+        for _ in range(3)
+    ]
+    back = decode_gif(encode_gif(frames))
+    assert len(back) == 3 and all(np.array_equal(a, b) for a, b in zip(frames, back))
+    # long runs force LZW dictionary growth past several width bumps
+    big = np.zeros((64, 300), dtype=np.uint8)
+    big[::2] = 7
+    assert np.array_equal(decode_gif(encode_gif([big]))[0], big)
+
+
+def test_gif_unsupported_legs():
+    from python_btc_etl_spark.functions.multimodal import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"JIF89a" + b"\x00" * 16)
