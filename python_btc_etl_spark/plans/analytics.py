@@ -2014,3 +2014,73 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, ndv, min_val, max_val)"
     ).orderBy("col")
+
+
+RFM_BUCKETS = 4
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               {sql_dsum('o_totalprice', 2)} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY last_order DESC, custkey) AS r,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, custkey) AS f,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, custkey) AS m
+        FROM per_cust
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           CAST(r * 100 + f * 10 + m AS BIGINT) AS segment_code
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+    doc="RFM segmentation (the classic customer-analytics composite): "
+    "one orders scan -> per-customer recency/frequency/monetary, then "
+    "three ntile quartile scores (each ordered DESC with a custkey "
+    "tie-break so bucket assignment is deterministic in both engines; "
+    "1 = best) and the 4x4x4 segment-size grid. Monetary uses the "
+    "exact decimal sum so the ranking keys are bit-identical "
+    "cross-engine. Scale note: the three global ntiles are "
+    "single-partition sorts over the CUSTOMER aggregate (orders of "
+    "magnitude smaller than the fact table); at extreme customer "
+    "counts the cutpoints come from approx quantiles + width_bucket "
+    "exactly as decile_stats_order_totals documents.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", 2).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "custkey",
+        F.ntile(RFM_BUCKETS).over(PW.orderBy(F.desc("last_order"), "custkey")).alias("r"),
+        F.ntile(RFM_BUCKETS).over(PW.orderBy(F.desc("frequency"), "custkey")).alias("f"),
+        F.ntile(RFM_BUCKETS).over(PW.orderBy(F.desc("monetary"), "custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "r",
+            "f",
+            "m",
+            "n_customers",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("bigint")
+            .alias("segment_code"),
+        )
+        .orderBy("r", "f", "m")
+    )
