@@ -1,14 +1,24 @@
 """Multimodal column support (E-MM, SURVEY.md §2.B): opaque binary
 payloads with typed metadata, and Arrow-batched feature extraction.
 
-The container has no codec libraries, so :func:`decode_image` is a
-REAL pure-numpy decoder for the uncompressed netpbm family (P5/P6 —
-no codec needed, just header parse + strided reshape), zlib-deflated
-netpbm streams (stdlib inflate), and non-interlaced 8-bit PNG
-(:func:`decode_png`: chunk parse + IDAT inflate + scanline unfilter,
-all five filter types). Only JPEG raises ``NotImplementedError``
-(DCT entropy coding genuinely needs libjpeg — wire Pillow/opencv
-there on a real cluster).
+The container has no codec libraries, so the decoders here are REAL
+pure-numpy/stdlib implementations, one per modality:
+
+- images — :func:`decode_image`: uncompressed netpbm (P5/P6),
+  zlib-deflated netpbm streams, and non-interlaced 8-bit PNG
+  (:func:`decode_png`: chunk parse + IDAT inflate + scanline
+  unfilter, all five filter types);
+- audio — :func:`decode_wav`: RIFF/WAVE chunk walk + 16-bit PCM
+  frombuffer/channel reshape;
+- video — :func:`decode_gif`: animated GIF87a/89a block walk with a
+  real variable-width LZW decompressor (clear-code resets,
+  dictionary growth to 12 bits), one palette-index frame per image
+  descriptor.
+
+Each has an encoder inverse so queries can prove full round-trips.
+Entropy-coded formats (JPEG, MP3/AAC/FLAC) raise
+``NotImplementedError`` — those genuinely need codec libraries; wire
+Pillow/opencv/ffmpeg there on a real cluster.
 :func:`fake_decode_features` remains the deterministic stand-in used
 by the oracle-checked feature pipeline so the Spark-side plumbing —
 BinaryType schema, ``mapInPandas`` batch shape, Arrow transfer — is
