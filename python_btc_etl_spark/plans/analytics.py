@@ -2084,3 +2084,114 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+CMS_EPS = 0.001  # overestimate bound: eps * n_rows
+CMS_CONF = 0.99
+CMS_SEED = 42
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT event_type,
+           count(*) AS exact_count,
+           1 AS within_bounds
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Count-min sketch heavy hitters (the count_min_sketch SQL "
+    f"aggregate, eps={CMS_EPS}, confidence={CMS_CONF}, fixed "
+    "seed): the sketch is built distributed (per-partition sketches "
+    "merged associatively — the same mergeable-state story as the HLL "
+    "queries) and each event type's estimate is then audited against "
+    "the exact count: CMS never underestimates, and the overestimate "
+    "is bounded by eps*N — within_bounds carries BOTH checks per key "
+    "and the oracle pins it at 1. The exact twin is the correctness "
+    "gate; at 100 TB you keep only the sketch (constant memory, "
+    "mergeable across partitions/days). The CMS answers point "
+    "frequency queries the HLL cannot, and vice versa.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+
+    e = load(spark, sf_dir, "events").select("event_type")
+    sk_bytes = bytes(
+        e.agg(
+            F.expr(
+                f"count_min_sketch(event_type, {CMS_EPS}d, {CMS_CONF}d, {CMS_SEED})"
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(exact.values())
+    rows = []
+    for etype in sorted(exact):
+        est = sketch.estimateCount(etype)
+        ok = int(exact[etype] <= est <= exact[etype] + CMS_EPS * total)
+        rows.append((etype, exact[etype], ok))
+    return spark.createDataFrame(
+        rows, "event_type string, exact_count bigint, within_bounds int"
+    )
+
+
+@query(
+    "kll_quantile_sketch_audit",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.48) AS p48_exact,
+           quantile_cont(o_totalprice, 0.52) AS p52_exact,
+           1 AS median_within_rank_bounds
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="KLL quantile sketch (Datasketches kll_sketch_agg_double, Spark "
+    "4): per-priority sketches built distributed (per-partition "
+    "sketches merge associatively — the mergeable-quantiles story "
+    "that lets 100 TB percentile rollups re-aggregate from stored "
+    "sketches, the quantile analogue of the HLL/CMS queries) and the "
+    "median estimate audited by RANK bounds: a default-k KLL median "
+    "must land between the exact 48th and 52nd percentiles (rank "
+    "error ~1.7% at 99% confidence). The flag is computed from the "
+    "actual sketch estimate; the oracle recomputes the exact rank "
+    "bounds and pins the flag — so the differential stays "
+    "deterministic even though the sketch's internal sampling is not "
+    "bit-reproducible across engines.",
+)
+def kll_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("percentile(o_totalprice, 0.48d)").alias("p48_exact"),
+            F.expr("percentile(o_totalprice, 0.52d)").alias("p52_exact"),
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "kll_sketch_agg_double(o_totalprice), 0.5d)"
+            ).alias("kll_median"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "p48_exact",
+            "p52_exact",
+            F.when(
+                (F.col("kll_median") >= F.col("p48_exact"))
+                & (F.col("kll_median") <= F.col("p52_exact")),
+                1,
+            )
+            .otherwise(0)
+            .alias("median_within_rank_bounds"),
+        )
+        .orderBy("priority")
+    )
