@@ -2195,3 +2195,91 @@ def kll_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+THETA_TOL = 0.05  # relative tolerance on sampled-mode theta estimates
+
+
+@query(
+    "theta_sketch_set_algebra",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN has_click = 1 OR has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_union,
+           CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_intersection,
+           CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_difference,
+           1 AS union_ok, 1 AS intersection_ok, 1 AS difference_ok
+    FROM per_user
+    """,
+    doc="Theta sketch set algebra (Datasketches, Spark 4): clicker and "
+    "purchaser audiences are sketched independently "
+    "(theta_sketch_agg over user_id with FILTER clauses — one scan, "
+    "per-partition sketches merged associatively) and then "
+    "theta_union / theta_intersection / theta_difference estimate "
+    "|A∪B|, |A∩B|, |A\\\\B| — the audience-overlap operations HLL "
+    "cannot express (HLL only unions). Each estimate is audited "
+    "against the exact per-user flag aggregation within 5% relative "
+    "tolerance; the oracle pins the exact counts and the flags. At "
+    "100 TB you store per-day per-segment theta sketches and answer "
+    "any audience-overlap question without rescanning raw events.",
+)
+def theta_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sk = e.agg(
+        F.expr(
+            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'click')"
+        ).alias("a"),
+        F.expr(
+            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase')"
+        ).alias("b"),
+    ).select(
+        F.expr("theta_sketch_estimate(theta_union(a, b))").alias("est_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(a, b))").alias("est_inter"),
+        F.expr("theta_sketch_estimate(theta_difference(a, b))").alias("est_diff"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    exact = per_user.agg(
+        F.sum(
+            F.when((F.col("has_click") == 1) | (F.col("has_purchase") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("exact_union"),
+        F.sum(
+            F.when((F.col("has_click") == 1) & (F.col("has_purchase") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("exact_intersection"),
+        F.sum(
+            F.when((F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("exact_difference"),
+    )
+
+    def ok(est, exact_col):
+        return (
+            F.abs(F.col(est) - F.col(exact_col))
+            <= F.lit(THETA_TOL) * F.greatest(F.col(exact_col), F.lit(1))
+        ).cast("int")
+
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_union",
+        "exact_intersection",
+        "exact_difference",
+        ok("est_union", "exact_union").alias("union_ok"),
+        ok("est_inter", "exact_intersection").alias("intersection_ok"),
+        ok("est_diff", "exact_difference").alias("difference_ok"),
+    )
