@@ -569,3 +569,82 @@ def range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("unsorted_partitions").cast("int").alias("unsorted_partitions"),
         )
     )
+
+
+SPATIAL_CELL = 2.0  # 2-degree grid cells over the synthetic [0,10) box
+SPATIAL_R2 = 4.0  # squared proximity radius (2.0 deg = cell size)
+
+
+@query(
+    "spatial_grid_proximity_join",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT user_id,
+               CAST((user_id * 7919) % 1000 AS DOUBLE) / 100 AS lat,
+               CAST((user_id * 104729) % 1000 AS DOUBLE) / 100 AS lon
+        FROM events
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+    FROM pts a JOIN pts b ON a.user_id < b.user_id
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon) <= 4.0
+    ORDER BY user_a, user_b
+    """,
+    doc="Spatial proximity join via grid blocking: deterministic synthetic "
+    "coordinates per user (integer hash → [0,10)² box), points bucketed "
+    "into 2° grid cells, and the radius-2 pair search runs as an "
+    "EQUI-join — one side replicated to its 3×3 neighbor cells, the "
+    "other joined on its home cell, so every qualifying pair meets on "
+    "exactly one key (no post-join dedup) and nothing is ever a cross "
+    "product. The geohash/S2-cell pattern every distributed spatial "
+    "join uses: radius ≤ cell size ⇒ 9 keys bound the candidate set "
+    "regardless of table size (radius = cell keeps 3x3 sufficient). The oracle is the unblocked quadratic "
+    "join — complete blocking must reproduce it exactly. Squared "
+    "distance only (identical multiply/add order both engines; no "
+    "sqrt).",
+)
+def spatial_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pts = e.select("user_id").distinct().select(
+        "user_id",
+        (((F.col("user_id") * 7919) % 1000).cast("double") / 100).alias("lat"),
+        (((F.col("user_id") * 104729) % 1000).cast("double") / 100).alias("lon"),
+    )
+    cell = lambda c: F.floor(c / SPATIAL_CELL).cast("int")  # noqa: E731
+    home = pts.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        cell(F.col("lat")).alias("cx"),
+        cell(F.col("lon")).alias("cy"),
+    )
+    probe = (
+        pts.select(
+            F.col("user_id").alias("user_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            cell(F.col("lat")).alias("hx"),
+            cell(F.col("lon")).alias("hy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "user_a",
+            "lat_a",
+            "lon_a",
+            (F.col("hx") + F.col("dx")).alias("cx"),
+            (F.col("hy") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b")) + (
+        F.col("lon_a") - F.col("lon_b")
+    ) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= SPATIAL_R2)
+        .orderBy("user_a", "user_b")
+    )
