@@ -66,3 +66,44 @@ def test_zorder_spread_plan_stays_linear(spark):
     df = plans.REGISTRY["zorder_layout_stats"].fn(spark, SF_SMALL)
     plan = _explained(df)
     assert 0 < plan.count("shiftleft") <= 40, plan.count("shiftleft")
+
+
+def test_spatial_join_is_equi_join_not_nested_loop(spark):
+    """Grid blocking must plan as a hash equi-join on the cell key —
+    a BroadcastNestedLoopJoin would mean the blocking condition fell
+    out of the join keys and the pair search went quadratic."""
+    df = plans.REGISTRY["spatial_grid_proximity_join"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Every Lloyd assignment must broadcast the K centroids against the
+    corpus — the corpus side must never shuffle for assignment."""
+    df = plans.REGISTRY["kmeans_lloyd_centroids"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_profiler_is_single_scan(spark):
+    """table_profile_orders computes all per-column stats in ONE fused
+    aggregate: exactly one parquet scan of orders in the plan. The
+    formatted explain prints every node twice (tree line + detail
+    section), so one physical scan == 2 text occurrences."""
+    df = plans.REGISTRY["table_profile_orders"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_pii_redaction_has_no_shuffle_before_summary(spark):
+    """The detect+redact pipeline is scan-local: one scan, and the only
+    exchanges feed the final one-row summary aggregate (nodes print
+    twice in formatted explain: <=2 real exchanges == <=4 text hits)."""
+    df = plans.REGISTRY["pii_redaction_audit"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
