@@ -950,3 +950,101 @@ def arrow_grouped_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CORRUPT_EVERY = 7  # every 7th JSONL line is deterministically mangled
+
+
+@query(
+    "json_corrupt_records_audit",
+    oracle=f"""
+    WITH numbered AS (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT CAST(sum(CASE WHEN rn % {CORRUPT_EVERY} = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_valid,
+           CAST(sum(CASE WHEN rn % {CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(CAST(sum(CASE WHEN rn % {CORRUPT_EVERY} = 0 THEN NULL
+                    ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(24,2)) END)
+                AS VARCHAR) AS DOUBLE) AS valid_total,
+           max(CASE WHEN rn % {CORRUPT_EVERY} = 0 THEN o_orderkey END) AS last_corrupt_key
+    FROM numbered
+    """,
+    doc="Malformed-input isolation for the JSON reader (the text-format "
+    "analogue of the CSV path's PERMISSIVE X2 semantics): orders is "
+    "serialized to JSONL with every 7th line deterministically mangled "
+    "(truncated mid-object), read back PERMISSIVE with "
+    "columnNameOfCorruptRecord, and the audit counts valid vs corrupt "
+    "rows, sums only the valid ones, and recovers the last corrupt "
+    "line's key by re-parsing the raw quarantined text — the "
+    "quarantine-and-continue contract a 100 TB ingest needs (one bad "
+    "line must cost one row, never the job; corrupt rows stay "
+    "inspectable for replay). Eagerly materialized one-row literals so "
+    "the temp corpus is deleted before returning.",
+)
+def json_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rows = sorted(o.collect(), key=lambda r: r["o_orderkey"])
+    base = tempfile.mkdtemp(prefix="json_corrupt_")
+    try:
+        path = f"{base}/orders.jsonl"
+        with open(path, "w") as fh:
+            for i, r in enumerate(rows, start=1):
+                line = _json.dumps(
+                    {"o_orderkey": r["o_orderkey"], "o_totalprice": r["o_totalprice"]}
+                )
+                if i % CORRUPT_EVERY == 0:
+                    line = line[: len(line) // 2]  # truncate mid-object
+                fh.write(line + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+                T.StructField("_bad", T.StringType()),
+            ]
+        )
+        parsed = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .json(base)
+        )
+        agg = parsed.agg(
+            F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_valid"),
+            F.count(F.col("_bad")).alias("n_corrupt"),
+            F.sum(
+                F.when(
+                    F.col("_bad").isNull(),
+                    F.col("o_totalprice").cast("decimal(24,2)"),
+                )
+            )
+            .cast("double")
+            .alias("valid_total"),
+            # the quarantined raw text stays inspectable: recover the key
+            # from the corrupt line itself (prefix survives truncation)
+            F.max(
+                F.regexp_extract(F.col("_bad"), r'"o_orderkey": (\d+)', 1).cast("bigint")
+            ).alias("last_corrupt_key"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out = Row(
+        n_valid=agg["n_valid"],
+        n_corrupt=agg["n_corrupt"],
+        valid_total=float(agg["valid_total"]),
+        last_corrupt_key=agg["last_corrupt_key"],
+    )
+    return spark.createDataFrame(
+        [out],
+        "n_valid bigint, n_corrupt bigint, valid_total double, last_corrupt_key bigint",
+    )
