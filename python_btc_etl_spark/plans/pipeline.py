@@ -1165,3 +1165,107 @@ def group_coherent_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_users", "n_events", "total_value", "leaked_users")
         .orderBy("split")
     )
+
+
+@query(
+    "e2e_corpus_build",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, lower(text) AS ltext, {TX.sql_words('text')} AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT *,
+               len({TX.sql_grams_all('w')}) AS n_grams,
+               len(list_distinct({TX.sql_grams_all('w')})) AS n_distinct
+        FROM w
+    ),
+    canon AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(ltext)) AS keeper FROM g
+    ),
+    kept AS (
+        SELECT g.doc_id, g.lang, len(g.w) AS n_tok
+        FROM g JOIN canon c ON c.doc_id = g.doc_id
+        WHERE len(g.w) >= {FUNNEL_MIN_WORDS}
+          AND g.lang IN {FUNNEL_LANGS!r}
+          AND (g.n_grams - g.n_distinct) * {FUNNEL_REP_DEN}
+                  <= g.n_grams * {FUNNEL_REP_NUM}
+          AND c.keeper = g.doc_id
+    ),
+    tagged AS (
+        SELECT *,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN {SPLIT_TRAIN!r} THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN {SPLIT_VAL!r} THEN 'val'
+                    ELSE 'test'
+               END AS split
+        FROM kept
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_tok) // {CTX_TOKENS} AS BIGINT) AS n_ctx_windows,
+           count(DISTINCT lang) AS n_langs
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="The corpus-build pipeline END-TO-END as one plan: quality gates "
+    "(min length, allowed languages, Gopher repetition cut) → exact "
+    "content dedup (md5 canonical election) → deterministic md5 "
+    "train/val/test split → per-split token budget and full-context-"
+    "window counts. Every stage reuses the exact constants and "
+    "expressions of its standalone query (cleaning_funnel_report, "
+    "dedup_exact, split_train_val_test, token budgets), so this is "
+    "the composition proof: the engine runs the whole training-data "
+    "DAG in one job — one documents scan, one dedup window, one hash "
+    "agg — not four materialized intermediate corpora. At 100 TB the "
+    "split column becomes the write partition and each stage's "
+    "shuffle is the one its standalone query already pays.",
+)
+def e2e_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    w = TX.words(F.col("text"))
+    grams = TX.grams_all(w)
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.lower("text").alias("ltext"),
+        F.size(w).alias("n_tok"),
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    keeper = F.min("doc_id").over(PW.partitionBy(F.md5(F.col("ltext").cast("binary"))))
+    kept = (
+        g.withColumn("keeper", keeper)
+        .filter(
+            (F.col("n_tok") >= FUNNEL_MIN_WORDS)
+            & F.col("lang").isin(*FUNNEL_LANGS)
+            & (
+                (F.col("n_grams") - F.col("n_distinct")) * FUNNEL_REP_DEN
+                <= F.col("n_grams") * FUNNEL_REP_NUM
+            )
+            & (F.col("keeper") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "n_tok")
+    )
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tagged = kept.withColumn(
+        "split",
+        F.when(first_hex.isin(*SPLIT_TRAIN), "train")
+        .when(first_hex.isin(*SPLIT_VAL), "val")
+        .otherwise("test"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.floor(F.sum("n_tok") / CTX_TOKENS).cast("bigint").alias("n_ctx_windows"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
