@@ -2283,3 +2283,62 @@ def theta_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("est_inter", "exact_intersection").alias("intersection_ok"),
         ok("est_diff", "exact_difference").alias("difference_ok"),
     )
+
+
+TZ_SAMPLE_EVERY = 100  # events subset for row-level timezone comparison
+TZ_ZONES = ("America/New_York", "Asia/Kolkata", "Australia/Lord_Howe")
+
+
+@query(
+    "timezone_conversion_audit",
+    oracle=f"""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_wall,
+           strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS ny_wall,
+           strftime(timezone('Asia/Kolkata', ts::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+           strftime(timezone('Australia/Lord_Howe', ts::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS lord_howe_wall,
+           CASE WHEN CAST(timezone('America/New_York', ts::TIMESTAMPTZ) AS DATE)
+                     <> CAST(ts AS DATE) THEN 1 ELSE 0 END AS ny_date_shifted
+    FROM events
+    WHERE event_id % {TZ_SAMPLE_EVERY} = 0
+    ORDER BY event_id
+    """,
+    doc="Timezone conversion semantics, row-compared across engines: "
+    "UTC instants rendered as wall-clock time in zones with a whole-"
+    "hour offset (America/New_York), a half-hour offset "
+    "(Asia/Kolkata, +5:30), and a half-hour DST zone "
+    "(Australia/Lord_Howe, +11 in January) via Spark "
+    "convert_timezone vs DuckDB timezone() — both resolve through "
+    "IANA tzdata, and the differential catches any disagreement in "
+    "offset arithmetic or DST interpretation. ny_date_shifted pins "
+    "the local-DATE boundary semantics global lakes partition on "
+    "(a UTC-partitioned table queried by NY business date shifts "
+    "across partition boundaries — this flag is that shift). Session "
+    "timezone is UTC on both sides (catalog.ensure_session_confs / "
+    "duck_con).",
+)
+def timezone_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % TZ_SAMPLE_EVERY == 0)
+
+    def wall(zone):
+        return F.date_format(
+            F.expr(f"convert_timezone('UTC', '{zone}', ts)"), "yyyy-MM-dd HH:mm:ss"
+        )
+
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("utc_wall"),
+        wall("America/New_York").alias("ny_wall"),
+        wall("Asia/Kolkata").alias("kolkata_wall"),
+        wall("Australia/Lord_Howe").alias("lord_howe_wall"),
+        F.when(
+            F.expr("CAST(convert_timezone('UTC', 'America/New_York', ts) AS DATE)")
+            != F.col("ts").cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .alias("ny_date_shifted"),
+    ).orderBy("event_id")
