@@ -415,3 +415,54 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+def _bom_sql(int_div: str) -> str:
+    """Shared recursive BOM text; ``int_div`` is the dialect's integer
+    division operator (Spark ``div``, DuckDB ``//``)."""
+    return f"""
+    WITH RECURSIVE edges AS (
+        -- synthetic assembly DAG over part keys: every part with key >= 10
+        -- is a component of part (key {int_div} 10), used qty (1 + key % 3)
+        -- times. Integer-division trees terminate in ~log10(maxkey) levels.
+        SELECT (p_partkey {int_div} 10) AS parent,
+               p_partkey AS child,
+               1 + p_partkey % 3 AS qty
+        FROM part
+        WHERE p_partkey >= 10
+    ),
+    reach(root, node, path_qty, depth) AS (
+        SELECT parent, child, qty, 1 FROM edges
+        UNION ALL
+        SELECT r.root, e.child, r.path_qty * e.qty, r.depth + 1
+        FROM reach r JOIN edges e ON e.parent = r.node
+    )
+    SELECT root,
+           count(*) AS n_descendants,
+           CAST(sum(path_qty) AS BIGINT) AS total_units,
+           max(depth) AS max_depth
+    FROM reach
+    WHERE root < 10
+    GROUP BY root
+    ORDER BY root
+    """
+
+
+@query(
+    "bom_explosion_rollup",
+    oracle=_bom_sql("//"),
+    doc="Bill-of-materials explosion with MULTIPLICATIVE quantity rollup "
+    "through a recursive CTE: per-edge quantities multiply along every "
+    "root→descendant path (path_qty), then roots aggregate descendant "
+    "counts, total exploded units, and assembly depth — the classic "
+    "manufacturing/requirements query, and the arithmetic-carrying "
+    "recursion that recursive_cte_components (pure reachability) "
+    "doesn't exercise. The synthetic DAG (child → key div 10, qty "
+    "1 + key mod 3) is a forest of integer-division trees, so the "
+    "UNION-ALL recursion provably terminates in log10(max_key) "
+    "rounds. Identical query text both engines modulo the integer-"
+    "division spelling (div vs //).",
+)
+def bom_explosion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_bom_sql("div"))
