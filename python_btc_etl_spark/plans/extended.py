@@ -1048,3 +1048,104 @@ def json_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [out],
         "n_valid bigint, n_corrupt bigint, valid_total double, last_corrupt_key bigint",
     )
+
+
+@query(
+    "pyds_stream_writer_sink",
+    oracle="""
+    WITH g AS (SELECT i AS g FROM unnest(range(0, 2 * 1440)) AS t(i))
+    SELECT count(*) AS n_rows,
+           6 AS n_batches,
+           CAST(sum(CAST(CAST(10000 + (g * g * 31 + g * 17) % 40000 AS DOUBLE)
+                         AS DECIMAL(24,6))) AS DOUBLE) AS total_open,
+           CAST(sum((g * 13) % 97 + 1) AS BIGINT) AS total_volume_int
+    FROM g
+    """,
+    doc="Custom Python Data Source STREAMING WRITER (Spark 4 "
+    "DataSourceStreamWriter, sources/pyds.py JsonDirStreamWriter): the "
+    "synthetic-bars stream (6 micro-batches of 480 minutes) drains "
+    "through writeStream.format('synthetic_bars') into a JSONL "
+    "directory with PER-BATCH two-phase commit — executor temp files, "
+    "driver rename under a batch prefix, one _SUCCESS_batch<id> "
+    "manifest per commit. The audit re-reads every committed file, "
+    "checks the manifest row counts equal the file contents, counts "
+    "the batch manifests (exactly 6), and compares totals against the "
+    "closed-form generator oracle — completing the PyDS face matrix: "
+    "batch read, stream read, batch write, stream write. Eagerly "
+    "materialized so the temp sink is deleted before returning.",
+)
+def pyds_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.pyds import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="pyds_stream_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    try:
+        bars = spark.readStream.format("synthetic_bars").option("days", "2").load()
+        # availableNow snapshots latestOffset ONCE (= a single 480-minute
+        # batch for this paced reader); drain instead with a fast
+        # processingTime trigger and stop once all rows are committed —
+        # the same pattern pyds_stream_bars_rollup uses.
+        q = (
+            bars.writeStream.format("synthetic_bars")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time as _time
+
+        target, deadline = 2 * 1440, _time.time() + 120
+        committed = 0
+        while _time.time() < deadline:
+            committed = 0
+            for mpath in _glob.glob(os.path.join(out, "_SUCCESS_batch*")):
+                try:
+                    committed += _json.load(open(mpath))["total"]
+                except Exception:
+                    pass
+            if committed >= target:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        if committed < target:
+            raise TimeoutError(
+                f"pyds stream sink committed {committed}/{target} rows in 120s"
+            )
+        manifests = sorted(_glob.glob(os.path.join(out, "_SUCCESS_batch*")))
+        manifest_total = 0
+        for mpath in manifests:
+            m = _json.load(open(mpath))
+            for f in m["files"]:
+                n_lines = sum(1 for _ in open(os.path.join(out, f["file"])))
+                assert n_lines == f["rows"], (f, n_lines)
+            manifest_total += m["total"]
+        files = sorted(_glob.glob(os.path.join(out, "batch*.jsonl")))
+        back = spark.read.schema(
+            "day int, minute int, open double, close double, volume double"
+        ).json(files)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("open").cast("decimal(24,6)")).cast("double").alias("total_open"),
+            F.sum(F.col("volume").cast("bigint")).alias("total_volume_int"),
+        ).collect()[0]
+        assert manifest_total == agg["n_rows"], (manifest_total, agg["n_rows"])
+        row = (
+            agg["n_rows"],
+            len(manifests),
+            float(agg["total_open"]),
+            agg["total_volume_int"],
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "n_rows bigint, n_batches int, total_open double, total_volume_int bigint"
+    )

@@ -134,6 +134,9 @@ class SyntheticBars(DataSource):
     def streamReader(self, schema) -> SyntheticBarsStreamReader:
         return SyntheticBarsStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonDirStreamWriter":
+        return JsonDirStreamWriter(self.options)
+
     def writer(self, schema, overwrite: bool) -> "JsonDirWriter":
         # The connector's THIRD face: df.write.format("synthetic_bars")
         # .option("path", dir).save() lands JSON-lines with two-phase
@@ -163,7 +166,11 @@ def register(spark) -> None:
 
 from dataclasses import dataclass  # noqa: E402
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -236,6 +243,66 @@ class JsonDirWriter(DataSourceWriter):
             json.dump({"files": manifest, "total": sum(x["rows"] for x in manifest)}, fh)
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    """Streaming sink face of the custom source: same executor-side
+    temp-file + driver-side rename two-phase commit as JsonDirWriter,
+    but per MICRO-BATCH — commit(messages, batchId) renames that
+    batch's files into place under a batch prefix and drops a
+    ``_SUCCESS_batch<id>`` manifest, so the sink's durable state is an
+    append-only sequence of per-batch manifests (the changelog a
+    downstream loader tails). A failed batch's attempt files are never
+    renamed — replay after restart is idempotent at batch granularity,
+    mirroring the checkpointed reader offsets. Same shared-filesystem
+    constraint as the batch writer (class doc above)."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("option 'path' is required for the jsonl stream writer")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = []
+        for m in messages:
+            d, base = os.path.dirname(m.tmp_path), os.path.basename(m.tmp_path)
+            final = os.path.join(
+                d, f"batch{batchId}-" + base.removeprefix(".").removesuffix(".tmp")
+            )
+            os.rename(m.tmp_path, final)
+            manifest.append({"file": os.path.basename(final), "rows": m.n_rows})
+        with open(os.path.join(self.path, f"_SUCCESS_batch{batchId}"), "w") as fh:
+            json.dump(
+                {"batch": batchId, "files": manifest,
+                 "total": sum(x["rows"] for x in manifest)},
+                fh,
+            )
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:
