@@ -1149,3 +1149,112 @@ def pyds_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row], "n_rows bigint, n_batches int, total_open double, total_volume_int bigint"
     )
+
+
+SCHEMA_EVO_SPLIT = 3  # nations with key < 3*5 write v1; rest write v2
+
+
+@query(
+    "parquet_schema_evolution_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2_rows,
+           CAST(sum(CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v1_rows_null_in_new_col,
+           CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN c_nationkey END) AS BIGINT)
+               AS sum_new_col_v2
+    FROM customer
+    """,
+    doc="Schema evolution on a parquet table (the lake-format lifecycle "
+    "every long-lived 100 TB table goes through): a v1 writer lands "
+    "(c_custkey, c_acctbal), a later v2 writer appends the same table "
+    "with an ADDED column (c_nationkey); reading with mergeSchema "
+    "unions the file schemas — v1 rows surface NULL in the new column "
+    "rather than failing or silently dropping files. The audit pins "
+    "total rows, per-version row counts derived from the new column's "
+    "nullness, and the new column's sum over v2 rows; the oracle "
+    "recomputes from the base table with the same custkey%3 version "
+    "assignment. Eagerly materialized; temp table deleted before "
+    "returning. (Production note: mergeSchema is a read option here; "
+    "table formats make it a metadata operation.)",
+)
+def parquet_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    c = load(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        v1 = c.filter(F.col("c_custkey") % 3 != 0).select("c_custkey", "c_acctbal")
+        v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", "c_acctbal", "c_nationkey"
+        )
+        v1.write.mode("append").parquet(base)
+        v2.write.mode("append").parquet(base)
+        merged = spark.read.option("mergeSchema", "true").parquet(base)
+        assert set(merged.columns) == {"c_custkey", "c_acctbal", "c_nationkey"}
+        agg = merged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col("c_nationkey")).alias("n_v2_rows"),
+            F.count(F.when(F.col("c_nationkey").isNull(), 1)).alias(
+                "n_v1_rows_null_in_new_col"
+            ),
+            F.sum("c_nationkey").cast("bigint").alias("sum_new_col_v2"),
+        ).collect()[0]
+        row = tuple(agg)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_rows bigint, n_v2_rows bigint, n_v1_rows_null_in_new_col bigint, "
+        "sum_new_col_v2 bigint",
+    )
+
+
+@query(
+    "udtf_polymorphic_first_words",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+               FROM documents WHERE doc_id % 50 = 0)
+    SELECT doc_id, ws[1] AS w1, ws[2] AS w2, ws[3] AS w3
+    FROM w
+    ORDER BY doc_id
+    """,
+    doc="POLYMORPHIC Python UDTF (Spark 4 analyze()-based schema): the "
+    "output schema (w1..wK string columns) is computed at ANALYSIS "
+    "time from the constant K argument via the static analyze() hook — "
+    "the table function's shape adapts to its call site, which a "
+    "fixed-returnType UDTF (udtf_chunk_documents) cannot do. Invoked "
+    "through SQL LATERAL over a doc subset; the oracle extracts the "
+    "same leading words with native array indexing. Arrow-batched like "
+    "every Python face here.",
+)
+def udtf_polymorphic_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstKWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if not k.isConstantExpression:
+                raise ValueError("k must be a constant")
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, k: int):
+            ws = (text or "").lower().split()
+            yield tuple(ws[i] if i < len(ws) else None for i in range(int(k)))
+
+    spark.udtf.register("first_k_words", udtf(FirstKWords))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.w1, t.w2, t.w3
+        FROM udtf_docs d, LATERAL first_k_words(d.text, 3) t
+        WHERE d.doc_id % 50 = 0
+        ORDER BY d.doc_id
+        """
+    )
