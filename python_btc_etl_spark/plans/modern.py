@@ -466,3 +466,43 @@ def _bom_sql(int_div: str) -> str:
 def bom_explosion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_bom_sql("div"))
+
+
+PARAM_MIN_BAL = 5000.0
+PARAM_SEGMENT = "BUILDING"
+
+
+@query(
+    "parameterized_sql_filter",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(CAST(sum(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(20,2))) AS VARCHAR)
+                AS DOUBLE) AS total_balance
+    FROM customer
+    WHERE c_acctbal >= {PARAM_MIN_BAL} AND c_mktsegment <> '{PARAM_SEGMENT}'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Parameterized SQL (spark.sql(query, args=...)): named ':min_bal' "
+    "and ':seg' markers bound server-side as typed literals — the "
+    "injection-safe way to template queries, and Catalyst constant-"
+    "folds the bound values so pushdown/pruning see real literals "
+    "(verify with .explain(): the parquet PushedFilters carry the "
+    "bound c_acctbal bound). The oracle inlines the same constants.",
+)
+def parameterized_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("param_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(CAST(sum(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(20,2))) AS STRING)
+                    AS DOUBLE) AS total_balance
+        FROM param_customer
+        WHERE c_acctbal >= :min_bal AND c_mktsegment <> :seg
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"min_bal": PARAM_MIN_BAL, "seg": PARAM_SEGMENT},
+    )
