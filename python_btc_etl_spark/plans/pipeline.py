@@ -1269,3 +1269,69 @@ def e2e_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "dq_quarantine_split",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice <= 900 THEN 1 ELSE 0 END
+               + CASE WHEN o_orderkey % 1000 = 0 THEN 2 ELSE 0 END
+               + CASE WHEN o_orderpriority NOT IN
+                      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                      THEN 4 ELSE 0 END AS reasons
+        FROM orders
+    )
+    SELECT 'clean' AS bucket, count(*) AS n_rows,
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(20,2))) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM flagged WHERE reasons = 0
+    UNION ALL
+    SELECT 'q_low_price', count(*),
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(20,2))) AS VARCHAR)
+                AS DOUBLE)
+    FROM flagged WHERE reasons & 1 = 1
+    UNION ALL
+    SELECT 'q_key_rule', count(*),
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(20,2))) AS VARCHAR)
+                AS DOUBLE)
+    FROM flagged WHERE reasons & 2 = 2
+    ORDER BY bucket
+    """,
+    doc="Row-level data-quality quarantine split (the ingestion "
+    "companion to the table-level constraint_quality_report): every "
+    "rule failure sets a bit in a per-row reason BITMAP computed in "
+    "ONE scan, so clean rows, each quarantine bucket, and rows "
+    "failing MULTIPLE rules (counted in every bucket they violate) "
+    "all come from the same pass — no per-rule rescans, and the "
+    "bitmap column is exactly what a production pipeline writes "
+    "alongside quarantined rows so triage can group by failure "
+    "combination. Demo rules: price floor, synthetic key rule, "
+    "priority domain check (never fires — pinned empty bucket guards "
+    "against silent rule evaporation are in the counts).",
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    valid_pri = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    reasons = (
+        F.when(F.col("o_totalprice") <= 900, 1).otherwise(0)
+        + F.when(F.col("o_orderkey") % 1000 == 0, 2).otherwise(0)
+        + F.when(~F.col("o_orderpriority").isin(*valid_pri), 4).otherwise(0)
+    )
+    flagged = o.select("o_totalprice", reasons.alias("reasons"))
+    price_sum = F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double")
+
+    def bucket(name, cond):
+        return flagged.filter(cond).agg(
+            F.lit(name).alias("bucket"),
+            F.count(F.lit(1)).alias("n_rows"),
+            price_sum.alias("total_price"),
+        ).select("bucket", "n_rows", "total_price")
+
+    return (
+        bucket("clean", F.col("reasons") == 0)
+        .unionByName(bucket("q_low_price", F.col("reasons").bitwiseAND(1) == 1))
+        .unionByName(bucket("q_key_rule", F.col("reasons").bitwiseAND(2) == 2))
+        .orderBy("bucket")
+    )

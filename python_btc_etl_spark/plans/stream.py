@@ -286,3 +286,89 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.file_stream import run_stream_update_mode_counts
 
     return run_stream_update_mode_counts(spark, sf_dir)
+
+
+@query(
+    "stream_foreach_batch_partials",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           count(DISTINCT event_id % 8) AS n_partials,
+           CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="foreachBatch sink face: each micro-batch (one event_id%8 slice "
+    "file per trigger, same sliced layout as stream_update_mode_counts) "
+    "runs arbitrary BATCH logic — here a per-type partial aggregate "
+    "written to parquet KEYED BY SLICE, so a replayed batch overwrites "
+    "its own partition instead of double-counting (the idempotent-"
+    "foreachBatch recipe: key the write on something derived from the "
+    "DATA, not the batch counter). The merged partials must equal the "
+    "direct batch aggregate per type, and the partial count per type "
+    "equals the slices containing it — batch-order-independent, "
+    "driver-checkable. Completes the registered sink-face matrix: "
+    "file/parquet sink, memory sink (3 output modes), custom PyDS "
+    "stream writer, foreachBatch.",
+)
+def stream_foreach_batch_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.file_stream import run_stream_update_mode_counts  # noqa: F401
+    from ..streaming.file_stream import N_UPDATE_SLICES, ensure_session_confs
+
+    ensure_session_confs(spark)
+    # Reuse the deterministic sliced layout (built lazily by the
+    # update-mode query's helper if not present).
+    import os
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    sliced = str(root / "spark-warehouse" / f"events_slices_{sfname}")
+    if not os.path.exists(os.path.join(sliced, "_SLICED")):
+        run_stream_update_mode_counts(spark, sf_dir)  # materializes slices
+    base = tempfile.mkdtemp(prefix="feb_partials_")
+    try:
+        schema = spark.read.parquet(sliced).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sliced)
+        )
+
+        def sink(batch_df, batch_id: int) -> None:
+            part = batch_df.groupBy("slice", "event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).alias("v"),
+            )
+            # Idempotent: keyed on the DATA's slice value; a replayed
+            # batch rewrites the same partition directory.
+            part.write.mode("overwrite").partitionBy("slice").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(base)
+
+        q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination()
+        partials = spark.read.parquet(base)
+        out = (
+            partials.groupBy("event_type")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_total"),
+                F.count(F.lit(1)).alias("n_partials"),
+                F.sum("v").cast("double").alias("total_value"),
+            )
+            .orderBy("event_type")
+            .collect()
+        )
+        rows = [tuple(r) for r in out]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_total bigint, n_partials bigint, total_value double"
+    )
