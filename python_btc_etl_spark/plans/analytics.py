@@ -2342,3 +2342,79 @@ def timezone_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ny_date_shifted"),
     ).orderBy("event_id")
+
+
+@query(
+    "nested_lineitems_hof_agg",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderstatus,
+               count(l.l_orderkey) AS n_items,
+               CAST(CAST(sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS VARCHAR)
+                                  AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS order_rev
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderstatus
+    )
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(CAST(order_rev AS VARCHAR) AS DECIMAL(30,6))) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM per_order
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    doc="Nested-data analytics over a DENORMALIZED table: lineitems are "
+    "first nested into each order as an array<struct> (sorted by "
+    "linenumber for determinism — the document-shaped layout lake "
+    "tables use to kill the join), then per-order item counts and "
+    "discounted revenue are computed WITHOUT exploding, via the "
+    "size()/aggregate() higher-order functions over the struct array "
+    "— JVM-side, one row stays one row, no shuffle after the nest. "
+    "The decimal fold inside aggregate() keeps the per-order sum "
+    "exact, so the status rollup matches the oracle's relational "
+    "join+group bit-for-bit. At 100 TB the nest is pre-materialized "
+    "at write time and every per-parent aggregation becomes a "
+    "scan-local HOF instead of a join+shuffle.",
+)
+def nested_lineitems_hof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_extendedprice", "l_discount")
+                )
+            ).alias("items")
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+    )
+    # The running sum must be re-cast each step: decimal addition widens
+    # (24,6)+(24,6) -> (25,6) and aggregate() requires the lambda to
+    # return exactly the accumulator type. 18 integer digits cannot
+    # overflow at any realistic order size, so the narrow-back is exact.
+    order_rev = F.aggregate(
+        "items",
+        F.lit(0).cast("decimal(24,6)"),
+        lambda acc, x: (
+            acc + (x["l_extendedprice"] * (1 - x["l_discount"])).cast("decimal(24,6)")
+        ).cast("decimal(24,6)"),
+    )
+    per_order = nested.select(
+        "o_orderstatus",
+        F.size("items").alias("n_items"),
+        order_rev.cast("double").alias("order_rev"),
+    )
+    return (
+        per_order.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").cast("bigint").alias("n_items"),
+            F.sum(F.col("order_rev").cast("decimal(30,6)")).cast("double").alias("revenue"),
+        )
+        .orderBy("status")
+    )
