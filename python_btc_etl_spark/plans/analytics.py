@@ -2418,3 +2418,60 @@ def nested_lineitems_hof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+MAPHOF_MIN = 4  # keep doubled counts >= 4
+
+
+@query(
+    "map_hof_pipeline",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           coalesce(string_agg(
+               CASE WHEN n * 2 >= {MAPHOF_MIN}
+                    THEN event_type || ':' || (n * 2) END,
+               ',' ORDER BY event_type), '') AS kept_map,
+           CAST(sum(CASE WHEN n * 2 >= {MAPHOF_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM counts
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Map higher-order-function pipeline: per-user event-type counts "
+    "assembled into a MapType column (map_from_entries over sorted "
+    "entries), values doubled with transform_values, low entries "
+    "dropped with map_filter, and the surviving map rendered to a "
+    "canonical sorted 'k:v,...' string via map_entries + transform + "
+    "array_join (scalar output — the driver's hasher can't take a raw "
+    "map, same rule as user_type_set_arrays). Every step is a "
+    "JVM-side map HOF on one row's map — no shuffle after the initial "
+    "count; the oracle computes the identical result relationally. "
+    "Users whose entries ALL fall below the cutoff keep an empty "
+    "string (left join semantics pinned).",
+)
+def map_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v >= MAPHOF_MIN)
+    rendered = F.array_join(
+        F.transform(
+            F.map_entries(kept),
+            lambda x: F.concat_ws(":", x["key"], x["value"].cast("string")),
+        ),
+        ",",
+    )
+    return as_map.select(
+        "user_id",
+        rendered.alias("kept_map"),
+        F.size(F.map_entries(kept)).cast("bigint").alias("n_kept"),
+    ).orderBy("user_id")
