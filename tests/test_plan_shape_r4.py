@@ -107,3 +107,32 @@ def test_pii_redaction_has_no_shuffle_before_summary(spark):
     plan = _explained(df)
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
     assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_merge_cdc_single_merge_join(spark):
+    """Three-clause MERGE must resolve through exactly ONE (full-outer)
+    merge join on the key — more joins would mean per-clause passes."""
+    df = plans.REGISTRY["merge_full_cdc_apply"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert plan.count("SortMergeJoin") // 2 == 1, plan.count("SortMergeJoin")
+    assert "CartesianProduct" not in plan
+
+
+def test_e2e_corpus_build_is_single_scan_no_joins(spark):
+    """The composed gates→dedup→split→budget pipeline must run off ONE
+    documents scan with zero joins: the dedup is a window, the split a
+    scalar hash, the budget one aggregate."""
+    df = plans.REGISTRY["e2e_corpus_build"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert plan.count("Scan parquet") // 2 == 1, plan.count("Scan parquet")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan, j
+
+
+def test_pagerank_no_cartesian(spark):
+    """Every PageRank round is an equi-join on the edge key; a cartesian
+    would mean rank propagation degenerated to all-pairs."""
+    df = plans.REGISTRY["pagerank_trade_graph"].fn(spark, SF_SMALL)
+    plan = _explained(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
