@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load, spread
+from ..catalog import load, managed_cache, spread
 from ..functions import text as TX
 from ..functions import vectors as VX
 from .registry import query
@@ -176,10 +176,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     aug = docs_with_truncated_copies(spark, sf_dir)
     w = TX.words(F.col("text"))
-    return (
+    return managed_cache(
         aug.filter(F.size(w) >= TX.SHINGLE_N)
         .select("doc_id", TX.shingles(w).alias("sh"))
-        .cache()
     )
 
 
@@ -194,10 +193,9 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays exact. At 100 TB this is the hashed-shingle table you'd
     materialize once and reuse across dedup passes.
     """
-    return (
+    return managed_cache(
         _shingled(spark, sf_dir)
         .select("doc_id", F.array_distinct(TX.shingle_hashes28(F.col("sh"))).alias("hs"))
-        .cache()
     )
 
 
@@ -258,7 +256,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so pre-filtering each side by the rare set is semantics-identical
     # and halves the self-join input. Cached: the filter (a join against
     # the doc-frequency aggregate) would otherwise run once per side.
-    inv_rare = inv.join(rare, "s").cache()
+    inv_rare = managed_cache(inv.join(rare, "s"))
     cand = (
         inv_rare.alias("a")
         .join(inv_rare.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -341,7 +339,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _hashed_shingles(spark, sf_dir)
     # cache: sig feeds THREE consumers (band explosion + both verify
     # sides); uncached, the 64-perm fold would run three times.
-    sig = h.select("doc_id", "hs", TX.minhash_from_hashes(F.col("hs")).alias("sig")).cache()
+    sig = managed_cache(h.select("doc_id", "hs", TX.minhash_from_hashes(F.col("hs")).alias("sig")))
     bands = sig.select(
         "doc_id", F.posexplode(TX.lsh_band_keys(F.col("sig"))).alias("band", "key")
     )
@@ -416,12 +414,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same two-stage shape as MinHash: 60-bit SHA-carved shingle hashes
     # cached once, then the 60-bit signature is a pure int64 fold.
-    hs = _shingled(spark, sf_dir).select(
+    hs = managed_cache(_shingled(spark, sf_dir).select(
         "doc_id", TX.token_hashes60(F.col("sh")).alias("hs")
-    ).cache()
+    ))
     # cache: the chunk self-join references sim on BOTH sides — uncached,
     # the 60-bit fold would run twice.
-    sim = hs.select("doc_id", TX.simhash_from_hashes(F.col("hs")).alias("sim")).cache()
+    sim = managed_cache(hs.select("doc_id", TX.simhash_from_hashes(F.col("hs")).alias("sim")))
     chunks = sim.select(
         "doc_id",
         "sim",
@@ -510,8 +508,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs_with_scaled_copies(spark, sf_dir)
         .withColumn("nv", VX.norm(F.col("v")))
         .withColumn("bucket", VX.lsh_bucket(F.col("v")))
-        .cache()
     )
+    aug = managed_cache(aug)
     a = aug.select(
         F.col("vec_id").alias("vec_a"), "label", "bucket",
         F.col("v").alias("va"), F.col("nv").alias("na"),
@@ -585,7 +583,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= DF_MAX)
         .select("s")
     )
-    inv_rare = inv.join(rare, "s").cache()
+    inv_rare = managed_cache(inv.join(rare, "s"))
     cand = (
         inv_rare.alias("a")
         .join(
@@ -650,8 +648,7 @@ CAL_BAND = 0.1  # calibration tolerance band for |est - exact|
         JOIN h hy ON hy.doc_id = c.doc_b
     )
     SELECT count(*) AS n_pairs,
-           list_reduce(list_prepend(0.0::DOUBLE,
-               list(abs_err ORDER BY doc_a, doc_b)), (a, b) -> a + b)
+           CAST(sum(CAST(abs_err AS DECIMAL(38,18))) AS DOUBLE)
                / count(*) AS mean_abs_err,
            max(abs_err) AS max_abs_err,
            CAST(count(CASE WHEN abs_err <= {CAL_BAND} THEN 1 END) AS BIGINT)
@@ -661,7 +658,9 @@ CAL_BAND = 0.1  # calibration tolerance band for |est - exact|
     doc=f"Sketch CALIBRATION monitor: over every LSH candidate pair, the "
     "absolute gap between the MinHash-estimated Jaccard (matching "
     f"permutations / {TX.MINHASH_PERMS}) and the exact set Jaccard — "
-    "mean (deterministic ordered fold over pair keys), max, and the "
+    "mean (order-free exact decimal(38,18) sum: decimal addition is "
+    "associative, so partial map-side aggregation distributes with no "
+    "per-group array materialization), max, and the "
     f"count within ±{CAL_BAND}. This is the production guardrail for "
     "every sketch-based dedup pass: theory says stderr ≈ "
     f"1/sqrt({TX.MINHASH_PERMS}) ≈ 0.125, and the monitor proves the "
@@ -671,9 +670,9 @@ CAL_BAND = 0.1  # calibration tolerance band for |est - exact|
 )
 def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _hashed_shingles(spark, sf_dir)
-    sig = h.select(
+    sig = managed_cache(h.select(
         "doc_id", "hs", TX.minhash_from_hashes(F.col("hs")).alias("sig")
-    ).cache()
+    ))
     bands = sig.select(
         "doc_id", F.posexplode(TX.lsh_band_keys(F.col("sig"))).alias("band", "key")
     )
@@ -712,18 +711,17 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_maybe_broadcast(y), "doc_b")
         .select("doc_a", "doc_b", F.abs(est - jac).alias("abs_err"))
     )
+    # Mean via an EXACT, ORDER-FREE decimal(38,18) sum: each per-pair
+    # abs_err double is rounded once to 18 fractional digits, and decimal
+    # addition is associative, so Spark's partial (map-side) aggregation
+    # produces a bit-identical result regardless of partitioning — no
+    # collect_list of the (potentially millions-large at 100 TB) candidate
+    # pair set into a single aggregation buffer. Sum bound: n_pairs × 1.0
+    # needs only 20 integer digits, far inside decimal(38,18).
     return scored.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         (
-            F.aggregate(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col("doc_a"), F.col("doc_b"), F.col("abs_err"))
-                    )
-                ),
-                F.lit(0.0),
-                lambda acc, r: acc + r["abs_err"],
-            )
+            F.sum(F.col("abs_err").cast("decimal(38,18)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_abs_err"),
         F.max("abs_err").alias("max_abs_err"),

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..catalog import managed_cache
 from .dedup import (
     EXACT_OFFSET,
     SQL_DOCS_EXACT,
@@ -35,6 +36,7 @@ from .dedup import (
     TRUNC_OFFSET,
     docs_with_exact_copies,
 )
+from .exprs import dsum, sql_dsum
 from .registry import query
 
 MAX_ITERS = 10
@@ -457,7 +459,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(TakeOrdered path) with degree and side flag.",
 )
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _trade_edges(spark, sf_dir).cache()
+    edges = managed_cache(_trade_edges(spark, sf_dir))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -492,6 +494,104 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "degree",
             F.when(F.col("node") >= PR_SUPP_OFFSET, 1).otherwise(0).alias("is_supplier"),
+        )
+        .orderBy(F.desc("rank"), "node")
+    )
+
+
+PR_PROD_TOL = 1e-9  # |float-sum rank − exact-decimal rank| bound (drift ~1e-15)
+
+
+def _sql_pr_iter(prev: str) -> str:
+    """One DuckDB PageRank round with the order-free exact decimal sum."""
+    return f"""
+        SELECT d.node, d.degree,
+               CAST(0.15000000000000002 AS DOUBLE) / (SELECT n_nodes FROM n)
+               + CAST(0.85 AS DOUBLE) * {sql_dsum('r.rank / r.degree', 18)} AS rank
+        FROM deg d
+        JOIN edges e ON e.dst = d.node
+        JOIN {prev} r ON r.node = e.src
+        GROUP BY d.node, d.degree
+    """
+
+
+@query(
+    "pagerank_trade_graph_prod",
+    oracle=f"""
+    WITH tp AS (
+        SELECT DISTINCT o.o_custkey AS cust,
+               l.l_suppkey + 10000000 AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, supp AS dst FROM tp
+        UNION ALL
+        SELECT supp, cust FROM tp
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (SELECT node, degree, 1.0 / (SELECT n_nodes FROM n) AS rank FROM deg),
+    r1 AS ({_sql_pr_iter('r0')}),
+    r2 AS ({_sql_pr_iter('r1')}),
+    r3 AS ({_sql_pr_iter('r2')})
+    SELECT node, rank, degree,
+           CASE WHEN node >= 10000000 THEN 1 ELSE 0 END AS is_supplier,
+           TRUE AS prod_within_tol
+    FROM (SELECT *, row_number() OVER (ORDER BY rank DESC, node) AS rn FROM r3)
+    WHERE rn <= 25
+    ORDER BY rank DESC, node
+    """,
+    doc="PRODUCTION-plan twin of pagerank_trade_graph: the per-node "
+    "contribution re-aggregation is a plain partial-aggregable sum — "
+    "NO per-group collect_list, so a 100 TB hub node costs one "
+    "aggregation buffer cell instead of a degree-sized array. Two sums "
+    "run side by side: an exact order-free decimal(36,18) sum (decimal "
+    "addition is associative, so map-side combine distributes AND both "
+    "engines agree bit-for-bit — this is the hash-compared rank) and "
+    "the plain IEEE-double sum a throughput-maximal cluster job would "
+    "use, checked against the exact rank by the prod_within_tol flag "
+    f"(bound {PR_PROD_TOL}; observed drift ~1e-15). The twin gates the "
+    "at-scale plan shape itself through the driver differential, per "
+    "round-4 verdict task #2.",
+)
+def pagerank_trade_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = managed_cache(_trade_edges(spark, sf_dir))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n_nodes = deg.count()
+    ranks = deg.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = F.lit((1.0 - PR_DAMPING) / n_nodes)
+    for it in range(PR_ITERS):
+        contribs = edges.join(ranks, edges.src == ranks.node).select(
+            F.col("dst"), (F.col("rank") / F.col("degree")).alias("contrib")
+        )
+        aggs = [dsum("contrib", 18).alias("s")]
+        if it == PR_ITERS - 1:  # float twin only needed at the output
+            aggs.append(F.sum("contrib").alias("s_flt"))
+        summed = contribs.groupBy(F.col("dst").alias("node")).agg(*aggs)
+        ranks = deg.join(summed, "node").select(
+            "node",
+            "degree",
+            (base + F.lit(PR_DAMPING) * F.col("s")).alias("rank"),
+            *(
+                [(base + F.lit(PR_DAMPING) * F.col("s_flt")).alias("rank_flt")]
+                if it == PR_ITERS - 1
+                else []
+            ),
+        )
+    w = W.orderBy(F.desc("rank"), "node")
+    return (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PR_TOP)
+        .select(
+            "node",
+            "rank",
+            "degree",
+            F.when(F.col("node") >= PR_SUPP_OFFSET, 1).otherwise(0).alias("is_supplier"),
+            (F.abs(F.col("rank") - F.col("rank_flt")) <= PR_PROD_TOL).alias(
+                "prod_within_tol"
+            ),
         )
         .orderBy(F.desc("rank"), "node")
     )
@@ -557,14 +657,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        .cache()
     )
-    deg = (
+    edges = managed_cache(edges)
+    deg = managed_cache(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .cache()
     )
     # Orient each edge from its lower-(degree, id) endpoint.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..catalog import load, spread
+from ..catalog import load, managed_cache, spread
 from ..functions import text as TX
 from .exprs import dsum, sql_dsum
 from .registry import query
@@ -236,9 +236,9 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram table — uncached, the shingle assembly (8-way concat per
     # position) runs twice. At 100 TB this is the materialized n-gram
     # table both sides would read.
-    grams = d.select(
+    grams = managed_cache(d.select(
         "doc_id", F.explode(TX.shingles(TX.words(F.col("text")), n=DECONTAM_N)).alias("g")
-    ).cache()
+    ))
     bench = grams.filter(F.col("doc_id") % BENCH_EVERY == 0).select(
         F.col("doc_id").alias("bench_id"), "g"
     )
@@ -453,9 +453,9 @@ BOILER_DF = 5  # a shingle in >= this many docs is boilerplate
 )
 def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
-    grams = d.select(
+    grams = managed_cache(d.select(
         "doc_id", F.explode(TX.shingles(TX.words(F.col("text")), n=BOILER_N)).alias("g")
-    ).cache()
+    ))
     boiler = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -588,7 +588,7 @@ def lm_rare_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("i", "w1"),
         F.col("w"),
     ).select("doc_id", "w1", F.element_at(F.col("w"), F.col("i") + 2).alias("w2"))
-    pairs = pairs.cache()
+    pairs = managed_cache(pairs)
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     tot = bg.groupBy("w1").agg(F.sum("cnt").alias("total"))
     rare = F.col("cnt") * RARE_DEN < F.col("total")

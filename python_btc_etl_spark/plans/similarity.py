@@ -27,6 +27,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load, spread
 from ..functions import vectors as VX
+from .exprs import dsum, sql_dsum
 from .registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -248,6 +249,61 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (ordered_sum / F.count(F.lit(1))).alias("centroid"),
             F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+SIM_PROD_TOL = 1e-9  # |plain-float mean − exact-decimal mean| bound
+
+
+@query(
+    "embedding_label_centroids_prod",
+    oracle=f"""
+    WITH e AS ({SQL_VECS}),
+    flat AS (
+        SELECT label, vec_id, i AS dim, v[i] AS val
+        FROM e, range(1, 65) t(i)
+    )
+    SELECT label, dim,
+           {sql_dsum('val', 18)} / count(*) AS centroid,
+           count(*) AS n_vectors,
+           TRUE AS prod_within_tol
+    FROM flat
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    doc="PRODUCTION-plan twin of embedding_label_centroids: the per-"
+    "(label, dim) mean is a plain partial-aggregable sum ÷ count — NO "
+    "collect_list of the member values, so a 100 TB label's centroid "
+    "costs one buffer cell per dimension instead of an n_members-sized "
+    "array. The hash-compared centroid uses the exact order-free "
+    "decimal(36,18) sum (associative ⇒ map-side combine distributes, "
+    "bit-identical cross-engine); the plain IEEE-double sum runs "
+    "alongside and is gated by the prod_within_tol flag (bound "
+    f"{SIM_PROD_TOL}; observed drift ~1e-13). Round-4 verdict task #2.",
+)
+def embedding_label_centroids_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    flat = e.select("label", "vec_id", F.posexplode("v").alias("dim0", "val")).withColumn(
+        "dim", F.col("dim0") + 1
+    )
+    n = F.count(F.lit(1))
+    return (
+        flat.groupBy("label", "dim")
+        .agg(
+            (dsum("val", 18) / n).alias("centroid"),
+            n.alias("n_vectors"),
+            (F.sum("val") / n).alias("_c_flt"),
+        )
+        .select(
+            "label",
+            "dim",
+            "centroid",
+            "n_vectors",
+            (F.abs(F.col("centroid") - F.col("_c_flt")) <= SIM_PROD_TOL).alias(
+                "prod_within_tol"
+            ),
         )
         .orderBy("label", "dim")
     )
@@ -639,3 +695,108 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         update = _kmeans_update(assigned)
         cents = _kmeans_reassemble(update)
     return update.select("cluster", "dim", "cval", "n_members").orderBy("cluster", "dim")
+
+
+def _kmeans_update_prod(assigned: DataFrame, with_float: bool) -> DataFrame:
+    """Centroid update with NO per-group array: the per-(cluster, dim)
+    mean is an exact order-free decimal(36,18) sum ÷ count (associative
+    ⇒ partial map-side aggregation, bit-identical cross-engine). The
+    plain IEEE-double mean is added only on the final round for the
+    prod_within_tol gate."""
+    expl = assigned.select(
+        "cluster", F.posexplode("v").alias("dim0", "val")
+    ).withColumn("dim", F.col("dim0") + 1)
+    n = F.count(F.lit(1))
+    aggs = [(dsum("val", 18) / n).alias("cval"), n.alias("n_members")]
+    if with_float:
+        aggs.append((F.sum("val") / n).alias("cval_flt"))
+    return expl.groupBy("cluster", "dim").agg(*aggs)
+
+
+def _kmeans_reassemble_prod(update: DataFrame) -> DataFrame:
+    """(cluster, dim, cval) rows → (cluster, cv array) WITHOUT
+    collect_list: one max(when(dim=i)) aggregate per dimension — the
+    aggregate width is bounded by DIM (64), not by corpus size, and the
+    whole node stays a codegen'd partial-aggregable HashAggregate."""
+    cols = [
+        F.max(F.when(F.col("dim") == i + 1, F.col("cval"))) for i in range(VX.DIM)
+    ]
+    return update.groupBy("cluster").agg(F.array(*cols).alias("cv"))
+
+
+_SQL_KM_MEAN = f"{sql_dsum('val', 18)} / count(*)"
+
+
+@query(
+    "kmeans_lloyd_centroids_prod",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, (embedding::DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    a1 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_DIST}, c.cluster) AS rn
+            FROM e, c0 c)
+        WHERE rn = 1
+    ),
+    x1 AS (
+        SELECT cluster, t.i AS dim, v[t.i] AS val
+        FROM a1, unnest(range(1, {VX.DIM} + 1)) AS t(i)
+    ),
+    u1 AS (
+        SELECT cluster, dim, {_SQL_KM_MEAN} AS cval
+        FROM x1 GROUP BY cluster, dim
+    ),
+    c1 AS (SELECT cluster, list(cval ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+    a2 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SQL_KM_DIST}, c.cluster) AS rn
+            FROM e, c1 c)
+        WHERE rn = 1
+    ),
+    x2 AS (
+        SELECT cluster, t.i AS dim, v[t.i] AS val
+        FROM a2, unnest(range(1, {VX.DIM} + 1)) AS t(i)
+    )
+    SELECT cluster, dim, {_SQL_KM_MEAN} AS cval,
+           count(*) AS n_members,
+           TRUE AS prod_within_tol
+    FROM x2 GROUP BY cluster, dim
+    ORDER BY cluster, dim
+    """,
+    doc="PRODUCTION-plan twin of kmeans_lloyd_centroids: both Lloyd "
+    "rounds update centroids with plain partial-aggregable sums — NO "
+    "per-(cluster, dim) collect_list (a 100 TB cluster's members would "
+    "make that array a single-buffer OOM) — and centroid reassembly is "
+    "a DIM-bounded max(when(dim=i)) pivot instead of an ordered "
+    "collect. The hash-compared cval is the exact order-free "
+    "decimal(36,18) mean (bit-identical cross-engine, so round-2 "
+    "assignments can't drift either); the plain IEEE-double mean runs "
+    "alongside on the final round, gated by prod_within_tol (bound "
+    f"{SIM_PROD_TOL}). Round-4 verdict task #2.",
+)
+def kmeans_lloyd_centroids_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    update = None
+    for it in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(vecs, cents)
+        update = _kmeans_update_prod(assigned, with_float=it == KMEANS_ITERS - 1)
+        cents = _kmeans_reassemble_prod(update)
+    return (
+        update.select(
+            "cluster",
+            "dim",
+            "cval",
+            "n_members",
+            (F.abs(F.col("cval") - F.col("cval_flt")) <= SIM_PROD_TOL).alias(
+                "prod_within_tol"
+            ),
+        )
+        .orderBy("cluster", "dim")
+    )
