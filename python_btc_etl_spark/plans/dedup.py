@@ -284,6 +284,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. MinHash + LSH
 # --------------------------------------------------------------------------
 
+# Hot-bucket guard for the LSH band join: a (band, key) bucket with more
+# than this many members is excluded from candidate generation. A bucket
+# this hot is (in practice) a pile of byte-identical documents — exact
+# sha256 dedup (dedup_exact) collapses those upstream for free, and every
+# byte-identical pile would otherwise cost |bucket|²/2 candidate pairs in
+# EVERY band (the ngram path has the analogous DF_MAX shingle guard; this
+# is its band-bucket twin). Near-identical-but-not-equal docs keep 16
+# independent band chances to collide in a sane bucket, so recall loss is
+# negligible while the worst-case join blowup is bounded at CAP²/2 pairs
+# per bucket. Test-corpus bucket occupancy maxes out far below the cap,
+# so the differential is unchanged (asserted in tests/test_lsh_guard.py).
+LSH_BUCKET_CAP = 64
+
+
+def _lsh_band_candidates(sig: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """(doc_a, doc_b) LSH candidates from a (doc_id, sig) table, with the
+    hot-bucket guard applied on both join sides. The bucket-size window
+    partitions by the same (band, key) the self-join shuffles on, so the
+    guard reuses the join's exchange rather than adding one."""
+    bands = sig.select(
+        "doc_id", F.posexplode(TX.lsh_band_keys(F.col("sig"))).alias("band", "key")
+    )
+    ok = (
+        bands.withColumn(
+            "bkt_n", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+        )
+        .filter(F.col("bkt_n") <= cap)
+        .drop("bkt_n")
+    )
+    return (
+        ok.alias("a")
+        .join(
+            ok.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# DuckDB mirror of _lsh_band_candidates (expects a `sig` CTE in scope).
+SQL_LSH_BANDS_CAND = f"""
+    bands AS (
+        SELECT doc_id, i AS band, keys[i + 1] AS key
+        FROM (SELECT doc_id, {TX.sql_lsh_band_keys('sig')} AS keys FROM sig),
+             range(0, {TX.LSH_BANDS}) t(i)
+    ),
+    bands_ok AS (
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id, band, key,
+                   count(*) OVER (PARTITION BY band, key) AS bkt_n
+            FROM bands)
+        WHERE bkt_n <= {LSH_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_ok a JOIN bands_ok b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+"""
+
 
 @query(
     "dedup_minhash_lsh",
@@ -297,16 +360,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (
         SELECT doc_id, sh, {TX.sql_minhash_signature('sh')} AS sig FROM sh
     ),
-    bands AS (
-        SELECT doc_id, i AS band, keys[i + 1] AS key
-        FROM (SELECT doc_id, {TX.sql_lsh_band_keys('sig')} AS keys FROM sig),
-             range(0, {TX.LSH_BANDS}) t(i)
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
+    {SQL_LSH_BANDS_CAND},
     h AS ({SQL_HASHED_SHINGLES})
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_filter(list_transform(range(1, {TX.MINHASH_PERMS} + 1),
@@ -325,7 +379,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash (64 perms, exact int64 LCG permutations over 28-bit "
     "sha-carved shingle hashes) + LSH banding (16×4): signatures per-row "
     "with no shuffle, band-bucket equi-join for candidates "
-    "(P[candidate] ≈ 0.9998 at J=0.8), exact Jaccard verify ≥ 0.5. "
+    "(P[candidate] ≈ 0.9998 at J=0.8) behind the LSH_BUCKET_CAP "
+    "hot-bucket guard, exact Jaccard verify ≥ 0.5. "
     "Sub-quadratic — the 100 TB near-dup path.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,20 +395,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: sig feeds THREE consumers (band explosion + both verify
     # sides); uncached, the 64-perm fold would run three times.
     sig = managed_cache(h.select("doc_id", "hs", TX.minhash_from_hashes(F.col("hs")).alias("sig")))
-    bands = sig.select(
-        "doc_id", F.posexplode(TX.lsh_band_keys(F.col("sig"))).alias("band", "key")
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_band_candidates(sig)
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sig").alias("sig_a"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -622,16 +664,7 @@ CAL_BAND = 0.1  # calibration tolerance band for |est - exact|
     sig AS (
         SELECT doc_id, sh, {TX.sql_minhash_signature('sh')} AS sig FROM sh
     ),
-    bands AS (
-        SELECT doc_id, i AS band, keys[i + 1] AS key
-        FROM (SELECT doc_id, {TX.sql_lsh_band_keys('sig')} AS keys FROM sig),
-             range(0, {TX.LSH_BANDS}) t(i)
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
+    {SQL_LSH_BANDS_CAND},
     h AS ({SQL_HASHED_SHINGLES}),
     scored AS (
         SELECT c.doc_a, c.doc_b,
@@ -673,20 +706,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = managed_cache(h.select(
         "doc_id", "hs", TX.minhash_from_hashes(F.col("hs")).alias("sig")
     ))
-    bands = sig.select(
-        "doc_id", F.posexplode(TX.lsh_band_keys(F.col("sig"))).alias("band", "key")
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_band_candidates(sig)
     x = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),

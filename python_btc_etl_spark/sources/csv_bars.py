@@ -192,6 +192,16 @@ def ingest_incremental(
         fresh = candidates.join(log_df, "source_file", "left_anti")
     except Exception:  # log doesn't exist yet: first run
         fresh = candidates
+    # Driver-side materialization, by design and bounded: this is PATH
+    # METADATA (one short string per fresh file), not data — the same
+    # scale class as Spark's own driver-side file listing, and the sorted
+    # list exists so the ingest log and reader receive a deterministic
+    # order. Memory bound ≈ 100 B x fresh-file count; even 1M fresh files
+    # is ~100 MB, and a backlog that large should be ingested in slices
+    # anyway. At tens of millions of RETAINED log rows the at-scale move
+    # is ingest-log compaction (rewrite the log as one sorted parquet per
+    # epoch) plus passing `fresh` straight to the reader as a DataFrame —
+    # the anti-join above already runs distributed and needs no change.
     new_files = sorted(r.source_file for r in fresh.collect())
     if not new_files:
         return 0, 0

@@ -161,3 +161,28 @@ def test_gif_unsupported_legs():
 
     with pytest.raises(ValueError):
         decode_gif(b"JIF89a" + b"\x00" * 16)
+
+
+def test_truncated_wav_and_gif_raise_valueerror_not_indexerror():
+    """ADVICE r4 #3: truncated payloads must follow decode_png's
+    ValueError contract, never IndexError/short-read."""
+    from python_btc_etl_spark.functions.multimodal import (
+        decode_gif,
+        decode_wav,
+        encode_gif,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    gif = encode_gif([np.zeros((4, 4), dtype=np.uint8)])
+    # cut mid-chunk / mid-sub-block at several depths
+    for cut in (13, 20, len(wav) // 2, len(wav) - 3):
+        with pytest.raises(ValueError):
+            decode_wav(wav[:cut])
+    for cut in (14, 20, len(gif) // 2, len(gif) - 2):
+        try:
+            decode_gif(gif[:cut])
+        except ValueError:
+            pass  # the required contract
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut}: {type(exc).__name__}") from exc
