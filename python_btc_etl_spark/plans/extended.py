@@ -1158,6 +1158,61 @@ def pyds_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PD_DAYS = 4  # pushdown-audit source span
+PD_LO, PD_HI = 1, 2  # day-range predicate pushed into the reader
+
+
+@query(
+    "pyds_filter_pushdown_audit",
+    oracle=f"""
+    WITH g AS (SELECT i AS g
+               FROM unnest(range({PD_LO} * 1440, {PD_HI + 1} * 1440)) AS t(i))
+    SELECT g // 1440 AS day,
+           count(*) AS n_bars,
+           CAST(sum(CAST(CAST(10000 + (g * g * 31 + g * 17) % 40000 AS DOUBLE)
+                         AS DECIMAL(24,6))) AS DOUBLE) AS total_open,
+           {PD_HI - PD_LO + 1} AS days_planned
+    FROM g
+    GROUP BY 1
+    ORDER BY day
+    """,
+    doc="Python Data Source FILTER PUSHDOWN (Spark 4.1 pushFilters, "
+    "sources/pyds.py PushdownBarsReader): a day-range WHERE clause is "
+    "pushed into the reader at planning time and prunes the generated "
+    "partitions — the PyDS analogue of parquet partition pruning, and "
+    "the mechanism a REST/JDBC wrapper uses to turn predicates into "
+    "request parameters instead of post-filtering a full scan. The "
+    "differential genuinely gates pushdown: every row carries "
+    "days_planned (partitions planned AFTER pruning) and the oracle "
+    f"pins the pruned count ({PD_HI - PD_LO + 1} of {PD_DAYS}) — if "
+    "Spark fell back to scan-then-filter, the column would read "
+    f"{PD_DAYS} and hash-mismatch. At 100 TB this is the difference "
+    "between reading 2 days and 4 years from an external system.",
+)
+def pyds_filter_pushdown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import register
+
+    register(spark)
+    # Runtime-settable SQLConf; a reader implementing pushFilters FAILS
+    # FAST when this is off, so the audit can't silently degrade.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    bars = (
+        spark.read.format("synthetic_bars_pd")
+        .option("days", str(PD_DAYS))
+        .load()
+        .filter((F.col("day") >= PD_LO) & (F.col("day") <= PD_HI))
+    )
+    return (
+        bars.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.sum(F.col("open").cast("decimal(24,6)")).cast("double").alias("total_open"),
+            F.max("days_planned").alias("days_planned"),
+        )
+        .orderBy("day")
+    )
+
+
 SCHEMA_EVO_SPLIT = 3  # nations with key < 3*5 write v1; rest write v2
 
 

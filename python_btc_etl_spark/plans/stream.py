@@ -372,3 +372,74 @@ def stream_foreach_batch_partials(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "event_type string, n_total bigint, n_partials bigint, total_value double"
     )
+
+
+@query(
+    "statestore_reader_audit",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+           max(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="STATE STORE READER (Spark 4 `statestore` batch format): a "
+    "streaming groupBy aggregation drains over the events corpus "
+    "(availableNow) into a checkpoint, then the state store itself is "
+    "read back as a batch DataFrame — key struct, aggregation-buffer "
+    "value struct, partition_id — and the recovered per-key state is "
+    "differentially checked against the batch aggregation. This is the "
+    "observability face every production streaming job needs: debugging "
+    "skewed/corrupt state, auditing exactly-once recovery, and seeding "
+    "state migrations, all WITHOUT replaying the stream. At 100 TB the "
+    "state store read parallelizes per state partition and never "
+    "touches the raw events.",
+)
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load
+
+    base = tempfile.mkdtemp(prefix="statestore_audit_")
+    try:
+        src_dir, ckpt = f"{base}/src", f"{base}/ckpt"
+        # Re-land the 3 needed columns as a clean parquet stream source
+        # (sidesteps the corpus file's TIMESTAMP(NANOS) stream-schema
+        # wrinkle; we aggregate ids only).
+        load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        ).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string"
+        ).parquet(src_dir)
+        agg = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").alias("user_id_sum"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # The state rows ARE the aggregation buffers (count/sum/max per
+        # key); positional access — buffer field NAMES are internal.
+        state = spark.read.format("statestore").load(ckpt)
+        rows = [
+            (r["key"][0], int(r["value"][0]), int(r["value"][1]), int(r["value"][2]))
+            for r in state.collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events bigint, user_id_sum bigint, max_event_id bigint",
+    ).orderBy("event_type")

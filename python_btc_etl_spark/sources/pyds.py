@@ -25,7 +25,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 MINUTES_PER_DAY = 1440
@@ -59,6 +65,87 @@ class SyntheticBarsReader(DataSourceReader):
         day = partition.day
         for m in range(MINUTES_PER_DAY):
             yield _bar(day * MINUTES_PER_DAY + m)
+
+
+class PrunedDayPartition(InputPartition):
+    def __init__(self, day: int, days_planned: int) -> None:
+        self.day, self.days_planned = day, days_planned
+
+
+class PushdownBarsReader(DataSourceReader):
+    """Batch reader with FILTER PUSHDOWN (Spark 4.1 ``pushFilters``):
+    day-range predicates prune the generated partitions at PLANNING time
+    — the Python-data-source analogue of parquet partition pruning, and
+    the shape a REST/date-range or JDBC wrapper would use to turn WHERE
+    clauses into request parameters.
+
+    Pushdown is made OBSERVABLE THROUGH THE DATA: every emitted row
+    carries ``days_planned`` = the number of day partitions planned
+    after pruning. If Spark failed to push the day predicates, the
+    reader would plan all ``days`` partitions and the column would hold
+    the unpruned count — the oracle pins the pruned value, so the
+    differential genuinely gates that pushdown happened (a plan-only
+    check could pass while the source re-scanned everything).
+
+    Requires ``spark.sql.python.filterPushdown.enabled=true`` (runtime-
+    settable SQLConf; the audit query sets it)."""
+
+    def __init__(self, options) -> None:
+        self.n_days = int(options.get("days", "4"))
+        self.lo, self.hi = 0, self.n_days
+
+    def pushFilters(self, filters):
+        rest = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("day",):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("day",):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, GreaterThan) and f.attribute == ("day",):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, LessThan) and f.attribute == ("day",):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("day",):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, In) and f.attribute == ("day",):
+                vals = [int(v) for v in f.value]
+                self.lo = max(self.lo, min(vals))
+                self.hi = min(self.hi, max(vals) + 1)
+                # range cover only — membership gaps still need Spark's
+                # post-filter, so the In filter is returned as residual
+                rest.append(f)
+            else:
+                rest.append(f)
+        return rest
+
+    def partitions(self):
+        planned = max(0, self.hi - self.lo)
+        if planned == 0:
+            return [PrunedDayPartition(-1, 0)]  # contradictory range
+        return [PrunedDayPartition(d, planned) for d in range(self.lo, self.hi)]
+
+    def read(self, partition: PrunedDayPartition):
+        if partition.day < 0:
+            return
+        for m in range(MINUTES_PER_DAY):
+            day, minute, op, cl, vol = _bar(partition.day * MINUTES_PER_DAY + m)
+            yield (day, minute, op, cl, vol, partition.days_planned)
+
+
+class PushdownBars(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_bars_pd"
+
+    def schema(self) -> str:
+        return (
+            "day int, minute int, open double, close double, volume double,"
+            " days_planned int"
+        )
+
+    def reader(self, schema) -> PushdownBarsReader:
+        return PushdownBarsReader(self.options)
 
 
 class RangePartition(InputPartition):
@@ -158,6 +245,7 @@ def register(spark) -> None:
     except Exception:  # pragma: no cover — JVM API moved; registration may still work
         pass
     spark.dataSource.register(SyntheticBars)
+    spark.dataSource.register(PushdownBars)
 
 
 # ---------------------------------------------------------------------------
