@@ -500,6 +500,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5. Embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
+# Hot-bucket guard for the hyperplane-LSH self-join — the embedding twin
+# of LSH_BUCKET_CAP, but RELATIVE rather than absolute: with only
+# 2^LSH_PLANES buckets, even a perfectly uniform corpus puts N/2^planes
+# vectors per bucket, so any fixed cap is either blown by legitimate
+# growth or useless against piles. A bucket is "hot" when its occupancy
+# exceeds EMB_BUCKET_SKEW x the uniform expectation ceil(N / 2^planes):
+# a pile of identical (or co-directional — duplicated, near-zero)
+# embeddings shares every hyperplane sign and lands in ONE bucket at
+# ~2^planes x expectation (64x here), far past the guard, while measured
+# legitimate skew on the test corpus tops out under 5x at every SF
+# (39/8.1 at sf0.001, 143/32.5 at sf0.1 — asserted in
+# tests/test_emb_guard.py). Hot buckets are excluded from candidate
+# generation: an identical pile belongs to exact dedup (dedup_exact),
+# not a cosine pass that would pay |bucket|^2/2 pairs for it. At 100 TB
+# the operating discipline is LSH_PLANES grows with the corpus so the
+# occupancy TARGET N/2^planes stays constant (docstring below); under
+# that discipline this guard bounds any bucket's pair cost at
+# (SKEW x target)^2/2 — a true constant per bucket.
+EMB_BUCKET_SKEW = 16
+
+
+def _emb_guarded(aug: DataFrame) -> DataFrame:
+    """Filter a (..., bucket) vector table down to members of sane
+    buckets. Per-bucket counts are a partial-aggregable count over at
+    most 2^LSH_PLANES groups; the total and the surviving-bucket list
+    are both <= 2^planes rows, so the re-join is a broadcast — no extra
+    shuffle of the vector table beyond the one the self-join needs."""
+    occ = aug.groupBy("bucket").agg(F.count(F.lit(1)).alias("bkt_n"))
+    tot = occ.agg(F.sum("bkt_n").alias("n_vec"))
+    ok = (
+        occ.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("bkt_n")
+            <= F.lit(EMB_BUCKET_SKEW)
+            * F.ceil(F.col("n_vec") / F.lit(float(2 ** VX.LSH_PLANES)))
+        )
+        .select("bucket")
+    )
+    return aug.join(F.broadcast(ok), "bucket")
+
+
+# DuckDB mirror of _emb_guarded (expects a `bk` CTE with a bucket column).
+SQL_EMB_GUARD = f"""
+    occ AS (SELECT bucket, count(*) AS bkt_n FROM bk GROUP BY bucket),
+    tot AS (SELECT sum(bkt_n) AS n_vec FROM occ),
+    bk_ok AS (
+        SELECT bk.* FROM bk JOIN occ USING (bucket), tot
+        WHERE occ.bkt_n <= {EMB_BUCKET_SKEW}
+              * CAST(ceil(tot.n_vec / {float(2 ** VX.LSH_PLANES)}) AS BIGINT)
+    )
+"""
+
 SQL_VECS_SCALED = f"""
     SELECT vec_id, label, (embedding::DOUBLE[]) AS v FROM embeddings
     UNION ALL
@@ -525,22 +577,28 @@ def vecs_with_scaled_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle=f"""
     WITH aug AS ({SQL_VECS_SCALED}),
-    bk AS (SELECT vec_id, label, v, {VX.sql_lsh_bucket('v')} AS bucket FROM aug)
+    bk AS (SELECT vec_id, label, v, {VX.sql_lsh_bucket('v')} AS bucket FROM aug),
+    {SQL_EMB_GUARD}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            {VX.sql_cosine('a.v', 'b.v')} AS cosine
-    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM bk_ok a JOIN bk_ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {VX.sql_cosine('a.v', 'b.v')} >= {COSINE_T}
     ORDER BY vec_a, vec_b
     """,
     doc="Embedding-cosine near-dup blocked on random-hyperplane LSH "
     "buckets (the sub-quadratic scale path — candidate pairs come from "
-    "a bucket equi-join, never an all-pairs or label-keyed fan-out). "
-    "Positively-scaled copies preserve every hyperplane sign, so planted "
-    "near-dups (cosine ≈ 1.0) land in the same bucket with probability "
-    "1; candidates are re-scored with the exact order-deterministic "
-    "cosine fold, threshold 0.99. Bucket occupancy ≈ N/2^planes keeps "
-    "per-bucket pair counts bounded at 100 TB (raise LSH_PLANES with "
-    "corpus size).",
+    "a bucket equi-join, never an all-pairs or label-keyed fan-out), "
+    "behind the EMB_BUCKET_SKEW relative hot-bucket guard (a pile of "
+    "identical embeddings shares every hyperplane sign and would make "
+    "one bucket's self-join quadratic; such piles belong to exact "
+    "dedup). Positively-scaled copies preserve every hyperplane sign, "
+    "so planted near-dups (cosine ≈ 1.0) land in the same bucket with "
+    "probability 1; candidates are re-scored with the exact order-"
+    "deterministic cosine fold, threshold 0.99. Bucket occupancy "
+    "≈ N/2^planes keeps per-bucket pair counts bounded at 100 TB "
+    "(raise LSH_PLANES with corpus size so the occupancy target stays "
+    "constant; the skew guard then bounds any bucket at "
+    "(SKEW·target)²/2 pairs).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms + bucket precomputed per VECTOR (cached), not per pair;
@@ -551,7 +609,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nv", VX.norm(F.col("v")))
         .withColumn("bucket", VX.lsh_bucket(F.col("v")))
     )
-    aug = managed_cache(aug)
+    aug = managed_cache(_emb_guarded(aug))
     a = aug.select(
         F.col("vec_id").alias("vec_a"), "label", "bucket",
         F.col("v").alias("va"), F.col("nv").alias("na"),
