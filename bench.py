@@ -51,7 +51,14 @@ def _previous_timings() -> dict[str, float]:
         with open(path) as fh:
             d = json.load(fh)
         sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
-        if str(d.get("sf")) != sf:  # different scale: ratios meaningless
+        # Compare numerically: the artifact stores sf as a float (1.0)
+        # while the dir basename yields "1" — a string compare would
+        # silently disable the re-time rule at whole-number SFs.
+        try:
+            same = float(d.get("sf")) == float(sf)
+        except (TypeError, ValueError):
+            same = str(d.get("sf")) == sf
+        if not same:  # different scale: ratios meaningless
             return {}
         return {k: float(v) for k, v in d.get("queries", {}).items()}
     except Exception:  # noqa: BLE001 — absent baseline is not an error

@@ -507,7 +507,14 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     if packed & 0x80:
-        pos += 3 * (1 << ((packed & 7) + 1))  # global color table
+        gct = 3 * (1 << ((packed & 7) + 1))  # global color table
+        if pos + gct > len(payload):
+            # Without this, pos overshoots the payload, the block walk
+            # below never runs, and a truncated-in-GCT stream would
+            # silently return [] instead of honoring the ValueError
+            # contract.
+            raise ValueError("truncated stream: GIF global color table")
+        pos += gct
 
     # Every sub-block walk bounds-checks pos against the payload — a
     # truncated stream raises the same ValueError contract decode_png
@@ -517,10 +524,12 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             raise ValueError("truncated stream: GIF block exceeds payload")
 
     frames: list[np.ndarray] = []
+    saw_trailer = False
     while pos < len(payload):
         b0 = payload[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b0 == 0x21:  # extension: label + sub-blocks
             pos += 1
@@ -552,4 +561,9 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             frames.append(_lzw_decompress(bytes(data), min_code, fw * fh).reshape(fh, fw))
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not saw_trailer:
+        # A stream that runs out before the 0x3B trailer is truncated even
+        # when the cut lands on a clean block boundary — without this, such
+        # cuts silently return partial (or zero) frames.
+        raise ValueError("truncated stream: missing GIF trailer")
     return frames

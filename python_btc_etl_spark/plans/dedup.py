@@ -41,6 +41,7 @@ from pyspark.sql.window import Window as W
 from ..catalog import load, managed_cache, spread
 from ..functions import text as TX
 from ..functions import vectors as VX
+from .exprs import dsum, sql_dsum
 from .registry import query
 
 # Planting parameters (shared by Spark and SQL sides).
@@ -739,8 +740,7 @@ CAL_BAND = 0.1  # calibration tolerance band for |est - exact|
         JOIN h hy ON hy.doc_id = c.doc_b
     )
     SELECT count(*) AS n_pairs,
-           CAST(sum(CAST(abs_err AS DECIMAL(38,18))) AS DOUBLE)
-               / count(*) AS mean_abs_err,
+           {sql_dsum('abs_err', 18)} / count(*) AS mean_abs_err,
            max(abs_err) AS max_abs_err,
            CAST(count(CASE WHEN abs_err <= {CAL_BAND} THEN 1 END) AS BIGINT)
                AS n_within_band
@@ -789,19 +789,20 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_maybe_broadcast(y), "doc_b")
         .select("doc_a", "doc_b", F.abs(est - jac).alias("abs_err"))
     )
-    # Mean via an EXACT, ORDER-FREE decimal(38,18) sum: each per-pair
-    # abs_err double is rounded once to 18 fractional digits, and decimal
-    # addition is associative, so Spark's partial (map-side) aggregation
-    # produces a bit-identical result regardless of partitioning — no
-    # collect_list of the (potentially millions-large at 100 TB) candidate
-    # pair set into a single aggregation buffer. Sum bound: n_pairs × 1.0
-    # needs only 20 integer digits, far inside decimal(38,18).
+    # Mean via an EXACT, ORDER-FREE decimal sum (dsum/sql_dsum, the
+    # repo-standard pair): each per-pair abs_err double is rounded once to
+    # 18 fractional digits — through the shortest-decimal-string path on
+    # BOTH engines, which is why the helpers exist (a direct
+    # double→decimal cast rounds the binary expansion in DuckDB and the
+    # decimal string in Spark; they differ once the double ulp exceeds
+    # 10^-18) — and decimal addition is associative, so Spark's partial
+    # (map-side) aggregation produces a bit-identical result regardless of
+    # partitioning — no collect_list of the (potentially millions-large at
+    # 100 TB) candidate pair set into a single aggregation buffer. Sum
+    # bound: n_pairs × 1.0 needs only 18 integer digits of decimal(36,18).
     return scored.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        (
-            F.sum(F.col("abs_err").cast("decimal(38,18)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_abs_err"),
+        (dsum("abs_err", 18) / F.count(F.lit(1))).alias("mean_abs_err"),
         F.max("abs_err").alias("max_abs_err"),
         F.count(F.when(F.col("abs_err") <= CAL_BAND, 1)).cast("bigint").alias(
             "n_within_band"

@@ -1192,6 +1192,16 @@ PD_LO, PD_HI = 1, 2  # day-range predicate pushed into the reader
 def pyds_filter_pushdown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pyds import register
 
+    # Child session: filterPushdown is a PLANNER-behavior conf and must be
+    # on at execution time (lazy — a try/finally here would restore it
+    # before the caller ever collects), but setting it on the shared
+    # session leaks a different planning mode into every subsequent query
+    # of a bench/correctness sweep. newSession() shares the SparkContext
+    # (no new JVM) with an isolated SQLConf + temp catalog, so both the
+    # conf and the PyDS registration stay scoped to this audit; the
+    # returned DataFrame is bound to the child session, which lives as
+    # long as the context, so the caller can execute it normally.
+    spark = spark.newSession()
     register(spark)
     # Runtime-settable SQLConf; a reader implementing pushFilters FAILS
     # FAST when this is off, so the audit can't silently degrade.

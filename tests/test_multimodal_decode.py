@@ -179,10 +179,10 @@ def test_truncated_wav_and_gif_raise_valueerror_not_indexerror():
     for cut in (13, 20, len(wav) // 2, len(wav) - 3):
         with pytest.raises(ValueError):
             decode_wav(wav[:cut])
-    for cut in (14, 20, len(gif) // 2, len(gif) - 2):
-        try:
+    # EVERY proper prefix is truncated (the trailer is the last byte), so
+    # the contract is an unconditional ValueError — including cuts inside
+    # the global color table (silently returned [] before the GCT bounds
+    # check) and cuts on clean block boundaries (missing-trailer check).
+    for cut in range(13, len(gif)):
+        with pytest.raises(ValueError):
             decode_gif(gif[:cut])
-        except ValueError:
-            pass  # the required contract
-        except Exception as exc:  # noqa: BLE001
-            raise AssertionError(f"cut={cut}: {type(exc).__name__}") from exc
