@@ -432,7 +432,26 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         # The state rows ARE the aggregation buffers (count/sum/max per
         # key); positional access — buffer field NAMES are internal.
+        #
+        # PINNED COUPLING (same treatment as the CMS _jvm use in
+        # analytics.py): the value struct's field ORDER mirrors Spark's
+        # internal aggregation-buffer layout for this agg list — a
+        # private surface that could reorder across Spark versions.
+        # Fail fast on any layout drift instead of silently reading the
+        # wrong buffer slot: one key field, exactly three bigint buffer
+        # fields (count, sum, max over bigint inputs are all LongType).
         state = spark.read.format("statestore").load(ckpt)
+        key_t = state.schema["key"].dataType
+        val_t = state.schema["value"].dataType
+        if (
+            len(key_t.fields) != 1
+            or len(val_t.fields) != 3
+            or any(f.dataType.simpleString() != "bigint" for f in val_t.fields)
+        ):
+            raise AssertionError(
+                "statestore aggregation-buffer layout changed: "
+                + state.schema.simpleString()
+            )
         rows = [
             (r["key"][0], int(r["value"][0]), int(r["value"][1]), int(r["value"][2]))
             for r in state.collect()
