@@ -459,14 +459,22 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(TakeOrdered path) with degree and side flag.",
 )
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = managed_cache(_trade_edges(spark, sf_dir))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    # Same shuffle structure as the production twin below (dst-partitioned
+    # cached edges + broadcast node-table joins — zero per-iteration edge
+    # shuffles); the ordered fold is partition-independent (contributions
+    # are sorted by src before summing), so the reshape cannot move a bit.
+    edges = managed_cache(
+        _trade_edges(spark, sf_dir).repartition(F.col("dst"))
+    )
+    deg = managed_cache(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
     )
     n_nodes = deg.count()  # one scalar action; the graph is cached
     ranks = deg.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(PR_ITERS):
-        contribs = edges.join(ranks, edges.src == ranks.node).select(
+        contribs = edges.join(F.broadcast(ranks), edges.src == ranks.node).select(
             F.col("dst"),
             F.col("src"),
             (F.col("rank") / F.col("degree")).alias("contrib"),
@@ -478,7 +486,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         summed = contribs.groupBy(F.col("dst").alias("node")).agg(
             F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x).alias("s")
         )
-        ranks = deg.join(summed, "node").select(
+        ranks = F.broadcast(deg).join(summed, "node").select(
             "node",
             "degree",
             (
