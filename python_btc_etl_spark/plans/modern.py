@@ -506,3 +506,50 @@ def parameterized_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": PARAM_MIN_BAL, "seg": PARAM_SEGMENT},
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k (Spark 4.1 heavy-hitter sketch aggregate)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 3
+# Default maxItemsTracked (10000) >> |event_type domain| (5): the sketch
+# is in its EXACT region — every distinct item has a tracked counter, so
+# counts equal the true frequencies and the differential against the
+# exact GROUP BY oracle is legitimate. Past the tracked capacity the
+# sketch degrades to approximate heavy-hitters (counts within the
+# documented error of true frequency) and the oracle would need the
+# tolerance-flag treatment the CMS/KLL audits use.
+
+
+@query(
+    "approx_topk_sketch_audit",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT {TOPK_K}
+    """,
+    doc="approx_top_k heavy-hitter sketch (Spark 4.1 aggregate): one "
+    "bounded-size sketch buffer per partition, merged associatively — "
+    "the top-k-frequent-items answer with NO shuffle of raw rows and "
+    "no full group-by materialization, which is the 100 TB shape for "
+    "'most common items' over a high-cardinality column (vocabulary, "
+    "URL, user-agent). The audit runs in the sketch's exact region "
+    "(items tracked >= domain cardinality) so the exact GROUP BY "
+    "oracle matches count-for-count; rows are re-ordered by "
+    "(count DESC, item) with the boundary gap verified tie-free at "
+    "every test SF so the k-cut is deterministic cross-engine.",
+)
+def approx_topk_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sk = e.agg(F.expr(f"approx_top_k(event_type, {TOPK_K})").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("kv"))
+        .select(
+            F.col("kv.item").alias("event_type"),
+            F.col("kv.count").alias("n_events"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )
