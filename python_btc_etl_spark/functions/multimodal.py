@@ -8,8 +8,8 @@ pure-numpy/stdlib implementations, one per modality:
   zlib-deflated netpbm streams, and non-interlaced 8-bit PNG
   (:func:`decode_png`: chunk parse + IDAT inflate + scanline
   unfilter, all five filter types);
-- audio — :func:`decode_wav`: RIFF/WAVE chunk walk + 16-bit PCM
-  frombuffer/channel reshape;
+- audio — :func:`decode_wav`: RIFF/WAVE chunk walk + 16-bit integer
+  or 32-bit IEEE-float PCM frombuffer/channel reshape;
 - video — :func:`decode_gif`: animated GIF87a/89a block walk with a
   real variable-width LZW decompressor (clear-code resets,
   dictionary growth to 12 bits), one palette-index frame per image
@@ -112,9 +112,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     Chunk walk → IHDR parse → concatenated-IDAT ``zlib.decompress`` →
     per-scanline unfilter. Grayscale decodes to HxW; gray+alpha / RGB /
-    RGBA to HxWxC uint8. Unsupported legs raise explicitly: 16-bit and
-    palette need bit unpacking / PLTE lookup, Adam7 needs the 7-pass
-    deinterleave.
+    RGBA to HxWxC uint8; palette-indexed (color type 3, depth 8)
+    decodes to HxWx3 via PLTE lookup after reconstruction. Unsupported
+    legs raise explicitly: 16-bit and sub-byte depths need bit
+    unpacking, Adam7 needs the 7-pass deinterleave.
 
     Filter vectorization: None and Up are whole-row numpy ops; Sub is a
     per-channel cumulative sum (mod 256 distributes over the prefix
@@ -129,7 +130,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG stream")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -137,6 +138,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length  # header + data + CRC
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -146,13 +149,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt_method, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if color not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color} (palette needs PLTE lookup)")
+    if color not in _PNG_CHANNELS and color != 3:
+        raise NotImplementedError(f"PNG color type {color}")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     if comp != 0 or filt_method != 0:
         raise ValueError("non-standard PNG compression/filter method")
-    channels = _PNG_CHANNELS[color]
+    if color == 3:
+        # Palette-indexed: one index sample per pixel; PLTE is an N×3
+        # RGB table (tRNS alpha, if any, is out of scope — indexes map
+        # to opaque RGB). The unfilter pass below runs on the index
+        # raster; the palette lookup happens after reconstruction.
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise ValueError("palette PNG missing/invalid PLTE chunk")
+        channels = 1
+    else:
+        channels = _PNG_CHANNELS[color]
     stride = width * channels
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != height * (stride + 1):
@@ -188,29 +200,49 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = cur
         prev = cur
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(height, width)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]  # HxWx3 RGB via table lookup
     return out.reshape((height, width) if channels == 1 else (height, width, channels))
 
 
-def encode_png(img: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+def encode_png(
+    img: np.ndarray,
+    row_filters: list[int] | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
     """Minimal non-interlaced 8-bit PNG encoder (the decode_png inverse).
 
     ``row_filters`` pins the filter type per scanline (cycled); default
     cycles 0→4 so a round-trip exercises every unfilter branch. The
     filtered bytes are computed with whole-row numpy shifts — the
     encoder side of each filter has no sequential dependency.
+
+    With ``palette`` (an N×3 uint8 RGB table), ``img`` is an HxW index
+    raster and the output is a color-type-3 PNG carrying a PLTE chunk.
     """
     import struct
     import zlib
     from binascii import crc32
 
     img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim == 2:
+    if palette is not None:
+        if img.ndim != 2:
+            raise ValueError("palette PNG takes an HxW index raster")
         h, w, channels = img.shape[0], img.shape[1], 1
         px = img.reshape(h, w, 1).astype(np.int32)
+        color = 3
+    elif img.ndim == 2:
+        h, w, channels = img.shape[0], img.shape[1], 1
+        px = img.reshape(h, w, 1).astype(np.int32)
+        color = 0
     else:
         h, w, channels = img.shape
         px = img.astype(np.int32)
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        color = {2: 4, 3: 2, 4: 6}[channels]
     row_filters = row_filters or [0, 1, 2, 3, 4]
     left = np.zeros_like(px)
     left[:, 1:, :] = px[:, :-1, :]
@@ -243,9 +275,15 @@ def encode_png(img: np.ndarray, row_filters: list[int] | None = None) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    plte = (
+        chunk(b"PLTE", np.ascontiguousarray(palette, dtype=np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", raster)
         + chunk(b"IEND", b"")
     )
@@ -318,12 +356,12 @@ def sample_frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Pure numpy + struct decoder for PCM WAV (RIFF/WAVE).
 
-    Returns (samples, sample_rate); samples are int16 shaped (n,) for
-    mono or (n, channels) otherwise. Chunk-walks the RIFF container
-    (fmt / data; other chunks skipped), supports format tag 1 (integer
-    PCM) at 16-bit depth — the overwhelmingly common storage form.
-    Compressed codecs (MP3/AAC/FLAC) genuinely need codec libraries and
-    stay out of scope, like JPEG on the image side.
+    Returns (samples, sample_rate); samples are int16 (format tag 1,
+    16-bit integer PCM) or float32 (format tag 3, IEEE float), shaped
+    (n,) for mono or (n, channels) otherwise. Chunk-walks the RIFF
+    container (fmt / data; other chunks skipped). Compressed codecs
+    (MP3/AAC/FLAC) genuinely need codec libraries and stay out of
+    scope, like JPEG on the image side.
     """
     import struct
 
@@ -348,25 +386,42 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError(f"WAV format tag {audio_format} (only PCM=1)")
-    if bits != 16:
-        raise NotImplementedError(f"{bits}-bit WAV (only 16-bit PCM)")
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_format == 1:
+        if bits != 16:
+            raise NotImplementedError(f"{bits}-bit integer WAV (only 16-bit PCM)")
+        dtype = "<i2"
+    elif audio_format == 3:  # IEEE float PCM
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit float WAV (only 32-bit)")
+        dtype = "<f4"
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} (PCM=1 and IEEE-float=3 only)"
+        )
+    if len(data) % (bits // 8) != 0:
+        raise ValueError("truncated stream: WAV data not sample-aligned")
+    samples = np.frombuffer(data, dtype=dtype)
     if channels > 1:
         samples = samples.reshape(-1, channels)
     return samples, sample_rate
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Minimal 16-bit PCM WAV writer (decode_wav's inverse)."""
+    """Minimal PCM WAV writer (decode_wav's inverse): float32/float64
+    input writes IEEE-float format tag 3; everything else 16-bit PCM."""
     import struct
 
-    s = np.asarray(samples, dtype="<i2")
+    samples = np.asarray(samples)
+    if samples.dtype.kind == "f":
+        s, tag, width = samples.astype("<f4"), 3, 4
+    else:
+        s, tag, width = samples.astype("<i2"), 1, 2
     channels = 1 if s.ndim == 1 else s.shape[1]
     data = s.tobytes()
-    byte_rate = sample_rate * channels * 2
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    byte_rate = sample_rate * channels * width
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, byte_rate, channels * width, width * 8
+    )
     chunks = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -493,11 +548,12 @@ def encode_gif(frames: list[np.ndarray]) -> bytes:
 
 
 def decode_gif(payload: bytes) -> list[np.ndarray]:
-    """Pure numpy + stdlib decoder for non-interlaced GIF87a/89a with a
-    global color table: header parse → block walk (extensions skipped)
-    → per-frame LZW decompression → palette-indexed HxW uint8 frames.
-    Returns the INDEX frames (palette lookup is a separate concern);
-    local color tables and interlacing raise explicitly."""
+    """Pure numpy + stdlib decoder for non-interlaced GIF87a/89a:
+    header parse → block walk (extensions skipped) → per-frame LZW
+    decompression → palette-indexed HxW uint8 frames. Returns the
+    INDEX frames (palette lookup is a separate concern), so global and
+    local color tables are both traversed, not applied; interlacing
+    raises explicitly."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -543,7 +599,13 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             left, top, fw, fh, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
             pos += 9
             if ipacked & 0x80:
-                raise NotImplementedError("GIF local color tables not supported")
+                # Local color table: this decoder returns INDEX frames
+                # (palette lookup is a separate concern, same as the
+                # global table), so the LCT only needs correct traversal
+                # — bounds-checked like the GCT skip above.
+                lct = 3 * (1 << ((ipacked & 7) + 1))
+                _need(lct)
+                pos += lct
             if ipacked & 0x40:
                 raise NotImplementedError("interlaced GIF not supported")
             _need(1)

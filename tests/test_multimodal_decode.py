@@ -87,7 +87,7 @@ def test_png_unsupported_legs_raise_explicitly():
 
     with pytest.raises(NotImplementedError):  # 16-bit
         decode_png(png_with_ihdr(depth=16))
-    with pytest.raises(NotImplementedError):  # palette
+    with pytest.raises(ValueError):  # palette supported since r6 — but PLTE required
         decode_png(png_with_ihdr(color=3))
     with pytest.raises(NotImplementedError):  # Adam7
         decode_png(png_with_ihdr(interlace=1))
@@ -127,7 +127,7 @@ def test_wav_unsupported_legs():
 
     with pytest.raises(ValueError):
         decode_wav(b"not a riff stream")
-    # format tag 3 (IEEE float) and 8-bit depth raise explicitly
+    # float (tag 3) at a non-32-bit depth raises explicitly
     fmt_float = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
     wav = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
            + b"fmt " + struct.pack("<I", 16) + fmt_float
@@ -186,3 +186,73 @@ def test_truncated_wav_and_gif_raise_valueerror_not_indexerror():
     for cut in range(13, len(gif)):
         with pytest.raises(ValueError):
             decode_gif(gif[:cut])
+
+
+def test_png_palette_round_trip():
+    """Color type 3 (round 6): HxW index raster + PLTE -> HxWx3 RGB."""
+    from python_btc_etl_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 7), dtype=np.uint8)
+    png = encode_png(idx, palette=palette)
+    out = decode_png(png)
+    assert out.shape == (9, 7, 3)
+    assert np.array_equal(out, palette[idx])
+
+
+def test_png_palette_error_legs():
+    from python_btc_etl_spark.functions.multimodal import decode_png, encode_png
+
+    palette = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    png = encode_png(idx, palette=palette)
+    # Strip the PLTE chunk: palette PNG without PLTE must raise.
+    plte_at = png.find(b"PLTE") - 4
+    plte_len = 12 + 4 * 3
+    with pytest.raises(ValueError):
+        decode_png(png[:plte_at] + png[plte_at + plte_len:])
+    # An index beyond the palette must raise, not wrap or crash.
+    bad = encode_png(np.full((2, 2), 9, dtype=np.uint8), palette=palette)
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_wav_float32_round_trip():
+    """Format tag 3 (round 6): IEEE float PCM decodes bit-exactly."""
+    from python_btc_etl_spark.functions.multimodal import decode_wav, encode_wav
+
+    x = (np.sin(np.linspace(0, 20, 500)) * 0.7).astype(np.float32)
+    back, rate = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000 and back.dtype == np.float32
+    assert np.array_equal(back, x)
+    # Stereo float round-trips shaped (n, 2).
+    st = np.stack([x, -x], axis=1)
+    back2, _ = decode_wav(encode_wav(st, 8000))
+    assert back2.shape == st.shape and np.array_equal(back2, st)
+
+
+def test_gif_local_color_table_traversed():
+    """LCT flag (round 6): index frames decode identically whether the
+    descriptor carries a local color table or not; truncation inside
+    the LCT still raises."""
+    from python_btc_etl_spark.functions.multimodal import decode_gif, encode_gif
+
+    frame = (np.arange(20, dtype=np.uint8) % 4).reshape(4, 5)
+    gif = encode_gif([frame])
+    # Inject an LCT: find the image descriptor, set the LCT flag with
+    # size bits 000 (2 entries -> 6 bytes) and splice in the table.
+    at = gif.find(b"\x2c")
+    ipacked = gif[at + 9]
+    assert ipacked & 0x80 == 0
+    patched = (
+        gif[: at + 9]
+        + bytes([ipacked | 0x80])
+        + b"\x01\x02\x03\x04\x05\x06"
+        + gif[at + 10 :]
+    )
+    out = decode_gif(patched)
+    assert len(out) == 1 and np.array_equal(out[0], frame)
+    # Cut inside the spliced LCT -> ValueError, not a silent return.
+    with pytest.raises(ValueError):
+        decode_gif(patched[: at + 12])
