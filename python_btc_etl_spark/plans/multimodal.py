@@ -266,18 +266,27 @@ def multimodal_decode_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
 PNG_SCHEMA = T.StructType(
     [
         T.StructField(c, T.LongType())
-        for c in ("doc_id", "h", "w", "channels", "pixel_sum", "n_filter_types")
+        for c in (
+            "doc_id", "h", "w", "channels", "color_type", "pixel_sum",
+            "n_filter_types",
+        )
     ]
 )
 
+# Deterministic 16-entry RGB palette for the color-type-3 leg: entry i is
+# (17i, 13i, 7i), all < 256 for i < 16, so each index contributes exactly
+# 37*i to the pixel sum — closed-form for the oracle.
+PNG_PAL_N = 16
+
 
 def _decode_png_batches(batches):
-    """mapInPandas worker: per doc, synthesize a deterministic raster
-    (grayscale for even doc_ids, RGB for odd), encode it as a REAL
-    non-interlaced 8-bit PNG with the scanline filter cycling 0→4,
-    decode it back with the pure-numpy PNG decoder, and prove the
-    filters were actually exercised by re-parsing the IDAT stream and
-    counting distinct filter bytes (h ≥ 8 > 5 ⇒ always 5)."""
+    """mapInPandas worker: per doc, synthesize a deterministic raster —
+    doc_id % 3 selects grayscale / RGB / palette-indexed — encode it as
+    a REAL non-interlaced 8-bit PNG with the scanline filter cycling
+    0→4 (palette streams filter the index bytes), decode it back with
+    the pure-numpy PNG decoder, and prove the filters were actually
+    exercised by re-parsing the IDAT stream and counting distinct
+    filter bytes (h ≥ 8 > 5 ⇒ always 5)."""
     import struct
     import zlib
 
@@ -286,14 +295,27 @@ def _decode_png_batches(batches):
 
     from ..functions.multimodal import decode_image, encode_png
 
+    pal = np.stack(
+        [np.arange(PNG_PAL_N) * m for m in (17, 13, 7)], axis=1
+    ).astype(np.uint8)
     for pdf in batches:
         rows = []
         for d in pdf["doc_id"]:
             d = int(d)
-            h, w, c = 8 + d % 5, 8 + d % 7, 1 + 2 * (d % 2)
-            px = ((d * 31 + np.arange(h * w * c)) % 256).astype(np.uint8)
-            img = px.reshape((h, w) if c == 1 else (h, w, c))
-            payload = encode_png(img)
+            h, w, mode = 8 + d % 5, 8 + d % 7, d % 3
+            if mode == 2:  # palette-indexed
+                c, color_type = 1, 3
+                idx = ((d * 31 + np.arange(h * w)) % PNG_PAL_N).astype(
+                    np.uint8
+                ).reshape(h, w)
+                payload = encode_png(idx, palette=pal)
+                img = pal[idx]  # expected decode: HxWx3 RGB
+            else:
+                c = 1 if mode == 0 else 3
+                color_type = 0 if mode == 0 else 2
+                px = ((d * 31 + np.arange(h * w * c)) % 256).astype(np.uint8)
+                img = px.reshape((h, w) if c == 1 else (h, w, c))
+                payload = encode_png(img)
             back = decode_image(payload)
             assert np.array_equal(back, img)
             # Independent proof the stream really was filtered: walk the
@@ -307,40 +329,57 @@ def _decode_png_batches(batches):
             raw = zlib.decompress(b"".join(idat))
             stride = w * c + 1
             filters = {raw[y * stride] for y in range(h)}
-            rows.append((d, h, w, c, int(back.sum()), len(filters)))
+            rows.append(
+                (d, h, w, back.shape[2] if back.ndim == 3 else 1, color_type,
+                 int(back.sum()), len(filters))
+            )
         yield pd.DataFrame(
-            rows, columns=["doc_id", "h", "w", "channels", "pixel_sum", "n_filter_types"]
+            rows,
+            columns=[
+                "doc_id", "h", "w", "channels", "color_type", "pixel_sum",
+                "n_filter_types",
+            ],
         )
 
 
 @query(
     "multimodal_decode_png",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            8 + doc_id % 5 AS h,
            8 + doc_id % 7 AS w,
-           1 + 2 * (doc_id % 2) AS channels,
-           list_reduce(list_transform(range(0, (8 + doc_id % 5) * (8 + doc_id % 7)
-                                               * (1 + 2 * (doc_id % 2))),
-                                      k -> (doc_id * 31 + k) % 256),
-                       (x, y) -> x + y) AS pixel_sum,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels,
+           CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END AS color_type,
+           CASE WHEN doc_id % 3 = 2 THEN
+               list_reduce(list_transform(
+                   range(0, (8 + doc_id % 5) * (8 + doc_id % 7)),
+                   k -> 37 * ((doc_id * 31 + k) % {PNG_PAL_N})),
+                   (x, y) -> x + y)
+           ELSE
+               list_reduce(list_transform(
+                   range(0, (8 + doc_id % 5) * (8 + doc_id % 7)
+                            * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END)),
+                   k -> (doc_id * 31 + k) % 256),
+                   (x, y) -> x + y)
+           END AS pixel_sum,
            5 AS n_filter_types
     FROM documents
     ORDER BY doc_id
     """,
     doc="Full PNG decode through Spark: per doc a deterministic raster "
-    "(pixel(k) = (doc_id*31 + k) mod 256; grayscale for even ids, RGB "
-    "for odd) is encoded as a real non-interlaced 8-bit PNG whose "
-    "scanline filters cycle None/Sub/Up/Average/Paeth, then decoded by "
-    "the pure-numpy chunk-parse + stdlib-inflate + unfilter decoder "
-    "(functions/multimodal.decode_png) inside an Arrow mapInPandas "
-    "batch. n_filter_types re-parses the IDAT stream and counts "
-    "distinct filter bytes (always 5, h >= 8), proving the unfilter "
-    "branches all ran; the oracle recomputes the pixel sum in closed "
-    "form. Only JPEG remains behind the documented NotImplementedError "
-    "(needs libjpeg). Reference has no image path at all (extension "
-    "string checks only, reference utils.py) — this is engine surface "
-    "beyond parity.",
+    "— doc_id % 3 selects grayscale (color type 0), RGB (type 2), or "
+    "palette-indexed (type 3, 16-entry PLTE whose entry i sums to 37i) "
+    "— is encoded as a real non-interlaced 8-bit PNG whose scanline "
+    "filters cycle None/Sub/Up/Average/Paeth, then decoded by the "
+    "pure-numpy chunk-parse + stdlib-inflate + unfilter (+ PLTE "
+    "lookup) decoder (functions/multimodal.decode_png) inside an "
+    "Arrow mapInPandas batch. n_filter_types re-parses the IDAT "
+    "stream and counts distinct filter bytes (always 5, h >= 8), "
+    "proving the unfilter branches all ran; the oracle recomputes "
+    "every pixel sum in closed form. Only JPEG remains behind the "
+    "documented NotImplementedError (needs libjpeg). Reference has no "
+    "image path at all (extension string checks only, reference "
+    "utils.py) — this is engine surface beyond parity.",
 )
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select("doc_id")
@@ -349,18 +388,26 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WAV_SCHEMA = T.StructType(
     [
-        T.StructField(c, T.LongType())
-        for c in ("doc_id", "n_samples", "channels", "sample_rate", "amp_sum")
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("fmt_tag", T.LongType()),
+        T.StructField("amp_sum", T.DoubleType()),
     ]
 )
 
 
 def _decode_wav_batches(batches):
-    """mapInPandas worker: synthesize deterministic 16-bit PCM per doc
-    (sample(k) = ((doc_id*31 + k) mod 65536) - 32768; mono for even
-    ids, stereo for odd), container it as a REAL RIFF/WAVE stream, and
-    decode it back with the pure-numpy WAV reader — the audio leg's
-    equivalent of the PNG round-trip."""
+    """mapInPandas worker: synthesize deterministic PCM per doc — 16-bit
+    integer (format tag 1, sample(k) = ((doc_id*31 + k) mod 65536) -
+    32768) or, for doc_id % 3 == 2, 32-bit IEEE float (format tag 3,
+    sample(k) = ((doc_id*31 + k) mod 4096 - 2048) / 32: every value and
+    every partial sum is an exact multiple of 1/32 far inside double
+    range, so the amplitude sum is order-independent and cross-engine
+    exact); mono for even ids, stereo for odd. Containered as a REAL
+    RIFF/WAVE stream and decoded back with the pure-numpy WAV reader —
+    the audio leg's equivalent of the PNG round-trip."""
     import numpy as np
     import pandas as pd
 
@@ -372,13 +419,23 @@ def _decode_wav_batches(batches):
             d = int(d)
             n, c = 64 + d % 32, 1 + d % 2
             rate = 8000 + (d % 4) * 4000
-            pcm = (((d * 31 + np.arange(n * c)) % 65536) - 32768).astype(np.int16)
+            k = d * 31 + np.arange(n * c)
+            if d % 3 == 2:  # IEEE-float leg
+                tag = 3
+                pcm = ((k % 4096 - 2048).astype(np.float32)) / np.float32(32)
+            else:
+                tag = 1
+                pcm = (k % 65536 - 32768).astype(np.int16)
             pcm = pcm.reshape(n) if c == 1 else pcm.reshape(n, c)
             back, got_rate = decode_wav(encode_wav(pcm, rate))
             assert got_rate == rate and np.array_equal(back, pcm)
-            rows.append((d, n, c, rate, int(back.astype(np.int64).sum())))
+            rows.append((d, n, c, rate, tag, float(back.astype(np.float64).sum())))
         yield pd.DataFrame(
-            rows, columns=["doc_id", "n_samples", "channels", "sample_rate", "amp_sum"]
+            rows,
+            columns=[
+                "doc_id", "n_samples", "channels", "sample_rate", "fmt_tag",
+                "amp_sum",
+            ],
         )
 
 
@@ -389,21 +446,31 @@ def _decode_wav_batches(batches):
            64 + doc_id % 32 AS n_samples,
            1 + doc_id % 2 AS channels,
            8000 + (doc_id % 4) * 4000 AS sample_rate,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(0, (64 + doc_id % 32) * (1 + doc_id % 2)),
-                              k -> CAST((doc_id * 31 + k) % 65536 - 32768 AS BIGINT))),
-               (x, y) -> x + y) AS amp_sum
+           CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END AS fmt_tag,
+           CASE WHEN doc_id % 3 = 2 THEN
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(0, (64 + doc_id % 32) * (1 + doc_id % 2)),
+                       k -> CAST((doc_id * 31 + k) % 4096 - 2048 AS DOUBLE) / 32)),
+                   (x, y) -> x + y)
+           ELSE
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, (64 + doc_id % 32) * (1 + doc_id % 2)),
+                       k -> CAST((doc_id * 31 + k) % 65536 - 32768 AS BIGINT))),
+                   (x, y) -> x + y) AS DOUBLE)
+           END AS amp_sum
     FROM documents
     ORDER BY doc_id
     """,
-    doc="Audio decode through Spark: per doc a deterministic 16-bit PCM "
-    "signal (mono/stereo by parity, varying sample rates) is wrapped "
-    "in a real RIFF/WAVE container and decoded by the pure-numpy WAV "
-    "reader (functions/multimodal.decode_wav: chunk walk, fmt parse, "
-    "int16 frombuffer + channel reshape) inside an Arrow mapInPandas "
-    "batch; the oracle recomputes sample counts and amplitude sums in "
-    "closed form. Upgrades the audio leg from stub to real decode, "
-    "like decode_png for images; compressed codecs (MP3/AAC/FLAC) "
+    doc="Audio decode through Spark: per doc a deterministic PCM signal "
+    "— 16-bit integer (format tag 1) or, for doc_id % 3 == 2, 32-bit "
+    "IEEE float (tag 3, samples exact multiples of 1/32 so the sum is "
+    "order-independent and cross-engine exact) — mono/stereo by "
+    "parity, varying sample rates, wrapped in a real RIFF/WAVE "
+    "container and decoded by the pure-numpy WAV reader "
+    "(functions/multimodal.decode_wav: chunk walk, fmt parse, "
+    "int16/float32 frombuffer + channel reshape) inside an Arrow "
+    "mapInPandas batch; the oracle recomputes sample counts and "
+    "amplitude sums in closed form. Compressed codecs (MP3/AAC/FLAC) "
     "remain behind NotImplementedError as they genuinely need codec "
     "libraries.",
 )
