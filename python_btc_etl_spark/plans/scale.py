@@ -795,3 +795,73 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lin = layout("linear", F.expr(f"y_code div {Z_LIN_WIDTH}"))
     zor = layout("zorder", F.expr(f"z div {Z_FILE_WIDTH}"))
     return lin.unionByName(zor).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (algebraic re-aggregation)
+# ---------------------------------------------------------------------------
+
+MV_DELTA_SLICE = 7  # event_id % 8 == 7 -> the "newly arrived" delta batch
+
+
+@query(
+    "incremental_mv_refresh_audit",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           min(ts) AS min_ts,
+           max(event_id) AS max_event_id,
+           count(DISTINCT CASE WHEN event_id % 8 = {MV_DELTA_SLICE}
+                               THEN 1 ELSE 0 END) AS n_partials
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="INCREMENTAL MV maintenance: the corpus is split into a base "
+    f"batch and a delta batch (event_id % 8 == {MV_DELTA_SLICE}), each "
+    "aggregated independently into per-key partial STATES (count / "
+    "exact-decimal sum / min / max — all monoid-mergeable), and the "
+    "refreshed view is the MERGE of the two state tables, never a "
+    "re-scan of the base. The differential proves merge == full "
+    "recompute (the DuckDB oracle aggregates all rows in one pass), "
+    "and n_partials — counted from the DATA, not the plan — pins that "
+    "every key genuinely carried two states into the merge. The "
+    "decimal partial sums stay decimal until after the merge, so "
+    "associativity is exact; the same algebra is why the pattern "
+    "scales: at 100 TB the base state is a tiny keyed table and each "
+    "refresh touches only the delta (this is the batch face of "
+    "streaming state / Delta incremental aggregation; retractions "
+    "need sum/count only — min/max require the full re-scan this "
+    "audit avoids).",
+)
+def incremental_mv_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    is_delta = F.col("event_id") % 8 == MV_DELTA_SLICE
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        # Decimal partial sum NOT yet cast to double: the merge must sum
+        # exact decimals (associative) — casting each partial to double
+        # first would make merge != recompute by reintroducing float
+        # rounding at the merge boundary.
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(24,6)")).alias("ps"),
+            F.min("ts").alias("pmin"),
+            F.max("event_id").alias("pmax"),
+        )
+
+    states = partial_state(e.filter(~is_delta)).unionByName(
+        partial_state(e.filter(is_delta))
+    )
+    return (
+        states.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("ps").cast("double").alias("total_value"),
+            F.min("pmin").alias("min_ts"),
+            F.max("pmax").alias("max_event_id"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .orderBy("event_type")
+    )
