@@ -232,6 +232,56 @@ def stream_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_purchase_click_full_join",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'click')
+               ) - INTERVAL 60 MINUTE AS w
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id, p.value AS purchase_value
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+    UNION ALL
+    SELECT p.event_id, NULL, p.user_id, p.value
+    FROM events p, wm
+    WHERE p.event_type = 'purchase' AND p.ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM events c
+                      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                        AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts)
+    UNION ALL
+    SELECT NULL, c.event_id, c.user_id, NULL
+    FROM events c, wm
+    WHERE c.event_type = 'click' AND c.ts + INTERVAL 60 MINUTE < wm.w
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                        AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts)
+    ORDER BY purchase_id NULLS LAST, click_id NULLS LAST, user_id
+    """,
+    doc="Stream-stream FULL OUTER interval join — completes the join-"
+    "mode matrix (inner / left / full). The oracle pins BOTH eviction "
+    "horizons, which are ASYMMETRIC: an unmatched purchase null-"
+    "extends once the watermark passes its own timestamp (matching "
+    "clicks are never later than it), but an unmatched click waits a "
+    "full interval longer — its matching purchases extend to "
+    "c_ts + 60 min, so it only emits once the watermark passes that "
+    "(condition discriminated empirically: c_ts + 60min < w matches "
+    "Spark's state eviction; c_ts < w overshoots by the clicks inside "
+    "the extra hour). Everything inside the final horizon stays in "
+    "state unemitted — the eviction contract itself is the "
+    "differential, not just the matched pairs.",
+)
+def stream_purchase_click_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.file_stream import run_stream_stream_full_join
+
+    return run_stream_stream_full_join(spark, sf_dir)
+
+
+@query(
     "stream_dedup_then_window",
     oracle="""
     WITH mx AS (SELECT max(ts) AS max_ts FROM events)

@@ -274,6 +274,60 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_.table("stream_join").orderBy("purchase_id", "click_id")
 
 
+def run_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join-mode
+    matrix (inner / left / full). Matched purchase-click pairs emit
+    immediately; an unmatched PURCHASE null-extends once the watermark
+    proves no matching click can still arrive (clicks matching it have
+    c_ts <= p_ts, so eviction at watermark > p_ts); an unmatched CLICK
+    null-extends once no future purchase can match it (purchases
+    matching it have p_ts <= c_ts + 60 min, so eviction only at
+    watermark > c_ts + 60 min — the click side waits a full interval
+    LONGER, which is the asymmetry the oracle pins). Rows inside the
+    final watermark horizon stay in state unemitted.
+    """
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "1 hour")
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "purchase_value",
+    )
+    spark_ = joined.sparkSession
+    try:
+        spark_.catalog.dropTempView("stream_full_join")
+    except Exception:
+        pass
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_full_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark_.table("stream_full_join").orderBy(
+        "purchase_id", "click_id", "user_id"
+    )
+
+
 def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every purchase, with its
     same-user clicks from the preceding hour when they exist. Matched
