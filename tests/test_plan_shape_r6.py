@@ -47,3 +47,22 @@ def test_embedding_cosine_guard_uses_broadcast_bucket_list(spark):
     # rows), not shuffle the vector table an extra time.
     assert "BroadcastHashJoin" in plan, plan
     assert "collect_list" not in plan, plan
+
+
+def test_kcore_rounds_are_broadcast_semijoins(spark):
+    df = plans.REGISTRY["kcore_decomposition"].fn(spark, SF_SMALL)
+    plan = _explained(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+    # The edge table must never sort-merge per peel round.
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zorder_pruning_audit_has_no_global_sort_or_window(spark):
+    df = plans.REGISTRY["zorder_layout_pruning_audit"].fn(spark, SF_SMALL)
+    plan = _explained(spark, df)
+    # File assignment is value-range chunking — a per-row expression —
+    # not a global sort/ntile; a Window here would be the single-
+    # partition bottleneck the query exists to avoid.
+    assert "Window" not in plan, plan
+    # The dimension-stats join is a broadcast of a 1-row aggregate.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
