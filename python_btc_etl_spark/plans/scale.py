@@ -655,11 +655,14 @@ def spatial_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # 8 bits per dimension -> 16-bit z-values; 64 files of z-width 1024.
-Z_BITS = 8
-Z_CODES = 1 << Z_BITS           # 256 codes per dimension
-Z_FILE_WIDTH = 1024             # z-range per "file" (65536 / 64)
-Z_LIN_WIDTH = Z_CODES // 64     # date-code width per linear "file"
-Z_BOX_LO, Z_BOX_HI = 64, 127    # the 2-D range predicate (1/16 of the area)
+# ZP_ prefix: zorder_layout_stats above owns the bare Z_ names (21-bit
+# interleave) — rebinding Z_BITS here would silently re-scope its
+# call-time reads (caught by the round-6 full sweep).
+ZP_BITS = 8
+ZP_CODES = 1 << ZP_BITS           # 256 codes per dimension
+ZP_FILE_WIDTH = 1024             # z-range per "file" (65536 / 64)
+ZP_LIN_WIDTH = ZP_CODES // 64     # date-code width per linear "file"
+ZP_BOX_LO, ZP_BOX_HI = 64, 127    # the 2-D range predicate (1/16 of the area)
 
 _SQL_Z_CODED = f"""
     s AS (
@@ -669,14 +672,14 @@ _SQL_Z_CODED = f"""
         FROM orders
     ),
     coded AS (
-        SELECT ((o_custkey - min_ck) * {Z_CODES}) // (max_ck - min_ck + 1) AS x_code,
-               (date_diff('day', min_d, o_orderdate) * {Z_CODES}) // (max_days + 1)
+        SELECT ((o_custkey - min_ck) * {ZP_CODES}) // (max_ck - min_ck + 1) AS x_code,
+               (date_diff('day', min_d, o_orderdate) * {ZP_CODES}) // (max_days + 1)
                    AS y_code
         FROM orders, s
     ),
     zz AS (
         SELECT x_code, y_code,
-               CAST(list_sum(list_transform(range(0, {Z_BITS}), i ->
+               CAST(list_sum(list_transform(range(0, {ZP_BITS}), i ->
                     (((x_code >> i) & 1) << (2 * i + 1))
                   + (((y_code >> i) & 1) << (2 * i)))) AS BIGINT) AS z
         FROM coded
@@ -688,14 +691,14 @@ def _sql_z_layout(name: str, file_expr: str) -> str:
     return f"""
         SELECT '{name}' AS layout,
                count(*) AS n_files,
-               count(*) FILTER (WHERE NOT (max_x < {Z_BOX_LO} OR min_x > {Z_BOX_HI}
-                                        OR max_y < {Z_BOX_LO} OR min_y > {Z_BOX_HI}))
+               count(*) FILTER (WHERE NOT (max_x < {ZP_BOX_LO} OR min_x > {ZP_BOX_HI}
+                                        OR max_y < {ZP_BOX_LO} OR min_y > {ZP_BOX_HI}))
                    AS files_scanned,
-               CAST(coalesce(sum(n_rows) FILTER (WHERE NOT (max_x < {Z_BOX_LO}
-                        OR min_x > {Z_BOX_HI} OR max_y < {Z_BOX_LO}
-                        OR min_y > {Z_BOX_HI})), 0) AS BIGINT) AS rows_scanned,
-               (SELECT count(*) FROM zz WHERE x_code BETWEEN {Z_BOX_LO} AND {Z_BOX_HI}
-                  AND y_code BETWEEN {Z_BOX_LO} AND {Z_BOX_HI}) AS rows_matching
+               CAST(coalesce(sum(n_rows) FILTER (WHERE NOT (max_x < {ZP_BOX_LO}
+                        OR min_x > {ZP_BOX_HI} OR max_y < {ZP_BOX_LO}
+                        OR min_y > {ZP_BOX_HI})), 0) AS BIGINT) AS rows_scanned,
+               (SELECT count(*) FROM zz WHERE x_code BETWEEN {ZP_BOX_LO} AND {ZP_BOX_HI}
+                  AND y_code BETWEEN {ZP_BOX_LO} AND {ZP_BOX_HI}) AS rows_matching
         FROM (
             SELECT {file_expr} AS file_id,
                    min(x_code) AS min_x, max(x_code) AS max_x,
@@ -710,9 +713,9 @@ def _sql_z_layout(name: str, file_expr: str) -> str:
     "zorder_layout_pruning_audit",
     oracle=f"""
     WITH {_SQL_Z_CODED}
-    {_sql_z_layout('linear', f'y_code // {Z_LIN_WIDTH}')}
+    {_sql_z_layout('linear', f'y_code // {ZP_LIN_WIDTH}')}
     UNION ALL
-    {_sql_z_layout('zorder', f'z // {Z_FILE_WIDTH}')}
+    {_sql_z_layout('zorder', f'z // {ZP_FILE_WIDTH}')}
     ORDER BY layout
     """,
     doc="Z-ORDER data-layout clustering audit (the OPTIMIZE ZORDER "
@@ -742,10 +745,10 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = o.crossJoin(F.broadcast(stats)).select(
         F.expr(
-            f"((o_custkey - min_ck) * {Z_CODES}) div (max_ck - min_ck + 1)"
+            f"((o_custkey - min_ck) * {ZP_CODES}) div (max_ck - min_ck + 1)"
         ).alias("x_code"),
         F.expr(
-            f"(datediff(o_orderdate, min_d) * {Z_CODES}) div (max_days + 1)"
+            f"(datediff(o_orderdate, min_d) * {ZP_CODES}) div (max_days + 1)"
         ).alias("y_code"),
     )
     # Morton interleave as a bounded integer fold — shift amounts are
@@ -753,7 +756,7 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     zz = coded.withColumn(
         "z",
         F.expr(
-            f"aggregate(sequence(0, {Z_BITS - 1}), CAST(0 AS BIGINT),"
+            f"aggregate(sequence(0, {ZP_BITS - 1}), CAST(0 AS BIGINT),"
             " (acc, i) -> acc"
             " + shiftleft((shiftright(x_code, i) & 1), 2 * i + 1)"
             " + shiftleft((shiftright(y_code, i) & 1), 2 * i))"
@@ -761,8 +764,8 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zz = managed_cache(zz)  # three consumers: two layouts + the match count
     in_box = (
-        F.col("x_code").between(Z_BOX_LO, Z_BOX_HI)
-        & F.col("y_code").between(Z_BOX_LO, Z_BOX_HI)
+        F.col("x_code").between(ZP_BOX_LO, ZP_BOX_HI)
+        & F.col("y_code").between(ZP_BOX_LO, ZP_BOX_HI)
     )
     n_match = zz.filter(in_box).agg(F.count(F.lit(1)).alias("rows_matching"))
 
@@ -775,10 +778,10 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
         scanned = ~(
-            (F.col("max_x") < Z_BOX_LO)
-            | (F.col("min_x") > Z_BOX_HI)
-            | (F.col("max_y") < Z_BOX_LO)
-            | (F.col("min_y") > Z_BOX_HI)
+            (F.col("max_x") < ZP_BOX_LO)
+            | (F.col("min_x") > ZP_BOX_HI)
+            | (F.col("max_y") < ZP_BOX_LO)
+            | (F.col("min_y") > ZP_BOX_HI)
         )
         return (
             files.agg(
@@ -792,8 +795,8 @@ def zorder_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n_match))
         )
 
-    lin = layout("linear", F.expr(f"y_code div {Z_LIN_WIDTH}"))
-    zor = layout("zorder", F.expr(f"z div {Z_FILE_WIDTH}"))
+    lin = layout("linear", F.expr(f"y_code div {ZP_LIN_WIDTH}"))
+    zor = layout("zorder", F.expr(f"z div {ZP_FILE_WIDTH}"))
     return lin.unionByName(zor).orderBy("layout")
 
 
