@@ -749,6 +749,21 @@ KCORE_ROUNDS = 6  # FIXED peel rounds, identical in both engines — no
 #                   unroll provably equals the true k-core.
 
 
+def _kcore_round(edges: DataFrame, prev: DataFrame) -> DataFrame:
+    """One peel: degrees over edges with BOTH endpoints alive, keep
+    nodes >= K. The alive set is node-table-sized, so both semi-join
+    sides broadcast — zero shuffles of the edge table per round."""
+    a = prev.select(F.col("node").alias("src"))
+    b = prev.select(F.col("node").alias("dst"))
+    return (
+        edges.join(F.broadcast(a), "src")
+        .join(F.broadcast(b), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= KCORE_K)
+    )
+
+
 def _sql_kcore_round(prev_alive: str, i: int) -> str:
     """One peel: recompute degrees over edges whose BOTH endpoints are
     alive, keep nodes with degree >= K."""
@@ -810,20 +825,23 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = managed_cache(
         _trade_edges(spark, sf_dir).repartition(F.col("src"))
     )
-    alive = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    ).filter(F.col("d") >= KCORE_K)
+    # Each round's alive set is EAGERLY localCheckpoint'ed (the same
+    # lineage-truncation discipline as _cc_labels): without it, every
+    # round's TWO broadcasts (src side + dst side) and the final counts
+    # each re-execute the whole prior-round DAG, compounding to ~2^R
+    # edge-join executions — measured 62 s at sf0.1 vs ~4 s with the
+    # checkpoint. The alive set is node-table-sized, so materializing
+    # it per round is the cheap side of the trade at any scale.
+    alive = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= KCORE_K)
+        .localCheckpoint(eager=True)
+    )
     prev_n = None
     for _ in range(KCORE_ROUNDS):
         prev_n = alive
-        a = prev_n.select(F.col("node").alias("src"))
-        b = prev_n.select(F.col("node").alias("dst"))
-        ealive = edges.join(F.broadcast(a), "src").join(F.broadcast(b), "dst")
-        alive = (
-            ealive.groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-        )
+        alive = _kcore_round(edges, prev_n).localCheckpoint(eager=True)
     converged = alive.count() == prev_n.count()
     return (
         alive.select(

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from python_btc_etl_spark import plans
 
 from .conftest import SF_SMALL
@@ -50,8 +52,17 @@ def test_embedding_cosine_guard_uses_broadcast_bucket_list(spark):
 
 
 def test_kcore_rounds_are_broadcast_semijoins(spark):
-    df = plans.REGISTRY["kcore_decomposition"].fn(spark, SF_SMALL)
-    plan = _explained(spark, df)
+    # The registered query eagerly localCheckpoints each round (without
+    # it, the per-round broadcasts re-execute prior rounds ~2^R times —
+    # measured 62 s vs 2 s at sf0.1), so the FINAL plan is a checkpoint
+    # scan; the shape contract lives on the single-round builder.
+    from python_btc_etl_spark.plans import graph
+
+    edges = graph._trade_edges(spark, SF_SMALL).repartition("src")
+    alive = edges.groupBy(edges.src.alias("node")).count().select(
+        "node", F.col("count").alias("d")
+    )
+    plan = _explained(spark, graph._kcore_round(edges, alive))
     assert "BroadcastHashJoin" in plan, plan
     # The edge table must never sort-merge per peel round.
     assert "SortMergeJoin" not in plan, plan
