@@ -242,7 +242,8 @@ def encode_png(
     else:
         h, w, channels = img.shape
         px = img.astype(np.int32)
-        color = {2: 4, 3: 2, 4: 6}[channels]
+        # 1: an (h, w, 1) array is grayscale, same as the 2-D spelling.
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     row_filters = row_filters or [0, 1, 2, 3, 4]
     left = np.zeros_like(px)
     left[:, 1:, :] = px[:, :-1, :]

@@ -610,7 +610,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nv", VX.norm(F.col("v")))
         .withColumn("bucket", VX.lsh_bucket(F.col("v")))
     )
-    aug = managed_cache(_emb_guarded(aug))
+    # Cache BEFORE guarding: the guard scans aug twice (occupancy counts
+    # + the probe side of its broadcast join) and the self-join below
+    # scans the guarded result twice more — caching the expensive vector
+    # pipeline once means every one of those passes reads memory, while
+    # caching only the guarded output would recompute the scan for the
+    # occupancy pass on every cold run.
+    aug = _emb_guarded(managed_cache(aug))
     a = aug.select(
         F.col("vec_id").alias("vec_a"), "label", "bucket",
         F.col("v").alias("va"), F.col("nv").alias("na"),

@@ -1202,6 +1202,13 @@ def pyds_filter_pushdown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned DataFrame is bound to the child session, which lives as
     # long as the context, so the caller can execute it normally.
     spark = spark.newSession()
+    # The child starts from builder-time confs only: re-apply the
+    # session invariants (UTC, nanosAsLong, NTZ inference) the rest of
+    # the registry assumes — all-integer today, but the first timestamp
+    # read through this session would otherwise silently diverge.
+    from ..catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
     register(spark)
     # Runtime-settable SQLConf; a reader implementing pushFilters FAILS
     # FAST when this is off, so the audit can't silently degrade.

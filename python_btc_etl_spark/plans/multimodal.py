@@ -544,8 +544,9 @@ def _decode_gif_batches(batches):
     "palette-index sum — the video-container analogue of "
     "multimodal_frame_sample, now over a real container format with "
     "real compression. One-row-to-many Arrow fan-out; the oracle "
-    "recomputes frames in closed form. Local color tables and "
-    "interlacing stay behind explicit NotImplementedError.",
+    "recomputes frames in closed form. Local color tables are "
+    "traversed (bounds-checked) since round 6; only interlacing stays "
+    "behind explicit NotImplementedError.",
 )
 def multimodal_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select("doc_id")

@@ -323,8 +323,12 @@ def run_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # NULLS LAST to mirror the oracle's ORDER BY ... NULLS LAST (Spark's
+    # ascending default is nulls-first; both sides must pin the same).
     return spark_.table("stream_full_join").orderBy(
-        "purchase_id", "click_id", "user_id"
+        F.asc_nulls_last("purchase_id"),
+        F.asc_nulls_last("click_id"),
+        "user_id",
     )
 
 

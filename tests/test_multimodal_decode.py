@@ -256,3 +256,14 @@ def test_gif_local_color_table_traversed():
     # Cut inside the spliced LCT -> ValueError, not a silent return.
     with pytest.raises(ValueError):
         decode_gif(patched[: at + 12])
+
+
+def test_png_single_channel_3d_input_encodes_as_grayscale():
+    """Regression (round-6 review): (h, w, 1) input must encode as
+    grayscale like its 2-D spelling, not KeyError on the channel map."""
+    from python_btc_etl_spark.functions.multimodal import decode_png, encode_png
+
+    img = np.arange(20, dtype=np.uint8).reshape(4, 5, 1)
+    back = decode_png(encode_png(img))
+    assert back.shape == (4, 5)
+    assert np.array_equal(back, img[:, :, 0])
