@@ -276,3 +276,116 @@ def merge_full_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot time travel (manifest-versioned table, copy-on-write delete)
+# ---------------------------------------------------------------------------
+
+TT_DEL_SLICE = 1   # the copy-on-write DELETE targets slice 1...
+TT_DEL_USER = 3    # ...removing rows with user_id % 10 == 3
+
+
+def tt_table_path(sf_dir: str) -> str:
+    root = Path(__file__).resolve().parents[2]
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return str(root / "spark-warehouse" / f"events_versioned_{sfname}")
+
+
+def materialize_versioned_events(spark: SparkSession, sf_dir: str) -> dict:
+    """Build a 3-snapshot manifest-versioned table once per scale factor.
+
+    The table's contract is the Iceberg/Delta core stripped to its
+    essentials: data lives in immutable parquet commit units, and a
+    VERSION is nothing but a manifest — the list of units visible at
+    that snapshot. Commits:
+
+    - v1: slices 0-5 of events (event_id % 8), one immutable unit each;
+    - v2: v1 + an APPEND unit for slice 6 (pure manifest addition —
+      no existing bytes touched);
+    - v3: a COPY-ON-WRITE DELETE of user_id % 10 == 3 restricted to
+      slice 1: that one unit is rewritten without the matching rows and
+      the manifest swaps old-for-new; every other unit is shared with
+      v2 byte-for-byte. Old snapshots keep reading the original unit —
+      this file-swap is why time travel is free in lakehouse formats.
+    """
+    import json
+
+    base = tt_table_path(sf_dir)
+    manifest_path = os.path.join(base, "manifests.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            return json.load(fh)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", (F.col("event_id") % 8).alias("slice")
+    )
+    units: dict[int, str] = {}
+    for k in range(7):
+        unit = os.path.join(base, f"files/c{1 if k <= 5 else 2}_s{k}")
+        ev.filter(F.col("slice") == k).write.mode("overwrite").parquet(unit)
+        units[k] = unit
+    rewritten = os.path.join(base, "files/c3_rw_s1")
+    (
+        spark.read.parquet(units[TT_DEL_SLICE])
+        .filter(~(F.col("user_id") % 10 == TT_DEL_USER))
+        .write.mode("overwrite")
+        .parquet(rewritten)
+    )
+    v1 = [units[k] for k in range(6)]
+    v2 = v1 + [units[6]]
+    v3 = [u for u in v2 if u != units[TT_DEL_SLICE]] + [rewritten]
+    manifests = {"1": v1, "2": v2, "3": v3}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifests, fh)
+    os.replace(tmp, manifest_path)  # atomic publish, like a commit log
+    return manifests
+
+
+@query(
+    "snapshot_time_travel_audit",
+    oracle=f"""
+    SELECT 1 AS version, count(*) AS n_rows,
+           {sql_dsum('value')} AS total_value, max(event_id) AS max_event_id
+    FROM events WHERE event_id % 8 <= 5
+    UNION ALL
+    SELECT 2, count(*), {sql_dsum('value')}, max(event_id)
+    FROM events WHERE event_id % 8 <= 6
+    UNION ALL
+    SELECT 3, count(*), {sql_dsum('value')}, max(event_id)
+    FROM events
+    WHERE event_id % 8 <= 6
+      AND NOT (event_id % 8 = {TT_DEL_SLICE} AND user_id % 10 = {TT_DEL_USER})
+    ORDER BY version
+    """,
+    doc="SNAPSHOT TIME TRAVEL over a manifest-versioned parquet table "
+    "(the Iceberg/Delta mechanism stripped to its core): v1 = six "
+    "immutable commit units, v2 = v1 + an append unit, v3 = a copy-on-"
+    "write DELETE that rewrites exactly one unit and swaps it in the "
+    "manifest — every other unit is shared byte-for-byte across "
+    "snapshots. Each version is read back AS OF its manifest (the "
+    "reader opens precisely the listed units, nothing else) and "
+    "aggregated; the oracle recomputes all three snapshots from the "
+    "raw slice predicates, so a reader that leaked a file across "
+    "versions (seeing the delete too early, or missing the append) "
+    "hash-mismatches on counts and sums. At 100 TB this is why "
+    "reproducible training runs pin a snapshot id: time travel costs "
+    "one manifest read, never a table copy.",
+)
+def snapshot_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    manifests = materialize_versioned_events(spark, sf_dir)
+    outs = []
+    for v in ("1", "2", "3"):
+        snap = spark.read.parquet(*manifests[v])
+        outs.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("value").alias("total_value"),
+                F.max("event_id").alias("max_event_id"),
+            ).select(F.lit(int(v)).alias("version"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("version")
