@@ -800,3 +800,98 @@ def kmeans_lloyd_centroids_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS-PQ vector-compression storage step
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = VX.DIM // PQ_M
+PQ_K = 16       # codewords per subspace: the sub-slices of vec_id < 16
+#                 (sample-seeded codebooks = k-means with zero update
+#                 rounds; production refines them with the Lloyd loop
+#                 above — the encode/audit dataflow is identical).
+
+
+@query(
+    "pq_quantization_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, (embedding::DOUBLE[]) AS v FROM embeddings),
+    subs AS (
+        SELECT vec_id, t.m AS sub, v[t.m * {PQ_SUBDIM} + 1 : (t.m + 1) * {PQ_SUBDIM}] AS sv
+        FROM e, range(0, {PQ_M}) t(m)
+    ),
+    cb AS (SELECT sub AS csub, vec_id AS code, sv AS cv
+           FROM subs WHERE vec_id < {PQ_K}),
+    scored AS (
+        SELECT s.vec_id, s.sub, c.code,
+               list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+                   (x, y) -> x + y) AS d
+        FROM subs s JOIN cb c ON c.csub = s.sub
+    ),
+    best AS (
+        SELECT vec_id, sub, code, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d, code) AS rn
+            FROM scored)
+        WHERE rn = 1
+    )
+    SELECT sub, code, count(*) AS n_assigned,
+           {sql_dsum('d', 18)} / count(*) AS mean_sq_err,
+           max(d) AS max_sq_err
+    FROM best
+    GROUP BY sub, code
+    ORDER BY sub, code
+    """,
+    doc=f"PRODUCT QUANTIZATION (the FAISS-PQ storage step): each "
+    f"{VX.DIM}-dim vector splits into {PQ_M} subvectors of {PQ_SUBDIM} "
+    f"dims, each encoded as its nearest of {PQ_K} per-subspace "
+    "codewords — 64 floats (256 B) become 8 byte-codes, a 32x "
+    "compression that is what makes billion-vector ANN indexes fit in "
+    "RAM. Codebooks are sample-seeded (k-means-0; production refines "
+    "with the kmeans_lloyd loop above, same dataflow); assignment is "
+    "an order-deterministic squared-L2 fold with (distance, code) "
+    "tie-break. The audit emits the per-(subspace, codeword) "
+    "assignment histogram with mean/max residual error — the codebook-"
+    "health dashboard a production PQ index monitors (a dead or "
+    "overloaded codeword shows up as a row here). Scale shape: the "
+    f"codebook ({PQ_M}x{PQ_K}x{PQ_SUBDIM} values) broadcasts; the "
+    "corpus explodes per-row into subspace slices and NEVER shuffles "
+    "for encoding; the stats aggregate over a bounded "
+    f"{PQ_M}x{PQ_K}-key space partial-aggregates map-side.",
+)
+def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"struct(m AS sub, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("sub").alias("csub"), F.col("vec_id").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+    scored = subs.join(F.broadcast(cb), F.col("sub") == F.col("csub")).withColumn(
+        "d", VX.sq_dist(F.col("sv"), F.col("cv"))
+    )
+    w = W.partitionBy("vec_id", "sub").orderBy("d", "code")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sub", "code", "d")
+    )
+    return (
+        best.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (dsum("d", 18) / F.count(F.lit(1))).alias("mean_sq_err"),
+            F.max("d").alias("max_sq_err"),
+        )
+        .orderBy("sub", "code")
+    )
