@@ -814,10 +814,44 @@ PQ_K = 16       # codewords per subspace: the sub-slices of vec_id < 16
 #                 above — the encode/audit dataflow is identical).
 
 
-@query(
-    "pq_quantization_audit",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, (embedding::DOUBLE[]) AS v FROM embeddings),
+def _pq_subs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): each vector split into PQ_M subvector slices."""
+    return vecs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"struct(m AS sub, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """(csub, code, cv): PQ_K sample-seeded codewords per subspace."""
+    return subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("sub").alias("csub"), F.col("vec_id").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+
+
+def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, sub, code, d): nearest codeword per (vector, subspace),
+    order-deterministic squared-L2 with (distance, code) tie-break."""
+    scored = subs.join(F.broadcast(cb), F.col("sub") == F.col("csub")).withColumn(
+        "d", VX.sq_dist(F.col("sv"), F.col("cv"))
+    )
+    w = W.partitionBy("vec_id", "sub").orderBy("d", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code", "d")
+    )
+
+
+# Shared DuckDB CTE chain: subvector slices, codebook, per-subspace
+# nearest-codeword encoding (mirrors _pq_subs/_pq_codebook/_pq_encode).
+_SQL_PQ_CTES = f"""
     subs AS (
         SELECT vec_id, t.m AS sub, v[t.m * {PQ_SUBDIM} + 1 : (t.m + 1) * {PQ_SUBDIM}] AS sv
         FROM e, range(0, {PQ_M}) t(m)
@@ -837,7 +871,14 @@ PQ_K = 16       # codewords per subspace: the sub-slices of vec_id < 16
                                          ORDER BY d, code) AS rn
             FROM scored)
         WHERE rn = 1
-    )
+    )"""
+
+
+@query(
+    "pq_quantization_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, (embedding::DOUBLE[]) AS v FROM embeddings),
+    {_SQL_PQ_CTES}
     SELECT sub, code, count(*) AS n_assigned,
            {sql_dsum('d', 18)} / count(*) AS mean_sq_err,
            max(d) AS max_sq_err
@@ -864,28 +905,8 @@ PQ_K = 16       # codewords per subspace: the sub-slices of vec_id < 16
 )
 def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
-    subs = vecs.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), m -> "
-                f"struct(m AS sub, slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
-    cb = subs.filter(F.col("vec_id") < PQ_K).select(
-        F.col("sub").alias("csub"), F.col("vec_id").alias("code"),
-        F.col("sv").alias("cv"),
-    )
-    scored = subs.join(F.broadcast(cb), F.col("sub") == F.col("csub")).withColumn(
-        "d", VX.sq_dist(F.col("sv"), F.col("cv"))
-    )
-    w = W.partitionBy("vec_id", "sub").orderBy("d", "code")
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("sub", "code", "d")
-    )
+    subs = _pq_subs(vecs)
+    best = _pq_encode(subs, _pq_codebook(subs))
     return (
         best.groupBy("sub", "code")
         .agg(
@@ -894,4 +915,154 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_sq_err"),
         )
         .orderBy("sub", "code")
+    )
+
+
+PQ_RERANK = 50  # ADC candidate width handed to the exact refine step
+
+
+@query(
+    "ann_recall_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, (embedding::DOUBLE[]) AS v FROM embeddings),
+    {_SQL_PQ_CTES},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {VX.sql_sq_dist('q.qv', 'e.v')}, e.vec_id) AS rank
+            FROM q JOIN e ON e.vec_id <> q.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    qsubs AS (
+        SELECT query_id, t.m AS sub, qv[t.m * {PQ_SUBDIM} + 1 : (t.m + 1) * {PQ_SUBDIM}] AS qsv
+        FROM q, range(0, {PQ_M}) t(m)
+    ),
+    tabs AS (
+        SELECT qs.query_id, qs.sub, c.code,
+               list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (qs.qsv[i] - c.cv[i]) * (qs.qsv[i] - c.cv[i])),
+                   (x, y) -> x + y) AS dq
+        FROM qsubs qs JOIN cb c ON c.csub = qs.sub
+    ),
+    adc AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT t.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY t.query_id
+                                      ORDER BY {sql_dsum('t.dq', 18)}, b.vec_id) AS rank
+            FROM best b JOIN tabs t ON t.sub = b.sub AND t.code = b.code
+            WHERE b.vec_id <> t.query_id
+            GROUP BY t.query_id, b.vec_id
+        ) WHERE rank <= {PQ_RERANK}
+    ),
+    refined AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.query_id, a.neighbor_id,
+                   row_number() OVER (PARTITION BY a.query_id
+                                      ORDER BY {VX.sql_sq_dist('q.qv', 'e.v')}, a.neighbor_id) AS rk
+            FROM adc a
+            JOIN q ON q.query_id = a.query_id
+            JOIN e ON e.vec_id = a.neighbor_id
+        ) WHERE rk <= {TOP_K}
+    )
+    SELECT br.query_id AS query_id,
+           count(*) AS n_true,
+           count(a.neighbor_id) AS n_hits,
+           count(a.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+    FROM brute br
+    LEFT JOIN refined a ON a.query_id = br.query_id AND a.neighbor_id = br.neighbor_id
+    GROUP BY br.query_id
+    ORDER BY br.query_id
+    """,
+    doc="recall@k of PQ ASYMMETRIC DISTANCE COMPUTATION + exact re-rank "
+    "against exact squared-L2 ground truth — the query-time half of "
+    "product quantization as production runs it: each query builds a "
+    f"per-subspace distance TABLE to the codebook ({PQ_M}x{PQ_K} "
+    "entries), a vector's approximate distance is the sum of table "
+    "lookups at its stored codes (the corpus is scanned as byte codes, "
+    f"never floats), the ADC top-{PQ_RERANK} candidates are then re-"
+    "ranked with the exact distance and cut to top-k — the refine step "
+    "that recovers the recall raw byte-codes lose (measured ~0.16 -> "
+    f"~0.7 mean recall here; only {PQ_RERANK} float vectors per query "
+    "are ever touched, vs the full corpus for brute force). The per-"
+    "pair ADC sum is an exact decimal sum (order-free, partial-"
+    "aggregable) so cross-engine ranking is deterministic; ties break "
+    "on vec_id. Completes the PQ story: pq_quantization_audit is the "
+    "storage/codebook-health half, this is retrieval quality, graded "
+    "like ann_recall_lsh/ivf.",
+)
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    subs = _pq_subs(vecs)
+    cb = _pq_codebook(subs)
+    enc = _pq_encode(subs, cb).select("vec_id", "sub", "code")
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # Exact squared-L2 ground truth (the metric ADC approximates).
+    brute = (
+        q.crossJoin(vecs.select(F.col("vec_id").alias("neighbor_id"), "v"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("ed", VX.sq_dist(F.col("qv"), F.col("v")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("ed", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    qsubs = _pq_subs(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v"))
+    ).select(F.col("vec_id").alias("query_id"), "sub", "sv")
+    tabs = qsubs.join(F.broadcast(cb), F.col("sub") == F.col("csub")).select(
+        "query_id", "sub", "code", VX.sq_dist(F.col("sv"), F.col("cv")).alias("dq")
+    )
+    adc = (
+        enc.join(F.broadcast(tabs), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(dsum("dq", 18).alias("ad"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("ad", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rank") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    # Refine: exact distance on the small ADC candidate set only.
+    refined = (
+        adc.join(
+            vecs.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn("ed", VX.sq_dist(F.col("qv"), F.col("v")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("ed", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("a_nid"))
+    )
+    return (
+        brute.join(
+            refined,
+            (brute.query_id == refined.query_id)
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .drop(refined.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("a_nid").alias("n_hits"),
+            (F.count("a_nid") / F.count(F.lit(1)).cast("double")).alias("recall"),
+        )
+        .orderBy("query_id")
     )
