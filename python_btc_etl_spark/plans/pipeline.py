@@ -1335,3 +1335,95 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bucket("q_key_rule", F.col("reasons").bitwiseAND(2) == 2))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sampled multilingual mixing (the mT5/XLM-R alpha recipe)
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_BUDGET = 10_000  # documents in the mixed corpus
+# alpha = 0.5 exactly, because p_l ∝ n_l^0.5 = sqrt(n_l) and IEEE sqrt is
+# CORRECTLY ROUNDED in both engines — bit-identical weights without the
+# libm pow() divergence any other temperature would risk cross-engine.
+
+
+@query(
+    "temperature_mix_allocation",
+    oracle=f"""
+    WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM lc),
+    tot AS (SELECT {sql_dsum('wt', 18)} AS tw FROM w),
+    alloc AS (
+        SELECT lang, n, wt / t.tw AS p,
+               CAST(floor({TEMP_MIX_BUDGET} * (wt / t.tw)) AS BIGINT) AS base,
+               {TEMP_MIX_BUDGET} * (wt / t.tw)
+                   - floor({TEMP_MIX_BUDGET} * (wt / t.tw)) AS rem
+        FROM w, tot t
+    ),
+    fin AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+               (SELECT {TEMP_MIX_BUDGET} - sum(base) FROM alloc) AS leftover
+        FROM alloc
+    )
+    SELECT lang, n AS n_docs, p AS sample_prob,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS quota,
+           (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+               / CAST(n AS DOUBLE) AS sampling_factor
+    FROM fin
+    ORDER BY lang
+    """,
+    doc="TEMPERATURE-SAMPLED multilingual mixing (the mT5/XLM-R recipe): "
+    "per-language sampling probability p_l ∝ n_l^α flattens the natural "
+    "distribution so high-resource languages stop drowning the tail — "
+    "α = 0.5 here, deliberately, because sqrt is correctly rounded in "
+    "IEEE so both engines derive bit-identical weights (arbitrary α "
+    "rides on libm pow(), which is not). The document budget is then "
+    "allocated by largest-remainder rounding (quotas sum EXACTLY to "
+    "the budget — floor-only allocation silently under-fills), and the "
+    "per-language sampling_factor (>1 = upsample with repeats, <1 = "
+    "subsample) is what a downstream mixer feeds into hash-based "
+    "selection (dataset_mix_by_lang). Derives the rates the fixed-rate "
+    "mix query consumes; one tiny per-language aggregate — the corpus "
+    "scan is the only data-sized pass, everything after is |lang| "
+    "rows.",
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lc = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("wt", F.sqrt(F.col("n").cast("double")))
+    )
+    tot = lc.agg(dsum("wt", 18).alias("tw"))
+    alloc = (
+        lc.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("wt") / F.col("tw"))
+        .withColumn(
+            "base",
+            F.floor(F.lit(TEMP_MIX_BUDGET) * F.col("p")).cast("bigint"),
+        )
+        .withColumn(
+            "rem", F.lit(TEMP_MIX_BUDGET) * F.col("p") - F.floor(F.lit(TEMP_MIX_BUDGET) * F.col("p"))
+        )
+    )
+    leftover = alloc.agg(
+        (F.lit(TEMP_MIX_BUDGET) - F.sum("base")).alias("leftover")
+    )
+    fin = (
+        alloc.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(W.orderBy(F.desc("rem"), "lang")))
+        .withColumn(
+            "quota",
+            (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return fin.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("p").alias("sample_prob"),
+        "quota",
+        (F.col("quota") / F.col("n").cast("double")).alias("sampling_factor"),
+    ).orderBy("lang")
