@@ -553,3 +553,55 @@ def approx_topk_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_events"), "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4 SQL/PSM: BEGIN / DECLARE / WHILE / SET)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_scripting_audit",
+    oracle="""
+    SELECT CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS BIGINT)
+               AS weighted_priority_count,
+           count(*) AS n_orders
+    FROM orders
+    """,
+    doc="SQL SCRIPTING (Spark 4 SQL/PSM): a BEGIN...END compound with "
+    "DECLARE'd variables and a WHILE loop that folds five scalar "
+    "subqueries — one per order priority, weighted by the loop index — "
+    "into a session variable, then SELECTs the result. The oracle "
+    "collapses the loop algebraically (the weight equals the "
+    "priority's leading digit, so the scripted fold must equal one "
+    "weighted aggregate over the raw table), which gates that every "
+    "iteration actually executed against the data. Runs on a child "
+    "session (scripting.enabled is a planner-behavior conf, same "
+    "hygiene as the PyDS pushdown audit). Stored-procedure-style "
+    "control flow is the migration path for warehouse PL/SQL jobs — "
+    "each statement inside the loop is still a full Catalyst-optimized "
+    "query, so the loop orchestrates scans rather than row-at-a-time "
+    "cursors.",
+)
+def sql_scripting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import ensure_session_confs
+
+    spark = spark.newSession()
+    ensure_session_confs(spark)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE w BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          WHILE i <= 5 DO
+            SET w = w + i * (SELECT count(*) FROM orders
+                             WHERE o_orderpriority LIKE i || '-%');
+            SET i = i + 1;
+          END WHILE;
+          SELECT w AS weighted_priority_count,
+                 (SELECT count(*) FROM orders) AS n_orders;
+        END
+        """
+    )
