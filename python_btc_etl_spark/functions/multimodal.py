@@ -232,6 +232,15 @@ def encode_png(
     if palette is not None:
         if img.ndim != 2:
             raise ValueError("palette PNG takes an HxW index raster")
+        palette = np.ascontiguousarray(palette, dtype=np.uint8)
+        # PLTE allows at most 256 entries and 8-bit index rasters can
+        # never address past 255 — reject out-of-spec palettes rather
+        # than silently emitting an invalid PNG.
+        # Out-of-range index rasters are deliberately NOT rejected here:
+        # decode_png owns that check (and the error-leg tests encode one
+        # on purpose to exercise it).
+        if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] > 256:
+            raise ValueError("PNG palette must be N x 3 RGB with N <= 256")
         h, w, channels = img.shape[0], img.shape[1], 1
         px = img.reshape(h, w, 1).astype(np.int32)
         color = 3
@@ -399,8 +408,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"WAV format tag {audio_format} (PCM=1 and IEEE-float=3 only)"
         )
-    if len(data) % (bits // 8) != 0:
-        raise ValueError("truncated stream: WAV data not sample-aligned")
+    # Frame-aligned, not just sample-aligned: a multi-channel data chunk
+    # cut mid-frame is sample-aligned yet still truncated, and would
+    # otherwise surface as a generic numpy reshape error below.
+    if channels < 1 or len(data) % (channels * (bits // 8)) != 0:
+        raise ValueError("truncated stream: WAV data not frame-aligned")
     samples = np.frombuffer(data, dtype=dtype)
     if channels > 1:
         samples = samples.reshape(-1, channels)

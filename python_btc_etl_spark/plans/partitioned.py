@@ -313,9 +313,18 @@ def materialize_versioned_events(spark: SparkSession, sf_dir: str) -> dict:
 
     base = tt_table_path(sf_dir)
     manifest_path = os.path.join(base, "manifests.json")
+    # Source fingerprint (mtime + size of the events parquet) stored in
+    # the manifest: regenerated testdata — or a different parent dir
+    # sharing this basename — invalidates the cache instead of silently
+    # serving stale snapshot files against a fresh oracle.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
-            return json.load(fh)
+            cached = json.load(fh)
+        if cached.get("_fingerprint") == fingerprint:
+            return cached
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", (F.col("event_id") % 8).alias("slice")
     )
@@ -334,7 +343,7 @@ def materialize_versioned_events(spark: SparkSession, sf_dir: str) -> dict:
     v1 = [units[k] for k in range(6)]
     v2 = v1 + [units[6]]
     v3 = [u for u in v2 if u != units[TT_DEL_SLICE]] + [rewritten]
-    manifests = {"1": v1, "2": v2, "3": v3}
+    manifests = {"1": v1, "2": v2, "3": v3, "_fingerprint": fingerprint}
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifests, fh)
@@ -389,3 +398,87 @@ def snapshot_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("version")
+
+
+@query(
+    "snapshot_incremental_scan_audit",
+    oracle=f"""
+    SELECT 'insert' AS change_type, count(*) AS n_rows,
+           {sql_dsum('value')} AS total_value,
+           min(event_id) AS min_event_id, max(event_id) AS max_event_id
+    FROM events WHERE event_id % 8 = 6
+    UNION ALL
+    SELECT 'delete', count(*), {sql_dsum('value')}, min(event_id), max(event_id)
+    FROM events
+    WHERE event_id % 8 = {TT_DEL_SLICE} AND user_id % 10 = {TT_DEL_USER}
+    ORDER BY change_type
+    """,
+    doc="INCREMENTAL SNAPSHOT READ (CDC between versions) over the "
+    "manifest-versioned table of snapshot_time_travel_audit — the "
+    "Delta CDF / Iceberg incremental-scan primitive. v1->v2 was a pure "
+    "append, so its inserted rows are read from ONLY the one unit "
+    "present in v2's manifest but not v1's; v2->v3 was a copy-on-write "
+    "delete, so its deleted rows are the anti-join of the ONE swapped-"
+    "out unit against its rewritten replacement (event_id is unique). "
+    "The reader opens exactly the changed units — a _metadata.file_path "
+    "assertion raises if any unchanged unit is ever touched — which is "
+    "the whole point at 100 TB: downstream incremental consumers (the "
+    "incremental_mv_refresh_audit pattern) process the delta commits, "
+    "never re-scan the table. The oracle recomputes both change sets "
+    "from the raw slice predicates, so a reader that diffed manifests "
+    "wrong (scanning a shared unit, missing the rewrite) mismatches on "
+    "counts and sums.",
+)
+def snapshot_incremental_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    manifests = materialize_versioned_events(spark, sf_dir)
+    v1, v2, v3 = (set(manifests[v]) for v in ("1", "2", "3"))
+    added_units = sorted(v2 - v1)          # the append commit (1 unit)
+    removed_units = sorted(v2 - v3)        # swapped-out original (1 unit)
+    rewritten_units = sorted(v3 - v2)      # its copy-on-write rewrite (1 unit)
+    changed = set(added_units + removed_units + rewritten_units)
+
+    def read_units(units: list[str]) -> DataFrame:
+        df = spark.read.parquet(*units).withColumn(
+            "_file", F.col("_metadata.file_path")
+        )
+        return df
+
+    # Guard: the incremental read must open ONLY changed units. The file
+    # set per read is tiny (1 unit here; O(commit size) in general), so
+    # the distinct-collect is bounded metadata, not data.
+    def _local(uri: str) -> str:
+        # _metadata.file_path is a Hadoop URI ("file:/root/…"); normalize
+        # to the local path the manifest stores.
+        return "/" + uri.split(":", 1)[1].lstrip("/") if ":" in uri else uri
+
+    opened = {
+        _local(os.path.dirname(r["_file"]))
+        for u in (added_units, removed_units, rewritten_units)
+        for r in read_units(u).select("_file").distinct().collect()
+    }
+    stray = {p for p in opened if not any(p.startswith(c) for c in changed)}
+    if stray:
+        raise AssertionError(f"incremental scan opened unchanged units: {stray}")
+
+    inserted = read_units(added_units)
+    # Deleted rows: in the swapped-out unit but absent from its rewrite.
+    deleted = read_units(removed_units).join(
+        F.broadcast(read_units(rewritten_units).select("event_id")),
+        "event_id",
+        "left_anti",
+    )
+
+    def summarize(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        ).select(F.lit(kind).alias("change_type"), "*")
+
+    return (
+        summarize(deleted, "delete")
+        .unionByName(summarize(inserted, "insert"))
+        .orderBy("change_type")
+    )

@@ -267,3 +267,36 @@ def test_png_single_channel_3d_input_encodes_as_grayscale():
     back = decode_png(encode_png(img))
     assert back.shape == (4, 5)
     assert np.array_equal(back, img[:, :, 0])
+
+
+def test_wav_multichannel_frame_alignment():
+    """ADVICE r6 #1: a multi-channel data chunk that is sample-aligned
+    but NOT frame-aligned must raise the explicit truncated-stream
+    ValueError, not a generic numpy reshape error."""
+    from python_btc_etl_spark.functions.multimodal import decode_wav, encode_wav
+
+    stereo = np.arange(8, dtype=np.int16).reshape(4, 2)
+    wav = bytearray(encode_wav(stereo, 8000))
+    # Drop ONE 16-bit sample from the data chunk (keeps sample alignment,
+    # breaks frame alignment) and patch the data-size + RIFF-size fields.
+    at = bytes(wav).rfind(b"data")
+    size = int.from_bytes(wav[at + 4 : at + 8], "little")
+    wav[at + 4 : at + 8] = (size - 2).to_bytes(4, "little")
+    wav[4:8] = (int.from_bytes(wav[4:8], "little") - 2).to_bytes(4, "little")
+    clipped = bytes(wav[:-2])
+    with pytest.raises(ValueError, match="frame-aligned"):
+        decode_wav(clipped)
+
+
+def test_png_palette_encoder_rejects_oversized_palette():
+    """ADVICE r6 #2: PLTE allows max 256 entries; an oversized or
+    mis-shaped palette must be rejected at encode time."""
+    from python_btc_etl_spark.functions.multimodal import encode_png
+
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="N <= 256"):
+        encode_png(idx, palette=np.zeros((257, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="N <= 256"):
+        encode_png(idx, palette=np.zeros((4, 4), dtype=np.uint8))
+    # 256 entries exactly is in-spec.
+    assert encode_png(idx, palette=np.zeros((256, 3), dtype=np.uint8))
