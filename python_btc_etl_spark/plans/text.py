@@ -15,9 +15,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load, spread
 from ..functions import text as TX
+from ..functions import vectors as VX
+from .exprs import dsum, sql_dsum
 from .registry import query
 
 # Marker stopwords per language, used by the language-ID scorer. Scores
@@ -460,4 +463,240 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.join(tokens, F.col("checkpoint") == F.col("ck2"))
         .select("checkpoint", "max_doc_id", "vocab_size", "tokens_cum")
         .orderBy("checkpoint")
+    )
+
+
+# --- BM25 keyword retrieval + hybrid RRF fusion ---------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Literal keyword queries over the synthetic corpus vocabulary. query_id
+# doubles as the embedding vec_id for the hybrid-fusion query below.
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("spark", "join", "stream"),
+    1: ("vector", "scan", "filter"),
+    2: ("customer", "order", "query"),
+}
+RRF_K = 60  # reciprocal-rank-fusion damping (Cormack/Clarke/Buettcher '09)
+RRF_TOP_K = 5
+
+_SQL_QUERY_TERMS = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in sorted(BM25_QUERIES.items()) for t in terms
+)
+
+# Shared oracle CTE chain: tokenized docs, doc lengths, tf, df, and the
+# BM25 ranking. idf uses sqrt((N - df + 0.5)/(df + 0.5)) instead of the
+# classical log: both are monotone-decreasing concave dampings of the
+# same rarity ratio, and sqrt is CORRECTLY-ROUNDED IEEE in every engine
+# while libm log differs in the last ulp across engines (the same policy
+# as tfidf_top_terms dropping log and temperature_mix_allocation using
+# sqrt). The per-(query, doc) score sums <= |terms| products of
+# engine-identical doubles via the exact-decimal dsum, so (score,
+# doc_id) ranking is cross-engine deterministic.
+_SQL_BM25_CTES = f"""
+    w AS (SELECT doc_id, unnest({TX.sql_words('text')}) AS word FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs
+              FROM dl),
+    qt(query_id, term) AS (VALUES {_SQL_QUERY_TERMS}),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    term_scores AS (
+        SELECT qt.query_id, tf.doc_id,
+               sqrt((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+                  / (tf.tf + CAST({BM25_K1!r} AS DOUBLE)
+                             * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                                + CAST({BM25_B!r} AS DOUBLE)
+                                  * dl.dl / stats.avgdl)))
+                   AS term_score
+        FROM qt
+        JOIN tf ON tf.word = qt.term
+        JOIN df ON df.word = qt.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    bm25 AS (
+        SELECT query_id, doc_id, score, rnk FROM (
+            SELECT query_id, doc_id,
+                   {sql_dsum('term_score', 18)} AS score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY {sql_dsum('term_score', 18)} DESC,
+                                               doc_id) AS rnk
+            FROM term_scores
+            GROUP BY query_id, doc_id
+        ) WHERE rnk <= {BM25_TOP_K}
+    )"""
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, rnk): BM25 top-K per keyword query —
+    the Spark twin of the _SQL_BM25_CTES chain."""
+    d = spread(load(spark, sf_dir, "documents"))
+    w = _words(d).select("doc_id", F.explode("w").alias("word"))
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(BM25_QUERIES.items()) for t in terms],
+        "query_id int, term string",
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.sqrt(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_sat = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        # Query terms drive the probe: the tiny qt/df/stats sides
+        # broadcast; only postings of the queried terms are ever joined
+        # (an inverted-index probe, not a corpus scan at score time).
+        tf.join(F.broadcast(qt), tf.word == qt.term)
+        .join(F.broadcast(df_.join(F.broadcast(qt), df_.word == qt.term).select("word", "df")), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", idf * tf_sat)
+        .groupBy("query_id", "doc_id")
+        .agg(dsum("term_score", 18).alias("score"))
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+@query(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES}
+    SELECT query_id, rnk, doc_id, score
+    FROM bm25
+    ORDER BY query_id, rnk
+    """,
+    doc=f"BM25 keyword retrieval (k1={BM25_K1}, b={BM25_B}): top-"
+    f"{BM25_TOP_K} documents per keyword query by the Robertson/"
+    "Sparck-Jones ranking — tf saturation with document-length "
+    "normalization times term rarity. The idf damping is sqrt instead "
+    "of log (monotone in the same ratio; sqrt is correctly-rounded "
+    "IEEE in both engines while libm log differs in the last ulp — "
+    "same cross-engine policy as tfidf_top_terms), and per-(query, "
+    "doc) term scores sum via the exact-decimal dsum so ranking is "
+    "deterministic. Plan shape: tf is the inverted index (posting "
+    "list per word); the query-term table, per-term df, and corpus "
+    "stats all broadcast, so scoring touches ONLY the queried terms' "
+    "postings — at 100 TB this is an index probe, never a corpus "
+    "scan, and the per-query ranking is one window over the matched "
+    "postings.",
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_ranked(spark, sf_dir).orderBy("query_id", "rnk").select(
+        "query_id", "rnk", "doc_id", "score"
+    )
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES},
+    e AS (SELECT vec_id, (embedding::DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
+           WHERE vec_id IN ({", ".join(str(q) for q in sorted(BM25_QUERIES))})),
+    vec_rank AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT qv.query_id, e.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY qv.query_id
+                                      ORDER BY {VX.sql_cosine('qv.qvec', 'e.v')} DESC,
+                                               e.vec_id) AS rnk
+            FROM qv JOIN e ON e.vec_id <> qv.query_id
+        ) WHERE rnk <= {BM25_TOP_K}
+    ),
+    fused AS (
+        SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+               COALESCE(b.doc_id, v.doc_id) AS doc_id,
+               COALESCE(1.0 / ({RRF_K} + b.rnk), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + v.rnk), 0.0) AS rrf_score,
+               b.rnk AS text_rank, v.rnk AS vec_rank
+        FROM bm25 b
+        FULL OUTER JOIN vec_rank v
+          ON v.query_id = b.query_id AND v.doc_id = b.doc_id
+    )
+    SELECT query_id, rnk, doc_id, rrf_score, text_rank, vec_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= {RRF_TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    doc="HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack/Clarke/"
+    f"Buettcher SIGIR'09): each query runs BOTH modalities — BM25 over "
+    "the keyword index and embedding-cosine over the vector column "
+    "(doc_id and vec_id align in the corpus) — and candidates merge by "
+    f"rrf = 1/({RRF_K}+rank_text) + 1/({RRF_K}+rank_vec), the score "
+    "RAG stacks use because it needs no cross-modality calibration. "
+    "Ranks are integers, the two reciprocal terms add in one fixed-"
+    "order expression after a full-outer join of the two top-K lists, "
+    "so fusion is cross-engine exact. Scale shape: each modality "
+    "produces a bounded top-K per query (window over an index probe / "
+    "bucketed ANN), so the fusion join is per-query-K-sized — "
+    "broadcastable at any corpus size; the corpus is only touched by "
+    "the modality retrievals themselves.",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm25 = _bm25_ranked(spark, sf_dir).select(
+        F.col("query_id").alias("b_qid"),
+        F.col("doc_id").alias("b_did"),
+        F.col("rnk").alias("text_rank"),
+    )
+    e = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", VX.as_double(F.col("embedding")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id").isin(*sorted(BM25_QUERIES))).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    vwin = W.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    vec_rank = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", VX.cosine(F.col("qvec"), F.col("v")))
+        .withColumn("doc_id", F.col("vec_id"))
+        .withColumn("rnk", F.row_number().over(vwin))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", F.col("rnk").alias("vec_rank"))
+    )
+    fused = (
+        bm25.join(
+            vec_rank,
+            (F.col("b_qid") == F.col("query_id"))
+            & (F.col("b_did") == F.col("doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("query_id"), F.col("b_qid")).alias("query_id"),
+            F.coalesce(F.col("doc_id"), F.col("b_did")).alias("doc_id"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("text_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+            "text_rank",
+            "vec_rank",
+        )
+    )
+    fwin = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(fwin))
+        .filter(F.col("rnk") <= RRF_TOP_K)
+        .select("query_id", "rnk", "doc_id", "rrf_score", "text_rank", "vec_rank")
+        .orderBy("query_id", "rnk")
     )
