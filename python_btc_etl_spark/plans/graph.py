@@ -854,3 +854,82 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+BFS_SRC = 1        # source node: customer 1 (has orders at every SF)
+BFS_MAX_HOPS = 6   # FIXED frontier rounds, identical in both engines
+
+
+@query(
+    "bfs_shortest_hops",
+    oracle=f"""
+    WITH RECURSIVE tp AS (
+        SELECT DISTINCT o.o_custkey AS cust,
+               l.l_suppkey + {PR_SUPP_OFFSET} AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT cust AS src, supp AS dst FROM tp
+        UNION ALL
+        SELECT supp, cust FROM tp
+    ),
+    walk(node, dist) AS (
+        SELECT CAST({BFS_SRC} AS BIGINT) AS node, 0 AS dist
+        UNION
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < {BFS_MAX_HOPS}
+    ),
+    mind AS (SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node)
+    SELECT dist, count(*) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node,
+           (SELECT count(*) FROM mind WHERE dist = {BFS_MAX_HOPS}) = 0
+               AS frontier_exhausted
+    FROM mind GROUP BY dist ORDER BY dist
+    """,
+    doc=f"BFS SHORTEST-PATH HOPS from customer {BFS_SRC} over the "
+    "bipartite customer--supplier trade graph: classic frontier "
+    f"expansion, {BFS_MAX_HOPS} fixed rounds in both engines (no "
+    "fixpoint race), reporting node count and id range per hop level "
+    "plus a data-computed `frontier_exhausted` flag (no node first "
+    "reached at the last hop) certifying the bounded unroll covered "
+    "the reachable component. The ORACLE is a recursive CTE — DuckDB's "
+    "WITH RECURSIVE walks (node, dist) pairs — while the Spark side is "
+    "the Pregel/BSP dataflow a 100 TB graph needs: edges cached pre-"
+    "partitioned on src (the PageRank reshape), each round joins them "
+    "against a BROADCAST frontier (frontier and visited sets are node-"
+    "table-sized), new nodes leave via one distinct + anti-join, and "
+    "every round localCheckpoints to stop ~2^R lineage re-execution "
+    "(the k-core lesson). Per round the edge table never shuffles.",
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = managed_cache(
+        _trade_edges(spark, sf_dir).repartition(F.col("src"))
+    )
+    known = spark.createDataFrame(
+        [(BFS_SRC, 0)], "node bigint, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = known
+    for h in range(1, BFS_MAX_HOPS + 1):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(known.select("node")), "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        known = known.unionByName(frontier).localCheckpoint(eager=True)
+    exhausted = frontier.count() == 0
+    return (
+        known.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .withColumn("frontier_exhausted", F.lit(bool(exhausted)))
+        .orderBy("dist")
+    )
