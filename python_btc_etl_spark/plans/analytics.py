@@ -2488,3 +2488,114 @@ def map_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered.alias("kept_map"),
         F.size(F.map_entries(kept)).cast("bigint").alias("n_kept"),
     ).orderBy("user_id")
+
+
+# --- Two-sample distribution drift: binned Kolmogorov-Smirnov -------------
+
+KS_K = 64                 # equi-width CDF bins
+KS_A, KS_B = "click", "purchase"
+
+
+@query(
+    "ks_drift_binned",
+    oracle=f"""
+    WITH v AS (SELECT value, event_type FROM events
+               WHERE event_type IN ('{KS_A}', '{KS_B}')),
+    r AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+    b AS (
+        SELECT CASE WHEN r.hi = r.lo THEN 0
+               ELSE LEAST({KS_K - 1},
+                          CAST(floor((v.value - r.lo) / (r.hi - r.lo)
+                                     * CAST({KS_K} AS DOUBLE)) AS INT))
+               END AS bin,
+               count(*) FILTER (WHERE event_type = '{KS_A}') AS ca,
+               count(*) FILTER (WHERE event_type = '{KS_B}') AS cb
+        FROM v, r GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM b),
+    c AS (SELECT bin,
+                 CAST(sum(ca) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cca,
+                 CAST(sum(cb) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccb
+          FROM b),
+    d AS (SELECT bin,
+                 abs(CAST(cca AS DOUBLE) / CAST(t.na AS DOUBLE)
+                     - CAST(ccb AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS dd
+          FROM c, t)
+    SELECT t.na AS n_a, t.nb AS n_b,
+           (SELECT max(dd) FROM d) AS ks_stat,
+           (SELECT min(bin) FROM d
+            WHERE dd = (SELECT max(dd) FROM d)) AS ks_bin
+    FROM t
+    """,
+    doc=f"Two-sample distribution-drift audit: the Kolmogorov-Smirnov "
+    f"statistic between '{KS_A}' and '{KS_B}' event values over a "
+    f"{KS_K}-bin equi-width empirical CDF — max |F_a - F_b| plus the "
+    "bin where it peaks. Binned (not exact-order) ON PURPOSE: exact KS "
+    "needs a global sort of both samples, while the binned CDF is one "
+    f"partial-aggregable GROUP BY over a bounded {KS_K}-key space plus "
+    "a window over the 64-row bin table — the shape production drift "
+    "monitors (training-data mix shift, feature drift) actually run at "
+    "100 TB. Determinism: all aggregation is integer counts; doubles "
+    "appear only in per-row bin assignment (identical IEEE ops from "
+    "identical min/max) and the final count/count divisions, so both "
+    "engines agree bit-for-bit with no decimal machinery.",
+)
+def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    v = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_A, KS_B)
+    ).select("value", "event_type")
+    r = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(KS_K - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.lit(float(KS_K))
+            ).cast("int"),
+        )
+    )
+    b = (
+        v.crossJoin(F.broadcast(r))
+        .select(bin_.alias("bin"), "event_type")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("event_type") == KS_A, 1)).alias("ca"),
+            F.count(F.when(F.col("event_type") == KS_B, 1)).alias("cb"),
+        )
+    )
+    t = b.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # The global-ordered window runs over the BOUNDED 64-row bin table,
+    # not the events — single-partition is fine at any corpus size.
+    d = (
+        b.select(
+            "bin",
+            F.sum("ca").over(cum).alias("cca"),
+            F.sum("cb").over(cum).alias("ccb"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            F.abs(
+                F.col("cca").cast("double") / F.col("na").cast("double")
+                - F.col("ccb").cast("double") / F.col("nb").cast("double")
+            ).alias("dd"),
+        )
+    )
+    peak = d.agg(F.max("dd").alias("ks_stat"))
+    ks_bin = (
+        d.join(F.broadcast(peak))
+        .filter(F.col("dd") == F.col("ks_stat"))
+        .agg(F.min("bin").alias("ks_bin"))
+    )
+    return (
+        t.select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
+        .crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(ks_bin))
+    )

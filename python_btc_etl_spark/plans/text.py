@@ -700,3 +700,56 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "doc_id", "rrf_score", "text_rank", "vec_rank")
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "doc_gini_diversity",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({TX.sql_words('text')}) AS word
+               FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    g AS (
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(tf * tf) AS BIGINT) AS sum_tf2
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(1 AS DOUBLE)
+           - CAST(sum_tf2 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini
+    FROM g ORDER BY doc_id
+    """,
+    doc="Vocabulary-diversity quality signal per document: GINI "
+    "IMPURITY of the token distribution, 1 - sum(p_w^2) — the log-free "
+    "twin of token entropy (both are concave diversity measures; "
+    "libm log differs in the last ulp across engines, the same policy "
+    "as tfidf_top_terms/bm25 dropping log). Low gini = repetitive "
+    "spam-like text, a standard pretraining quality filter. "
+    "Determinism by construction: sum(p^2) is computed as the exact "
+    "INTEGER sum of tf^2 divided once by n_tokens^2 — all aggregation "
+    "is bigint, doubles appear in exactly one final division, so no "
+    "decimal conversion is needed at all. One shuffle on (doc_id, "
+    "word) then a partial-aggregable per-doc rollup; scan-speed at "
+    "100 TB with zero Python.",
+)
+def doc_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    tf = (
+        _words(d)
+        .select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    g = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sum_tf2"),
+    )
+    gini = F.lit(1.0) - F.col("sum_tf2").cast("double") / (
+        F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double")
+    )
+    return g.select(
+        "doc_id", "n_tokens", "n_distinct", gini.alias("gini")
+    ).orderBy("doc_id")
