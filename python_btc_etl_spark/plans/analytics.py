@@ -2599,3 +2599,144 @@ def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(peak))
         .crossJoin(F.broadcast(ks_bin))
     )
+
+
+# --- Market basket: co-purchase pair mining (A-priori first pass) ---------
+
+MB_MIN_PART_ORDERS = 2  # frequency prune: parts in >= 2 orders
+MB_TOP_K = 20
+
+
+@query(
+    "copurchase_part_pairs",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    freq AS (SELECT pk FROM li GROUP BY pk HAVING count(*) >= {MB_MIN_PART_ORDERS}),
+    pruned AS (SELECT li.ok, li.pk FROM li JOIN freq USING (pk)),
+    pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS support
+        FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {MB_TOP_K}
+    """,
+    doc="MARKET-BASKET pair mining (the A-priori first pass): co-"
+    "purchased part pairs within an order, counted as support, top-"
+    f"{MB_TOP_K} by (support, part_a, part_b). The scale discipline is "
+    "the frequency prune BEFORE the pair join — a part must appear in "
+    f">= {MB_MIN_PART_ORDERS} orders to generate candidates (the "
+    "A-priori downward-closure bound), so the self-join fans out only "
+    "over frequent items; baskets are order-sized (<= 7 lines), so "
+    "per-basket pair counts are bounded (<= 21). All integers — "
+    "deterministic with no float policy. Spark plans the top-k as "
+    "TakeOrderedAndProject (no global sort materialization); at 100 TB "
+    "the same two-phase shape (item-frequency agg, then pruned basket "
+    "self-join) is how co-occurrence stats for recommendations / token "
+    "co-occurrence matrices are mined.",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    freq = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= MB_MIN_PART_ORDERS
+    ).select("pk")
+    pruned = li.join(freq, "pk")
+    a = pruned.select("ok", F.col("pk").alias("part_a"))
+    b = pruned.select("ok", F.col("pk").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(MB_TOP_K)
+    )
+
+
+# --- Conversion funnel: ordered view -> click -> purchase -----------------
+
+
+@query(
+    "conversion_funnel_users",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           CAST((SELECT count(*) FROM c) AS DOUBLE)
+               / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+           CAST((SELECT count(*) FROM p) AS DOUBLE)
+               / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase,
+           CAST((SELECT count(*) FROM p) AS DOUBLE)
+               / CAST((SELECT count(*) FROM v) AS DOUBLE) AS overall
+    """,
+    doc="ORDERED CONVERSION FUNNEL (view -> click -> purchase): a user "
+    "converts at each stage only via an event AT OR AFTER their "
+    "previous stage's first event — the order constraint is what makes "
+    "this a funnel rather than three independent counts. Three "
+    "cascaded (filter, per-user min-ts aggregate, semi-join) stages, "
+    "each shuffle keyed on user_id so Catalyst reuses the partitioning "
+    "across stages; counts are integers and the three conversion "
+    "ratios are single double divisions of identical integers — "
+    "deterministic with no float policy. The standard product-"
+    "analytics primitive over the events stream, and at 100 TB the "
+    "per-stage aggregates are partial-aggregable with the funnel "
+    "population shrinking monotonically stage over stage.",
+)
+def conversion_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (
+                F.col("n_click").cast("double") / F.col("n_view").cast("double")
+            ).alias("view_to_click"),
+            (
+                F.col("n_purchase").cast("double") / F.col("n_click").cast("double")
+            ).alias("click_to_purchase"),
+            (
+                F.col("n_purchase").cast("double") / F.col("n_view").cast("double")
+            ).alias("overall"),
+        )
+    )

@@ -823,3 +823,70 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_within_band"
         ),
     )
+
+
+# --- Entity resolution: blocked fuzzy join on edit distance ---------------
+
+FJ_BLOCK_LEN = 16  # c_name is 'Customer#%09d': dropping the last 2 digits
+#                    blocks into <=100-member buckets (a bounded blocking
+#                    key is the skew guard of every blocked self-join here)
+FJ_MAX_DIST = 1
+
+
+@query(
+    "fuzzy_join_customer_names",
+    oracle=f"""
+    WITH b AS (
+        SELECT c_custkey, c_name, substr(c_name, 1, {FJ_BLOCK_LEN}) AS blk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS key_a, b2.c_custkey AS key_b,
+               levenshtein(a.c_name, b2.c_name) AS dist
+        FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey
+        WHERE levenshtein(a.c_name, b2.c_name) <= {FJ_MAX_DIST}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT key_a) AS BIGINT) AS n_left,
+           min(key_a) AS min_key, max(key_b) AS max_key,
+           CAST(sum(dist) AS BIGINT) AS total_dist
+    FROM pairs
+    """,
+    doc=f"ENTITY RESOLUTION via a blocked fuzzy self-join: candidate "
+    f"pairs come from equality on a blocking key (the first "
+    f"{FJ_BLOCK_LEN} chars of c_name — same bounded-bucket discipline "
+    "as the shingle/band/embedding blocks above), then verified with "
+    f"exact Levenshtein distance <= {FJ_MAX_DIST}. Edit distance is "
+    "integer dynamic programming — bit-identical across engines, no "
+    "float policy needed — and both Spark (`levenshtein`) and DuckDB "
+    "implement the classic DP. The blocked-then-verify shape is the "
+    "record-linkage/author-dedup operator of a training-data pipeline: "
+    "at 100 TB the block key bounds every bucket's pair count (here "
+    "<=100 members -> <=4 950 verifications per block), the verify "
+    "filter is pushed into the join, and NO all-pairs comparison ever "
+    "exists. Aggregated audit output (pair count, left-entity count, "
+    "key range, total edit distance) keeps the result bounded.",
+)
+def fuzzy_join_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, FJ_BLOCK_LEN).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "blk"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk"
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FJ_MAX_DIST)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("key_a").alias("n_left"),
+        F.min("key_a").alias("min_key"),
+        F.max("key_b").alias("max_key"),
+        F.sum("dist").alias("total_dist"),
+    )

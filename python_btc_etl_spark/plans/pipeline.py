@@ -1427,3 +1427,87 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quota",
         (F.col("quota") / F.col("n").cast("double")).alias("sampling_factor"),
     ).orderBy("lang")
+
+
+# --- Priority sampling (Duffield-Lund-Thorup) with estimator audit --------
+
+PS_K = 100                       # sample size
+PS_PRIME = 2_147_483_647         # u-surrogate modulus (Mersenne 2^31-1)
+PS_A, PS_B = 1_103_515_245, 12_345  # LCG constants (functions/text.py)
+
+
+@query(
+    "priority_sample_orders",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_orderkey AS key, o_totalprice AS wt,
+               (({PS_A}::BIGINT * o_orderkey + {PS_B}) % {PS_PRIME}) AS h
+        FROM orders
+    ),
+    p AS (SELECT key, wt,
+                 wt * (CAST({PS_PRIME} AS DOUBLE) / (h + 1)) AS priority
+          FROM w),
+    r AS (SELECT key, wt, priority,
+                 row_number() OVER (ORDER BY priority DESC, key) AS rk
+          FROM p),
+    tau AS (SELECT priority AS tau FROM r WHERE rk = {PS_K + 1}),
+    s AS (SELECT r.wt, tau.tau FROM r, tau WHERE r.rk <= {PS_K}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   {sql_dsum('wt')} AS true_total FROM w),
+    est AS (SELECT {sql_dsum('greatest(wt, tau)', 18)} AS est_total FROM s)
+    SELECT {PS_K} AS k, tot.n_total, tot.true_total, est.est_total,
+           (est.est_total - tot.true_total) / tot.true_total AS rel_err
+    FROM tot, est
+    """,
+    doc=f"WEIGHTED PRIORITY SAMPLING (Duffield/Lund/Thorup, JACM '07) "
+    f"of {PS_K} orders by o_totalprice, with the unbiased-estimator "
+    "audit: each item gets priority w/u for a deterministic uniform "
+    "u-surrogate ((LCG(key)+1)/P — exact int64 math, the repo's "
+    "MinHash constants), the top-k by priority are the sample, and "
+    "the total-weight estimator sums max(w, tau) with tau the "
+    "(k+1)-th priority. The audit emits the estimate NEXT TO the true "
+    "total and their relative error — the property that makes "
+    "priority sampling production-grade for weighted subset selection "
+    "(loss-weighted data selection, cost-weighted query sampling). "
+    "Determinism: priorities are single-expression doubles from exact "
+    "integers, the estimator sums via exact decimals (scale 18 — "
+    "full-precision tau converts exactly), divisions are of identical "
+    "doubles. Scale shape: one TakeOrderedAndProject-style top-(k+1) "
+    "selection (no global sort materialization), the true total is a "
+    "partial-aggregable decimal sum, and the k-row sample broadcasts.",
+)
+def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("wt")
+    )
+    h = (F.lit(PS_A).cast("bigint") * F.col("key") + F.lit(PS_B)) % F.lit(PS_PRIME)
+    p = o.withColumn(
+        "priority", F.col("wt") * (F.lit(float(PS_PRIME)) / (h + F.lit(1)))
+    )
+    # Distributed top-(k+1): orderBy().limit() plans as
+    # TakeOrderedAndProject (per-partition heaps + driver merge) — no
+    # global sort, no single-partition window over the full table. The
+    # ranking window then runs over only k+1 rows.
+    top = p.orderBy(F.desc("priority"), "key").limit(PS_K + 1)
+    win = W.orderBy(F.desc("priority"), "key")
+    r = top.withColumn("rk", F.row_number().over(win))
+    tau = r.filter(F.col("rk") == PS_K + 1).select(F.col("priority").alias("tau"))
+    s = r.filter(F.col("rk") <= PS_K).crossJoin(F.broadcast(tau))
+    tot = o.agg(
+        F.count(F.lit(1)).alias("n_total"), dsum("wt").alias("true_total")
+    )
+    est = s.agg(
+        dsum(F.greatest(F.col("wt"), F.col("tau")), 18).alias("est_total")
+    )
+    return (
+        tot.crossJoin(F.broadcast(est))
+        .select(
+            F.lit(PS_K).alias("k"),
+            "n_total",
+            "true_total",
+            "est_total",
+            (
+                (F.col("est_total") - F.col("true_total")) / F.col("true_total")
+            ).alias("rel_err"),
+        )
+    )
