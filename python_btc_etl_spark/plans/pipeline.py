@@ -1511,3 +1511,89 @@ def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --- Split-leakage audit: dup groups straddling train/val/test ------------
+
+from .dedup import SQL_DOCS_EXACT as _SQL_DOCS_EXACT  # noqa: E402
+
+
+def _sql_split(key: str) -> str:
+    return f"""CASE
+        WHEN substr(md5(CAST({key} AS VARCHAR)), 1, 1)
+             IN {SPLIT_TRAIN!r} THEN 'train'
+        WHEN substr(md5(CAST({key} AS VARCHAR)), 1, 1)
+             IN {SPLIT_VAL!r} THEN 'val'
+        ELSE 'test' END"""
+
+
+def _split_col(key):
+    c = F.substring(F.md5(key.cast("string").cast("binary")), 1, 1)
+    return (
+        F.when(c.isin(*SPLIT_TRAIN), "train")
+        .when(c.isin(*SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH aug AS ({_SQL_DOCS_EXACT}),
+    t AS (SELECT doc_id, sha256(text) AS sha,
+                 {_sql_split('doc_id')} AS split
+          FROM aug),
+    p AS (SELECT a.sha,
+                 least(a.split, b.split) AS split_a,
+                 greatest(a.split, b.split) AS split_b
+          FROM t a JOIN t b ON a.sha = b.sha AND a.doc_id < b.doc_id
+          WHERE a.split <> b.split)
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_leaked_pairs,
+           CAST(count(DISTINCT sha) AS BIGINT) AS n_leaked_groups
+    FROM p GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+    doc="SPLIT-LEAKAGE audit: duplicate-content groups whose members "
+    "land in DIFFERENT train/val/test splits — the eval-contamination "
+    "failure the benchmark-decontamination query guards against, but "
+    "between a dataset's own splits: a val document with a training-"
+    "set twin inflates eval scores. Content groups come from the "
+    "sha256 exact-dedup relation (the planted-copy corpus guarantees "
+    "non-empty groups to audit), split assignment is the same "
+    "md5(doc_id) rule as split_train_val_test, and the audit counts "
+    "leaked pairs and groups per unordered split pair. One shuffle on "
+    "the content hash (groups are tiny, the self-join is within-"
+    "group), integers only. At 100 TB this is the CI gate run after "
+    "every dataset build: any (train, val)/(train, test) row here "
+    "means re-canonicalize-or-drop before training.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import docs_with_exact_copies
+
+    t = docs_with_exact_copies(spark, sf_dir).select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha"),
+        _split_col(F.col("doc_id")).alias("split"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("id_a"), "sha", F.col("split").alias("sa")
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), "sha", F.col("split").alias("sb")
+    )
+    return (
+        a.join(b, "sha")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("sa") != F.col("sb")))
+        .select(
+            "sha",
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaked_pairs"),
+            F.countDistinct("sha").alias("n_leaked_groups"),
+        )
+        .orderBy("split_a", "split_b")
+    )
