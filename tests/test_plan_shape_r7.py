@@ -77,3 +77,34 @@ def test_emb_guard_rides_bucket_window(spark):
     # re-join; the fold must have neither.
     assert "BroadcastHashJoin" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_priority_sample_uses_take_ordered(spark):
+    """The top-(k+1) selection must plan as TakeOrderedAndProject
+    (per-partition heaps + merge), not a global sort or a
+    single-partition window over the full table."""
+    from python_btc_etl_spark.plans.pipeline import priority_sample_orders
+
+    plan = _executed_plan(priority_sample_orders(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """BM25 scoring joins the postings against BROADCAST query terms /
+    df / stats — the corpus-sized side must never be broadcast and the
+    scoring join must not shuffle postings twice."""
+    from python_btc_etl_spark.plans.text import _bm25_ranked
+
+    plan = _executed_plan(_bm25_ranked(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+def test_fuzzy_join_blocked_not_cartesian(spark):
+    """The fuzzy name join must be an equi-join on the blocking key —
+    a cartesian/broadcast-nested-loop product would be the all-pairs
+    comparison the blocking exists to prevent."""
+    from python_btc_etl_spark.plans.dedup import fuzzy_join_customer_names
+
+    plan = _executed_plan(fuzzy_join_customer_names(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
