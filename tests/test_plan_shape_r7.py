@@ -21,6 +21,8 @@ def _executed_plan(df) -> str:
 
 
 def test_ivfpq_encode_is_shuffle_free(spark):
+    import numpy as np
+
     from python_btc_etl_spark.plans import similarity as S
 
     vecs = S._vecs(spark, SF_SMALL).select("vec_id", "v")
@@ -31,34 +33,30 @@ def test_ivfpq_encode_is_shuffle_free(spark):
         ).collect(),
         key=lambda r: r["vec_id"],
     )
-    cents_lit = F.array(*[S._lit_vec(r["v"]) for r in cents])
-    seeds = {
-        r["vec_id"]: list(r["r"])
-        for r in S._ivfpq_residual(
-            vecs.filter(F.col("vec_id") < S.PQ_K), cents_lit
-        ).collect()
-    }
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    S._lit_vec(
-                        seeds[k][m * S.PQ_SUBDIM : (m + 1) * S.PQ_SUBDIM]
-                    )
-                    for k in range(S.PQ_K)
-                ]
-            )
+    C = np.array([list(r["v"]) for r in cents])
+    seed_rows = sorted(
+        vecs.filter(F.col("vec_id") < S.PQ_K).collect(), key=lambda r: r["vec_id"]
+    )
+    _, seed_R = S._ivfpq_assign_np(np.array([list(r["v"]) for r in seed_rows]), C)
+    CB = np.array(
+        [
+            [
+                seed_R[k, m * S.PQ_SUBDIM : (m + 1) * S.PQ_SUBDIM]
+                for k in range(S.PQ_K)
+            ]
             for m in range(S.PQ_M)
         ]
     )
-    enc = S._ivfpq_encode(vecs, cents_lit, cb_lit)
+    enc = S._ivfpq_encode(vecs, C, CB)
     plan = _executed_plan(enc)
     # _vecs spread()s the tiny source (one deliberate round-robin
-    # repartition of the scan); the ENCODE on top must add nothing.
+    # repartition of the scan); the ENCODE on top must add only the
+    # narrow Arrow stage — no exchange, no join.
     n_exchanges = plan.count("Exchange")
     base = _executed_plan(vecs)
     assert n_exchanges == base.count("Exchange"), plan
     assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
     # And the encode output carries PQ_M codes per row.
     row = enc.limit(1).collect()[0]
     assert len(row["codes"]) == S.PQ_M
