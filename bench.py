@@ -173,20 +173,33 @@ def main() -> int:
             if name in prev and prev[name] > 0 and t > 2.5 * prev[name]
         ]
         for name in dict.fromkeys([*slowest, *suspects]):
-            t0 = time.perf_counter()
-            try:
-                _run(plans.REGISTRY[name].fn(spark, SF_DIR))
-                second = round(time.perf_counter() - t0, 3)
-                if second < timings[name]:
-                    print(
-                        f"[bench] retime {name}: {timings[name]:.2f}s -> {second:.2f}s",
-                        file=sys.stderr,
-                        flush=True,
-                    )
-                    timings[name] = second
-            except Exception:  # noqa: BLE001 — keep the first-pass timing
-                pass
-            _cleanup(spark)
+            # TWO back-to-back samples, keep the min. Measured (round 7,
+            # quiet box): a query run immediately after a heavy
+            # predecessor reads 9.8 s, and the SAME query re-run
+            # immediately after reads 1.41 s — the first sample absorbs
+            # the predecessor's asynchronous teardown (block-manager
+            # unpersists, ContextCleaner GC), the second measures the
+            # query. A single retime sample lands in the same churn the
+            # original sample did (the retime loop's other slow-decile
+            # queries are heavy too), which is why round-6/7 best-of-2
+            # still recorded ~2-6x inflation on churn-sensitive Arrow
+            # queries like grouped_map_quantile_norm.
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    _run(plans.REGISTRY[name].fn(spark, SF_DIR))
+                    second = round(time.perf_counter() - t0, 3)
+                    if second < timings[name]:
+                        print(
+                            f"[bench] retime {name}: "
+                            f"{timings[name]:.2f}s -> {second:.2f}s",
+                            file=sys.stderr,
+                            flush=True,
+                        )
+                        timings[name] = second
+                except Exception:  # noqa: BLE001 — keep the first-pass timing
+                    break
+                _cleanup(spark)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
