@@ -36,6 +36,8 @@ LCG_A1, LCG_B1 = 1_103_515_245, 12_345
 LCG_A2, LCG_B2 = 1_140_671_485, 12_820_163
 SIMHASH_BITS = 60  # from 15 hex digits of sha256
 TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"  # BPE-ish: words or single punctuation
+WINNOW_K = 4  # winnowing: token k-gram length (positional, not distinct)
+WINNOW_W = 4  # winnowing: window of consecutive k-gram hashes per min-pick
 
 
 # --------------------------------------------------------------------------
@@ -69,6 +71,27 @@ def grams_all(w: Column, n: int = SHINGLE_N) -> Column:
     gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])  # noqa: E731
     return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), F.size(w) - n + 1), gram)
+    )
+
+
+def winnow_from_hashes(h: Column) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03,
+    the MOSS algorithm) from a POSITIONAL k-gram hash array: every window
+    of WINNOW_W consecutive hashes contributes its minimum, and the
+    distinct minima are the document's fingerprints.  Guarantee (the
+    paper's §2 correctness property): any token run of length
+    >= WINNOW_K + WINNOW_W - 1 shared by two documents yields at least
+    one shared fingerprint — the exact-substring detector that
+    set-semantic Jaccard/MinHash structurally cannot give.  All-integer
+    (28-bit gram hashes, array_min), so the cross-engine differential
+    needs no float policy.  Caller guarantees size(h) >= WINNOW_W.
+
+    NOTE: the fingerprint SET is order-unstable across engines (DuckDB's
+    list_distinct reorders); consumers must only ever compare/count set
+    members, never emit the array itself."""
+    idx = F.sequence(F.lit(0), F.size(h) - F.lit(WINNOW_W))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(h, i + F.lit(1), F.lit(WINNOW_W))))
     )
 
 
@@ -207,6 +230,17 @@ def sql_hash60(s: str) -> str:
 
 def sql_hash28(s: str) -> str:
     return f"('0x' || substr(sha256({s}), 1, {SHINGLE_HEX_DIGITS}))::BIGINT"
+
+
+def sql_winnow_from_hashes(h: str) -> str:
+    """DuckDB twin of :func:`winnow_from_hashes` — pass an expression
+    naming an ALREADY-MATERIALIZED hash-array column (a CTE column, not
+    an inline expression): ``h`` is referenced W+2 times here and would
+    otherwise be recomputed per reference."""
+    return (
+        f"list_distinct(list_transform(range(0, len({h}) - {WINNOW_W} + 1), "
+        f"i -> list_min({h}[i+1:i+{WINNOW_W}])))"
+    )
 
 
 def sql_minhash_signature(shingle_arr: str) -> str:

@@ -890,3 +890,123 @@ def fuzzy_join_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("key_b").alias("max_key"),
         F.sum("dist").alias("total_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# 9. Winnowing fingerprints (exact-substring-overlap dedup)
+# --------------------------------------------------------------------------
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS plagiarism
+# detector) is the EXACT-SUBSTRING overlap detector of the dedup suite:
+# where Jaccard/MinHash compare documents as shingle SETS, winnowing
+# guarantees that any shared token run of length >= WINNOW_K+WINNOW_W-1
+# (here 7) produces a shared fingerprint — the relational stand-in for
+# the suffix-array substring dedup of Lee et al. '22 ("Deduplicating
+# Training Data Makes Language Models Better"), which targets verbatim
+# excerpt reuse that set similarity dilutes away on long documents.
+# Constants are WN_-prefixed: appending to this shared module must never
+# re-scope an earlier query's call-time reads (round-6 Z_BITS lesson).
+WN_DF_MAX = 50  # hot-fingerprint pruning for the inverted-index join
+WN_MIN_SHARED = 3  # pairs must share >= this many fingerprints
+WN_CONTAIN_NUM, WN_CONTAIN_DEN = 1, 2  # shared/min(|A|,|B|) >= 1/2
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fps): distinct winnowing fingerprints per document, cached.
+
+    Fingerprinting is pure per-row compute (k-gram hash + windowed min —
+    zero shuffles); at 100 TB this is the fingerprint table you
+    materialize once next to the corpus. Only the SMALL distinct
+    fingerprint arrays (~|doc|/W entries) ever move into joins."""
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    w = TX.words(F.col("text"))
+    h = TX.shingle_hashes28(TX.grams_all(w, TX.WINNOW_K))
+    return managed_cache(
+        aug.select("doc_id", h.alias("h"))
+        .filter(F.size("h") >= TX.WINNOW_W)
+        .select("doc_id", TX.winnow_from_hashes(F.col("h")).alias("fps"))
+    )
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_TRUNC}),
+    g AS (
+        SELECT doc_id,
+               list_transform({TX.sql_grams_all(TX.sql_words('text'), TX.WINNOW_K)},
+                              s -> {TX.sql_hash28('s')}) AS h
+        FROM aug
+    ),
+    fp AS (
+        SELECT doc_id, {TX.sql_winnow_from_hashes('h')} AS fps
+        FROM g WHERE len(h) >= {TX.WINNOW_W}
+    ),
+    inv AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    rare AS (SELECT f FROM inv GROUP BY f HAVING count(*) <= {WN_DF_MAX}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id < b.doc_id
+        JOIN rare r ON a.f = r.f
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.fps, y.fps)) AS BIGINT) AS shared_fp,
+           CAST(len(x.fps) AS BIGINT) AS fp_a,
+           CAST(len(y.fps) AS BIGINT) AS fp_b
+    FROM cand c
+    JOIN fp x ON x.doc_id = c.doc_a
+    JOIN fp y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.fps, y.fps)) >= {WN_MIN_SHARED}
+      AND {WN_CONTAIN_DEN} * len(list_intersect(x.fps, y.fps))
+          >= {WN_CONTAIN_NUM} * least(len(x.fps), len(y.fps))
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Winnowing fingerprint dedup (Schleimer et al. SIGMOD'03): "
+    f"28-bit hashes of positional token {TX.WINNOW_K}-grams, min of each "
+    f"{TX.WINNOW_W}-window kept — any shared token run of length >= "
+    f"{TX.WINNOW_K + TX.WINNOW_W - 1} is GUARANTEED to share a "
+    "fingerprint (the MOSS exact-substring detector; relational "
+    "stand-in for Lee et al.'22 suffix-array substring dedup). "
+    "Candidates via the same inverted-index + hot-key-pruned equi-join "
+    "discipline as every other blocked self-join here; verify = "
+    "integer fingerprint-set containment (cross-multiplied, no floats "
+    "anywhere). Planted 80%-prefix copies surface at containment ~1. "
+    "100 TB: fingerprinting is shuffle-free per-row compute; only "
+    "~|doc|/W-sized fingerprint arrays join.",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _winnow_fps(spark, sf_dir)
+    inv = fp.select("doc_id", F.explode("fps").alias("f"))
+    rare = (
+        inv.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WN_DF_MAX).select("f")
+    )
+    # Rare-on-both-sides prefilter halves the self-join input (same
+    # argument as dedup_ngram_jaccard: a.f = b.f = r.f).
+    inv_rare = managed_cache(inv.join(rare, "f"))
+    cand = (
+        inv_rare.alias("a")
+        .join(inv_rare.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = fp.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("fps_a"))
+    y = fp.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("fps_b"))
+    shared = F.size(F.array_intersect("fps_a", "fps_b"))
+    return (
+        cand.join(_maybe_broadcast(x), "doc_a")
+        .join(_maybe_broadcast(y), "doc_b")
+        .filter(
+            (shared >= WN_MIN_SHARED)
+            & (F.lit(WN_CONTAIN_DEN) * shared
+               >= F.lit(WN_CONTAIN_NUM) * F.least(F.size("fps_a"), F.size("fps_b")))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.cast("bigint").alias("shared_fp"),
+            F.size("fps_a").cast("bigint").alias("fp_a"),
+            F.size("fps_b").cast("bigint").alias("fp_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
