@@ -933,3 +933,94 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frontier_exhausted", F.lit(bool(exhausted)))
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy match -> graph closure -> survivorship
+# ---------------------------------------------------------------------------
+
+# The composed record-linkage operator: fuzzy_join_customer_names finds
+# PAIRS; real entity resolution must transitively close them ((A,B),(B,C)
+# => one entity) and elect a survivor per cluster. Constants imported
+# from dedup (FJ_BLOCK_LEN/FJ_MAX_DIST) so the edge definition is
+# EXACTLY the registered fuzzy join's.
+from .dedup import FJ_BLOCK_LEN, FJ_MAX_DIST  # noqa: E402
+
+
+@query(
+    "entity_resolution_customers",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+        SELECT c_custkey, c_name, substr(c_name, 1, {FJ_BLOCK_LEN}) AS blk
+        FROM customer
+    ),
+    edges AS (
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {FJ_MAX_DIST}
+    ),
+    sym AS (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT c_custkey, c_custkey FROM c
+        UNION
+        SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+    ),
+    comp AS (SELECT a AS key, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT comp.cluster_id, cn.c_name AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(comp.key) AS min_key, max(comp.key) AS max_key
+    FROM comp JOIN c cn ON cn.c_custkey = comp.cluster_id
+    GROUP BY comp.cluster_id, cn.c_name
+    HAVING count(*) > 1
+    ORDER BY cluster_id
+    """,
+    doc="END-TO-END entity resolution (record linkage): blocked fuzzy "
+    f"self-join (block = first {FJ_BLOCK_LEN} chars, verify = "
+    f"Levenshtein <= {FJ_MAX_DIST} — identical edge semantics to "
+    "fuzzy_join_customer_names) -> transitive closure via iterative "
+    "min-label propagation (the same CC machinery as the dedup graph) "
+    "-> survivorship: min-key canonical record elected per cluster, "
+    "its name joined back broadcast. This is the composition the "
+    "pair-level queries cannot express: (A,B),(B,C) pairs collapse to "
+    "ONE canonical entity. Oracle: DuckDB recursive-CTE closure over "
+    "the identical edge set. 100 TB: blocking bounds every bucket "
+    "(<=100 members), closure is O(diameter) rounds of one small "
+    "join+aggregate each (edges live on the blocked key space, never "
+    "all-pairs), election is a broadcast join against the cluster-id "
+    "table. All-integer/string output.",
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    c = managed_cache(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", F.substring("c_name", 1, FJ_BLOCK_LEN).alias("blk")
+        )
+    )
+    a = c.select(F.col("c_custkey").alias("src"), F.col("c_name").alias("name_a"), "blk")
+    b = c.select(F.col("c_custkey").alias("dst"), F.col("c_name").alias("name_b"), "blk")
+    edges = (
+        a.join(b, "blk")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("name_a", "name_b") <= FJ_MAX_DIST)
+        .select("src", "dst")
+    )
+    nodes = c.select(F.col("c_custkey").alias("doc_id"))
+    labels = _cc_labels(nodes, edges)
+    canon = c.select(
+        F.col("c_custkey").alias("cluster_id"), F.col("c_name").alias("canonical_name")
+    )
+    return (
+        labels.groupBy(F.col("component_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+        )
+        .filter(F.col("n_members") > 1)
+        .join(F.broadcast(canon), "cluster_id")
+        .select("cluster_id", "canonical_name", "n_members", "min_key", "max_key")
+        .orderBy("cluster_id")
+    )
