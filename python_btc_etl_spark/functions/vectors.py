@@ -126,3 +126,58 @@ def sql_lsh_bucket(vec: str) -> str:
         f"list_reduce(list_transform(range(0, {LSH_PLANES}), p -> "
         f"CASE WHEN {sql_fold_sum(prod)} > 0 THEN (1 << p) ELSE 0 END), (x, y) -> x + y)"
     )
+
+
+# --------------------------------------------------------------------------
+# Binary sign quantization (1 bit/dim) — the extreme end of the
+# quantization family (float64 -> int8 -> PQ byte codes -> sign bits):
+# 64x compression, Hamming distance via XOR+popcount. Faiss's
+# IndexBinaryFlat / the "binary hashing" retrieval baseline.
+# --------------------------------------------------------------------------
+
+SIGN_WORD_BITS = 32  # pack into 32-bit words inside int64: shifts never
+#                      touch the sign bit, so Spark/DuckDB agree exactly
+
+def sign_words(vec: Column) -> Column:
+    """DIM sign bits (vec[i] > 0) packed little-endian into
+    DIM/SIGN_WORD_BITS int64 words — per-row compute, zero shuffles."""
+    # Built per-call, not at module scope: Column literals need an active
+    # SparkContext, and this module imports before any session exists.
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+
+    def word(lo: int) -> Column:
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(SIGN_WORD_BITS - 1)),
+            lambda j: F.when(
+                F.element_at(vec, j + F.lit(lo + 1)) > 0, F.element_at(pow2, j + 1)
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    return F.array(*[word(w * SIGN_WORD_BITS) for w in range(DIM // SIGN_WORD_BITS)])
+
+
+def hamming_sign(a: Column, b: Column) -> Column:
+    """Hamming distance between packed sign codes: XOR + popcount per
+    word, integer sum — bit-identical across engines by construction."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_sign_words(vec: str) -> str:
+    word = (
+        f"CAST(list_sum(list_transform(range(0, {SIGN_WORD_BITS}), j -> "
+        f"CASE WHEN {vec}[w*{SIGN_WORD_BITS}+j+1] > 0 "
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+    return f"list_transform(range(0, {DIM // SIGN_WORD_BITS}), w -> {word})"
+
+
+def sql_hamming_sign(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {DIM // SIGN_WORD_BITS} + 1), w -> "
+        f"bit_count(xor({a}[w], {b}[w])))) AS BIGINT)"
+    )

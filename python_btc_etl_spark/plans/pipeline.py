@@ -1597,3 +1597,67 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space benchmark decontamination (the semantic complement of
+# decontam_ngram_overlap: paraphrased eval contamination that n-gram
+# overlap misses, caught by vector similarity)
+# ---------------------------------------------------------------------------
+
+from ..functions import vectors as VX  # noqa: E402
+from .dedup import SQL_VECS_SCALED as _SQL_VECS_SCALED  # noqa: E402
+from .dedup import VEC_OFFSET as _VEC_OFFSET  # noqa: E402
+from .dedup import vecs_with_scaled_copies as _vecs_scaled  # noqa: E402
+
+DECON_COS_T = 0.99  # flag train vectors this close to any benchmark vector
+
+
+@query(
+    "decontam_embedding_knn",
+    oracle=f"""
+    WITH aug AS ({_SQL_VECS_SCALED}),
+    bk AS (SELECT vec_id, label, v, {VX.sql_lsh_bucket('v')} AS bucket FROM aug),
+    train AS (SELECT * FROM bk WHERE vec_id < {_VEC_OFFSET}),
+    bench AS (SELECT * FROM bk WHERE vec_id >= {_VEC_OFFSET})
+    SELECT t.vec_id AS train_id, b.vec_id AS bench_id, t.label AS label,
+           {VX.sql_cosine('t.v', 'b.v')} AS cosine
+    FROM train t JOIN bench b ON t.bucket = b.bucket
+    WHERE {VX.sql_cosine('t.v', 'b.v')} >= {DECON_COS_T}
+    ORDER BY train_id, bench_id
+    """,
+    doc="EMBEDDING-SPACE benchmark decontamination: training vectors "
+    "whose cosine to ANY benchmark-set vector clears "
+    f"{DECON_COS_T} are flagged for removal — the semantic twin of "
+    "decontam_ngram_overlap (n-gram overlap catches verbatim "
+    "contamination; embedding similarity catches paraphrase). The "
+    "planted scaled copies stand in for the benchmark set (cosine 1.0 "
+    "to their train originals). Candidates come from a hyperplane-LSH "
+    "bucket equi-join — but unlike the corpus self-join in "
+    "dedup_embedding_cosine, this join is ASYMMETRIC: the benchmark "
+    "side is tiny and broadcast, so per-train-row work is bounded by "
+    "the benchmark bucket occupancy and no hot-bucket guard is needed. "
+    "100 TB: the corpus is scanned once, never shuffled; the benchmark "
+    "index ships with every executor. Exact cosine verify uses the "
+    "order-deterministic fold (bit-identical vs DuckDB).",
+)
+def decontam_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _vecs_scaled(spark, sf_dir).withColumn("bucket", VX.lsh_bucket(F.col("v")))
+    train = aug.filter(F.col("vec_id") < _VEC_OFFSET)
+    bench = aug.filter(F.col("vec_id") >= _VEC_OFFSET).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("v").alias("bv"),
+        F.col("bucket").alias("bbucket"),
+    )
+    cos = VX.cosine(F.col("v"), F.col("bv"))
+    return (
+        train.join(F.broadcast(bench), F.col("bucket") == F.col("bbucket"))
+        .select(
+            F.col("vec_id").alias("train_id"),
+            "bench_id",
+            "label",
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DECON_COS_T)
+        .orderBy("train_id", "bench_id")
+    )

@@ -1400,3 +1400,80 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary sign quantization + Hamming retrieval (the 1-bit end of the family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_recall_binary_sign",
+    oracle=f"""
+    WITH brute AS ({_REG['knn_bruteforce_cosine'].oracle}),
+    e AS ({SQL_VECS}),
+    c AS (SELECT vec_id, {VX.sql_sign_words('v')} AS code FROM e),
+    cq AS (SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < {N_QUERIES}),
+    ham AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT cq.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY cq.query_id
+                                      ORDER BY {VX.sql_hamming_sign('cq.qcode', 'c.code')},
+                                               c.vec_id) AS rank
+            FROM cq JOIN c ON c.vec_id <> cq.query_id
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT br.query_id AS query_id,
+           count(*) AS n_true,
+           count(h.neighbor_id) AS n_hits,
+           count(h.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+    FROM brute br
+    LEFT JOIN ham h ON h.query_id = br.query_id AND h.neighbor_id = br.neighbor_id
+    GROUP BY br.query_id
+    ORDER BY br.query_id
+    """,
+    doc="Recall@k of BINARY SIGN quantization (1 bit/dim, 64x "
+    "compression — Faiss IndexBinaryFlat shape) against the exact "
+    "cosine ground truth. Codes are DIM sign bits packed into int64 "
+    "words (32 bits/word so shifts never touch the sign bit); distance "
+    "is XOR+popcount — pure integer, bit-identical cross-engine, no "
+    "float policy needed in the approximate path. Completes the "
+    "quantization spectrum float64 -> int8 -> PQ bytes -> sign bits. "
+    "100 TB: encoding is per-row compute (zero shuffles); the Hamming "
+    "scan reads 16 bytes/vector instead of 512 and the broadcast query "
+    "set keeps the corpus unshuffled — the memory-bandwidth-bound "
+    "first-stage filter of a billion-scale binary index.",
+)
+def ann_recall_binary_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    c = e.select("vec_id", VX.sign_words(F.col("v")).alias("code"))
+    cq = c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    win = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    ham = (
+        c.join(F.broadcast(cq), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VX.hamming_sign(F.col("qcode"), F.col("code")).alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TOP_K)
+        .select(F.col("query_id").alias("h_qid"), F.col("neighbor_id").alias("h_nid"))
+    )
+    brute = knn_bruteforce_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        brute.join(
+            ham,
+            (F.col("query_id") == F.col("h_qid")) & (F.col("neighbor_id") == F.col("h_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("h_nid").alias("n_hits"),
+            (F.count("h_nid") / F.count(F.lit(1)).cast("double")).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
