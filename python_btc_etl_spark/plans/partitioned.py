@@ -482,3 +482,187 @@ def snapshot_incremental_scan_audit(spark: SparkSession, sf_dir: str) -> DataFra
         .unionByName(summarize(inserted, "insert"))
         .orderBy("change_type")
     )
+
+
+@query(
+    "snapshot_vacuum_audit",
+    oracle=f"""
+    SELECT 'expirable' AS status, 1 AS n_files, count(*) AS n_rows,
+           {sql_dsum('value')} AS total_value
+    FROM events WHERE event_id % 8 = {TT_DEL_SLICE}
+    UNION ALL
+    SELECT 'live', 7, count(*), {sql_dsum('value')}
+    FROM events
+    WHERE event_id % 8 <= 6
+      AND NOT (event_id % 8 = {TT_DEL_SLICE} AND user_id % 10 = {TT_DEL_USER})
+    ORDER BY status
+    """,
+    doc="SNAPSHOT VACUUM (retention) audit — the garbage-collection leg "
+    "of the lakehouse lifecycle (Delta VACUUM / Iceberg "
+    "expire_snapshots + remove_orphan_files): with v1/v2 expired and "
+    "only v3 retained, a data file is deletable iff NO retained "
+    "manifest references it. Over the 3-snapshot table that is exactly "
+    "ONE unit — the original slice-1 file that v3's copy-on-write "
+    "delete swapped out; every other unit is shared into v3 and must "
+    "survive. The audit reads BOTH sets back and emits per-status file "
+    "counts, row counts and value sums; the oracle recomputes the "
+    "expirable content from the slice predicate (the whole pre-delete "
+    "slice-1 unit, deleted rows included — vacuum reclaims bytes, not "
+    "rows) and pins the live/expirable file counts (7/1), so a vacuum "
+    "that under-collects (file count) or over-collects (a live read "
+    "would lose rows) hash-mismatches. 100 TB: vacuum is pure manifest "
+    "set-algebra on the driver + parallel file deletes; no data is "
+    "read to DECIDE deletion — this audit reads the sets only to prove "
+    "the decision correct.",
+)
+def snapshot_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    manifests = materialize_versioned_events(spark, sf_dir)
+    live = set(manifests["3"])
+    all_units = set(manifests["1"]) | set(manifests["2"]) | set(manifests["3"])
+    expirable = sorted(all_units - live)
+
+    def agg(paths: list[str], status: str) -> DataFrame:
+        return (
+            spark.read.parquet(*paths)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("value").alias("total_value"),
+            )
+            .select(
+                F.lit(status).alias("status"),
+                F.lit(len(paths)).alias("n_files"),
+                "n_rows",
+                "total_value",
+            )
+        )
+
+    return agg(expirable, "expirable").unionByName(agg(sorted(live), "live")).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg-style: old files keep the old layout)
+# ---------------------------------------------------------------------------
+
+PSE_DAY = 7
+PSE_TYPE = "purchase"
+
+
+def pse_table_path(sf_dir: str) -> str:
+    root = Path(__file__).resolve().parents[2]
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return str(root / "spark-warehouse" / f"events_specevo_{sfname}")
+
+
+def materialize_spec_evolved_events(spark: SparkSession, sf_dir: str) -> dict:
+    """Two file groups under DIFFERENT partition specs, one logical table.
+
+    Iceberg's partition-spec evolution contract: changing the spec
+    rewrites NOTHING — old files keep the old directory layout, new
+    commits use the new one, and the planner prunes each scan group by
+    its own spec. Here: even event_ids live under spec A
+    (partitionBy day), odd under spec B (partitionBy day, event_type).
+    repartition on the partition columns first => exactly one file per
+    leaf directory (deterministic layout for the pruning differential).
+    """
+    import json
+
+    base = pse_table_path(sf_dir)
+    manifest_path = os.path.join(base, "manifest.json")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            cached = json.load(fh)
+        if cached.get("_fingerprint") == fingerprint:
+            return cached
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.dayofmonth("ts").alias("d")
+    )
+    spec_a = os.path.join(base, "spec_day")
+    spec_b = os.path.join(base, "spec_day_type")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .repartition("d")
+        .write.mode("overwrite")
+        .partitionBy("d")
+        .parquet(spec_a)
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .repartition("d", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("d", "event_type")
+        .parquet(spec_b)
+    )
+    manifest = {"spec_day": spec_a, "spec_day_type": spec_b, "_fingerprint": fingerprint}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, manifest_path)
+    return manifest
+
+
+@query(
+    "partition_spec_evolution_audit",
+    oracle=f"""
+    SELECT 'by_day' AS spec,
+           (SELECT count(*) FROM events
+            WHERE event_id % 2 = 0 AND day(ts) = {PSE_DAY}) AS n_scanned,
+           count(*) AS n_matched,
+           {sql_dsum('value')} AS matched_value
+    FROM events
+    WHERE event_id % 2 = 0 AND day(ts) = {PSE_DAY} AND event_type = '{PSE_TYPE}'
+    UNION ALL
+    SELECT 'by_day_type',
+           (SELECT count(*) FROM events
+            WHERE event_id % 2 = 1 AND day(ts) = {PSE_DAY}
+              AND event_type = '{PSE_TYPE}'),
+           count(*), {sql_dsum('value')}
+    FROM events
+    WHERE event_id % 2 = 1 AND day(ts) = {PSE_DAY} AND event_type = '{PSE_TYPE}'
+    ORDER BY spec
+    """,
+    doc="PARTITION-SPEC EVOLUTION audit (Iceberg v2 semantics): one "
+    "logical events table whose even-id files are laid out under "
+    "spec A = partitionBy(day) and odd-id files under the EVOLVED "
+    "spec B = partitionBy(day, event_type); evolution rewrites nothing "
+    "— each scan group prunes by its own spec. For the predicate "
+    f"day={PSE_DAY} AND type='{PSE_TYPE}': spec A prunes to the day "
+    "directory but must SCAN every type inside it (n_scanned > "
+    "n_matched — the residual filter runs in the scan), while spec B's "
+    "directories prune on both columns (n_scanned = n_matched, zero "
+    "wasted rows). The oracle recomputes both scan-group row sets from "
+    "the id-parity + date predicates, so a reader that applied the "
+    "wrong spec to a file group (the classic evolution bug) mismatches "
+    "n_scanned. 100 TB: this is why changing a table's partitioning "
+    "is a metadata operation, not a rewrite — and why the newest spec "
+    "should match the dominant query shape (spec B reads "
+    "1/|types| of the bytes for typed point queries).",
+)
+def partition_spec_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    m = materialize_spec_evolved_events(spark, sf_dir)
+    sa = spark.read.parquet(m["spec_day"])
+    sb = spark.read.parquet(m["spec_day_type"])
+    scanned_a = sa.filter(F.col("d") == PSE_DAY)
+    matched_a = scanned_a.filter(F.col("event_type") == PSE_TYPE)
+    # Spec B: BOTH predicate columns are partition columns — the filter
+    # is pure directory pruning, so scanned == matched by construction.
+    matched_b = sb.filter((F.col("d") == PSE_DAY) & (F.col("event_type") == PSE_TYPE))
+
+    def row(spec: str, scanned: DataFrame, matched: DataFrame) -> DataFrame:
+        s = scanned.agg(F.count(F.lit(1)).alias("n_scanned"))
+        mm = matched.agg(
+            F.count(F.lit(1)).alias("n_matched"), dsum("value").alias("matched_value")
+        )
+        return s.crossJoin(mm).select(
+            F.lit(spec).alias("spec"), "n_scanned", "n_matched", "matched_value"
+        )
+
+    return (
+        row("by_day", scanned_a, matched_a)
+        .unionByName(row("by_day_type", matched_b, matched_b))
+        .orderBy("spec")
+    )
