@@ -553,3 +553,91 @@ def multimodal_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_decode_gif_batches, schema=GIF_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction: per-frame energy (the VAD/loudness primitive)
+# ---------------------------------------------------------------------------
+
+AFE_FRAME = 16  # samples per analysis frame (channel 0)
+
+AFE_SCHEMA = T.StructType(
+    [
+        T.StructField(c, T.LongType())
+        for c in ("doc_id", "n_frames", "total_energy", "max_frame_energy", "peak_frame")
+    ]
+)
+
+
+def _audio_energy_batches(batches):
+    """mapInPandas worker: same deterministic 16-bit RIFF/WAVE payloads as
+    _decode_wav_batches (doc_id %% 3 == 2 float docs are filtered out
+    upstream), decoded with the pure-numpy reader, then channel 0 framed
+    into AFE_FRAME-sample windows and squared-sum energy computed per
+    frame — all int64-exact, so the oracle recomputes it in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_wav, encode_wav
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n, c = 64 + d % 32, 1 + d % 2
+            rate = 8000 + (d % 4) * 4000
+            k = d * 31 + np.arange(n * c)
+            pcm = (k % 65536 - 32768).astype(np.int16)
+            pcm = pcm.reshape(n) if c == 1 else pcm.reshape(n, c)
+            back, _ = decode_wav(encode_wav(pcm, rate))
+            ch0 = (back if c == 1 else back[:, 0]).astype(np.int64)
+            nf = n // AFE_FRAME
+            e = (ch0[: nf * AFE_FRAME] ** 2).reshape(nf, AFE_FRAME).sum(axis=1)
+            rows.append((d, nf, int(e.sum()), int(e.max()), int(e.argmax())))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_frames", "total_energy", "max_frame_energy", "peak_frame"],
+        )
+
+
+@query(
+    "multimodal_audio_frame_energy",
+    oracle=f"""
+    WITH fr AS (
+        SELECT doc_id,
+               (64 + doc_id % 32) // {AFE_FRAME} AS nf,
+               list_transform(range(0, (64 + doc_id % 32) // {AFE_FRAME}), f ->
+                   CAST(list_sum(list_transform(range(0, {AFE_FRAME}), j ->
+                       ((doc_id*31 + (f*{AFE_FRAME}+j)*(1 + doc_id % 2)) % 65536 - 32768)
+                       * ((doc_id*31 + (f*{AFE_FRAME}+j)*(1 + doc_id % 2)) % 65536 - 32768)
+                   )) AS BIGINT)) AS e
+        FROM documents WHERE doc_id % 3 <> 2
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(e) AS BIGINT) AS total_energy,
+           CAST(list_max(e) AS BIGINT) AS max_frame_energy,
+           CAST(list_position(e, list_max(e)) - 1 AS BIGINT) AS peak_frame
+    FROM fr
+    ORDER BY doc_id
+    """,
+    doc="Audio FEATURE EXTRACTION over decoded PCM: channel 0 framed "
+    f"into {AFE_FRAME}-sample windows, per-frame energy = sum of "
+    "squared samples (the VAD / loudness-profiling primitive), peak "
+    "frame = argmax (first index on ties, matching DuckDB "
+    "list_position). The Spark side decodes the REAL RIFF/WAVE "
+    "container through the pure-numpy reader inside an Arrow "
+    "mapInPandas batch; 16-bit docs only, so every energy is exact "
+    "int64 and the oracle recomputes the framing in closed form from "
+    "the deterministic sample formula (interleaved stereo: channel-0 "
+    "sample j is raw sample j*channels). 100 TB: framing is per-row "
+    "batch compute over binary payloads that never shuffle — the same "
+    "Arrow-batch discipline as every decode leg.",
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 != 2)
+    )
+    return d.mapInPandas(_audio_energy_batches, schema=AFE_SCHEMA).orderBy("doc_id")

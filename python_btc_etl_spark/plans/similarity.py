@@ -1477,3 +1477,165 @@ def ann_recall_binary_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (Carbonell & Goldstein '98) — the re-ranking
+# step between ANN candidate generation and what a RAG pipeline returns
+# ---------------------------------------------------------------------------
+
+MMR_N = 8  # candidate pool per query (ANN top-N stands in)
+MMR_K = 5  # diversified picks per query
+# lambda = 0.5: both coefficients render as the exact double 0.5, so
+# mmr = 0.5*rel - 0.5*maxsim is bit-identical cross-engine given the
+# order-deterministic cosine folds.
+
+
+def _mmr_oracle() -> str:
+    base = f"""
+    WITH e AS ({SQL_VECS}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT query_id, vec_id, v, rel FROM (
+            SELECT q.query_id, e.vec_id, e.v,
+                   {VX.sql_cosine('q.qv', 'e.v')} AS rel,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {VX.sql_cosine('q.qv', 'e.v')} DESC,
+                                               e.vec_id) AS rn
+            FROM q JOIN e ON e.vec_id <> q.query_id
+        ) WHERE rn <= {MMR_N}
+    ),
+    sims AS (
+        SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+               {VX.sql_cosine('a.v', 'b.v')} AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+        SELECT query_id, 1 AS sel_rank, vec_id AS neighbor_id, rel AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, vec_id) AS rn
+              FROM cand) WHERE rn = 1
+    ),
+    picked1 AS (SELECT query_id, neighbor_id FROM sel1)"""
+    steps = []
+    for t in range(2, MMR_K + 1):
+        p = t - 1
+        steps.append(f""",
+    score{t} AS (
+        SELECT c.query_id, c.vec_id,
+               CAST(0.5 AS DOUBLE) * c.rel
+                 - CAST(0.5 AS DOUBLE) * max(s.sim) AS mmr
+        FROM cand c
+        JOIN sims s ON s.query_id = c.query_id AND s.ida = c.vec_id
+        JOIN picked{p} pk ON pk.query_id = s.query_id
+                         AND pk.neighbor_id = s.idb
+        WHERE c.vec_id NOT IN (SELECT neighbor_id FROM picked{p} pp
+                               WHERE pp.query_id = c.query_id)
+        GROUP BY c.query_id, c.vec_id, c.rel
+    ),
+    sel{t} AS (
+        SELECT query_id, {t} AS sel_rank, vec_id AS neighbor_id, mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY mmr DESC, vec_id) AS rn
+              FROM score{t}) WHERE rn = 1
+    ),
+    picked{t} AS (
+        SELECT query_id, neighbor_id FROM picked{p}
+        UNION ALL SELECT query_id, neighbor_id FROM sel{t}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT query_id, sel_rank, neighbor_id, mmr FROM sel{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    return base + "".join(steps) + f"\n    {union}\n    ORDER BY query_id, sel_rank"
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc="MAXIMAL MARGINAL RELEVANCE diversified retrieval (Carbonell & "
+    f"Goldstein SIGIR'98): per query, an ANN-style top-{MMR_N} "
+    f"candidate pool is greedily re-ranked into {MMR_K} picks, each "
+    "maximizing 0.5*relevance - 0.5*max-similarity-to-already-picked — "
+    "the redundancy-suppressing re-rank a RAG pipeline runs between "
+    "vector search and the context window. Both engines unroll the "
+    "SAME fixed greedy steps (the k-means unrolled-rounds discipline: "
+    "no cross-engine fixpoint race), every cosine is the "
+    "order-deterministic fold, lambda renders as the exact double 0.5, "
+    "and ties break on vec_id — bit-identical selection. 100 TB: the "
+    "candidate pool bounds ALL pairwise work (N^2 sims per query, "
+    "never corpus-wide); pools come from the ANN index and the greedy "
+    "loop touches only broadcast-sized per-query state.",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import managed_cache
+
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rel = VX.cosine(F.col("qv"), F.col("v"))
+    rn = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id"))
+    cand = managed_cache(
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", rel.alias("rel"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= MMR_N)
+        .drop("rn")
+    )
+    a = cand.select("query_id", F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = cand.select(
+        F.col("query_id").alias("qb"), F.col("vec_id").alias("idb"), F.col("v").alias("vb")
+    )
+    sims = managed_cache(
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("ida") != F.col("idb")))
+        .select("query_id", "ida", "idb", VX.cosine(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    sel_rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("mmr"), "neighbor_id")
+    )
+    sel1 = (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("rel").alias("mmr"))
+        .withColumn("rn", sel_rn)
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.lit(1).alias("sel_rank"), "neighbor_id", "mmr")
+        # Tiny (N_QUERIES rows) but referenced by every later step:
+        # localCheckpoint truncates the growing greedy-loop lineage, the
+        # same discipline as the CC/k-core driver loops.
+        .localCheckpoint(eager=True)
+    )
+    outs = [sel1]
+    picked = sel1.select("query_id", "neighbor_id")
+    for t in range(2, MMR_K + 1):
+        pk = picked.select(
+            F.col("query_id").alias("pq"), F.col("neighbor_id").alias("pid")
+        )
+        msim = (
+            sims.join(pk, (F.col("query_id") == F.col("pq")) & (F.col("idb") == F.col("pid")))
+            .groupBy("query_id", "ida")
+            .agg(F.max("sim").alias("msim"))
+        )
+        rem = cand.join(
+            picked.withColumnRenamed("neighbor_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        scored = (
+            rem.join(msim, (rem.query_id == msim.query_id) & (rem.vec_id == msim.ida))
+            .select(
+                rem.query_id,
+                F.col("vec_id").alias("neighbor_id"),
+                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("msim")).alias("mmr"),
+            )
+        )
+        sel_t = (
+            scored.withColumn("rn", sel_rn)
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.lit(t).alias("sel_rank"), "neighbor_id", "mmr")
+            .localCheckpoint(eager=True)
+        )
+        outs.append(sel_t)
+        picked = picked.unionByName(sel_t.select("query_id", "neighbor_id"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("query_id", "sel_rank")
