@@ -2740,3 +2740,82 @@ def conversion_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (Page '54) over daily event totals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cusum_changepoint_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, {sql_dsum('value')} AS tot
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, {sql_davg('tot')} AS mu, count(*) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    c AS (
+        SELECT d.event_type, d.day, m.n_days,
+               sum(d.tot - m.mu) OVER (PARTITION BY d.event_type
+                                       ORDER BY d.day) AS s
+        FROM daily d JOIN m USING (event_type)
+    ),
+    r AS (
+        SELECT event_type, day, n_days, abs(s) AS a,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(s) DESC, day) AS rn
+        FROM c
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           day AS changepoint_day, a AS max_abs_cusum
+    FROM r WHERE rn = 1
+    ORDER BY event_type
+    """,
+    doc="CUSUM CHANGEPOINT detection (Page '54 cumulative-sum control "
+    "chart) per event type: daily totals (exact decimal sums), "
+    "per-type mean via the davg/sql_davg deterministic pair, then the "
+    "cumulative sum of deviations S_t = sum_{{i<=t}} (x_i - mu) along "
+    "the day axis; the day maximizing |S_t| is the level-shift "
+    "changepoint estimate (earliest day on ties). The running sum is a "
+    "cumulative (unbounded-preceding) window, so BOTH engines add the "
+    "identical doubles in the identical order — bit-identical S_t with "
+    "no decimal machinery in the cumulative pass. 100 TB: the heavy "
+    "reduction (events -> daily totals) is one partial-aggregable "
+    "shuffle; the CUSUM window runs over ~days-per-type rows, and the "
+    "per-type mean joins back broadcast.",
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("tot")
+    )
+    m = daily.groupBy("event_type").agg(
+        davg("tot").alias("mu"), F.count(F.lit(1)).alias("n_days")
+    )
+    c = daily.join(F.broadcast(m), "event_type").withColumn(
+        "s",
+        F.sum(F.col("tot") - F.col("mu")).over(
+            W.partitionBy("event_type").orderBy("day")
+        ),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("s"))), "day")
+    )
+    return (
+        c.select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").alias("changepoint_day"),
+            F.abs("s").alias("max_abs_cusum"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_type")
+    )

@@ -1661,3 +1661,87 @@ def decontam_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= DECON_COS_T)
         .orderBy("train_id", "bench_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — with-replacement resampling that scales
+# ---------------------------------------------------------------------------
+
+# The classic bootstrap needs a global 0..n-1 row index to draw from
+# (driver-side n, single-partition row_number). The POISSON bootstrap
+# (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google 2012) replaces index draws with per-row replicate
+# multiplicities m ~ Poisson(1) — one scan, no global state, exactly the
+# map-side-combinable shape a 100 TB table needs. Here the multiplicity
+# is DETERMINISTIC: a per-(row, replicate) LCG hash mapped through the
+# Poisson(1) inverse CDF with integer thresholds (CDF * 2^20 as literal
+# constants — no libm at query time), so both engines draw the exact
+# same resamples.
+PB_B = 8  # bootstrap replicates
+PB_A, PB_C = 1_103_515_245, 12_345
+PB_MOD = 2_147_483_647
+PB_SCALE = 1 << 20
+# floor(CDF_Poisson(1)(k) * 2^20) for k = 0..5; h >= last -> m = 6
+PB_T = (385_749, 771_499, 964_373, 1_028_665, 1_044_738, 1_047_952)
+
+
+def _pb_sql_m(h: str) -> str:
+    cases = " ".join(f"WHEN {h} < {t} THEN {i}" for i, t in enumerate(PB_T))
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@query(
+    "poisson_bootstrap_totals",
+    oracle=f"""
+    WITH d AS (
+        SELECT t.r,
+               o.o_totalprice,
+               (({PB_A}::BIGINT * (o.o_orderkey * {PB_B} + t.r) + {PB_C})
+                 % {PB_MOD}) % {PB_SCALE} AS h
+        FROM orders o CROSS JOIN range(0, {PB_B}) t(r)
+    ),
+    dm AS (SELECT r, o_totalprice, {_pb_sql_m('h')} AS m FROM d)
+    SELECT r AS replicate,
+           CAST(sum(m) AS BIGINT) AS n_draws,
+           CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_hit,
+           {sql_dsum('o_totalprice * m')} AS total_price
+    FROM dm GROUP BY r ORDER BY replicate
+    """,
+    doc=f"POISSON BOOTSTRAP ({PB_B} replicates) over order totals — "
+    "with-replacement resampling WITHOUT a global row index: each row "
+    "contributes multiplicity m to each replicate, m = deterministic "
+    "per-(row, replicate) LCG hash passed through the Poisson(1) "
+    "inverse CDF (integer thresholds = floor(CDF * 2^20) as literals, "
+    "so no transcendental evaluates at query time and both engines "
+    "draw identical resamples). Per replicate: total draws, distinct "
+    "rows hit (~63.2% of n, the bootstrap's classic signature), and "
+    "the exact decimal resample total — the spread across replicates "
+    "IS the uncertainty estimate. 100 TB: one scan, B multiplicities "
+    "per row, fully partial-aggregable — the Chamandy et al. shape; "
+    "the driver-side-index bootstrap cannot run at that scale.",
+)
+def poisson_bootstrap_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = o.select(
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(PB_B - 1))).alias("r"),
+        F.col("o_orderkey").alias("k"),
+    ).withColumn(
+        "h",
+        ((F.lit(PB_A).cast("bigint") * (F.col("k") * PB_B + F.col("r")) + PB_C) % PB_MOD)
+        % PB_SCALE,
+    )
+    m = F.when(F.col("h") < PB_T[0], 0)
+    for i, t in enumerate(PB_T[1:], start=1):
+        m = m.when(F.col("h") < t, i)
+    m = m.otherwise(6)
+    return (
+        d.withColumn("m", m)
+        .groupBy(F.col("r").alias("replicate"))
+        .agg(
+            F.sum("m").cast("bigint").alias("n_draws"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("bigint").alias("n_rows_hit"),
+            dsum(F.col("o_totalprice") * F.col("m")).alias("total_price"),
+        )
+        .orderBy("replicate")
+    )
