@@ -1024,3 +1024,85 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "canonical_name", "n_members", "min_key", "max_key")
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 3  # BOTH engines bound paths to <= 3 edges (no fixpoint race)
+
+
+@query(
+    "sssp_weighted_bounded",
+    oracle=f"""
+    WITH RECURSIVE tpw AS (
+        SELECT o.o_custkey AS cust, l.l_suppkey + {PR_SUPP_OFFSET} AS supp,
+               count(*) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    ed AS (
+        SELECT cust AS src, supp AS dst, w FROM tpw
+        UNION ALL
+        SELECT supp, cust, w FROM tpw
+    ),
+    walk(node, cost, depth) AS (
+        SELECT (SELECT min(cust) FROM tpw), CAST(0 AS BIGINT), 0
+        UNION
+        SELECT e.dst, wk.cost + e.w, wk.depth + 1
+        FROM walk wk JOIN ed e ON e.src = wk.node
+        WHERE wk.depth < {SSSP_ROUNDS}
+    )
+    SELECT node, CAST(min(cost) AS BIGINT) AS best_cost
+    FROM walk GROUP BY node ORDER BY node
+    """,
+    doc="WEIGHTED single-source shortest paths over the customer--"
+    "supplier trade graph (edge weight = lineitem multiplicity of the "
+    f"link), via {SSSP_ROUNDS} bounded Bellman-Ford rounds from the "
+    "minimum customer node: per round one edges-join-frontier + "
+    "min-combine — the min-plus semiring analogue of the BFS/k-core "
+    "driver loops, localCheckpoint-truncated. Both engines bound paths "
+    f"to <= {SSSP_ROUNDS} edges (the fixed-unroll discipline: BF's "
+    "round-r table IS the min over <=r-edge paths, which the oracle's "
+    "depth-bounded recursive path enumeration reproduces exactly — "
+    "all-integer costs, no float policy). Completes the graph suite's "
+    "distance story: BFS = hop counts, this = weighted costs. 100 TB: "
+    "edges are the one big relation and partition on src once; each "
+    "round shuffles only the (node, cost) frontier (nodes, not edges), "
+    "and the min-combine is partial-aggregable map-side.",
+)
+def sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("supp"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ed = pw.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
+    ).unionByName(pw.select(F.col("supp").alias("src"), F.col("cust").alias("dst"), "w"))
+    ed = ed.localCheckpoint(eager=True)
+    src = ed.agg(F.min(F.when(F.col("src") < PR_SUPP_OFFSET, F.col("src")))).collect()[0][0]
+    dist = spark.createDataFrame([(int(src), 0)], "node bigint, cost bigint").localCheckpoint(
+        eager=True
+    )
+    for _ in range(SSSP_ROUNDS):
+        ext = ed.join(dist, ed.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "node", F.col("cost").cast("bigint").alias("best_cost")
+    ).orderBy("node")
