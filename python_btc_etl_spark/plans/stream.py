@@ -512,3 +512,164 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "event_type string, n_events bigint, user_id_sum bigint, max_event_id bigint",
     ).orderBy("event_type")
+
+
+MERGE_SINK_BUCKETS = 16
+
+
+@query(
+    "stream_merge_upsert_sink",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, count(*) AS n,
+               sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))) AS vdec
+        FROM events GROUP BY user_id
+    ),
+    last AS (
+        SELECT user_id, event_type AS last_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT l.last_type AS last_event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(p.n) AS BIGINT) AS total_events,
+           CAST(CAST(sum(p.vdec) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM pu p JOIN last l USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="STREAMING MERGE/UPSERT SINK — the streaming-CDC-apply pattern "
+    "that ties foreachBatch + MERGE + incremental table maintenance "
+    "into one operator: each micro-batch (one event_id%8 slice per "
+    "trigger) is aggregated per user and MERGED into a bucketed "
+    "parquet state table (n_events, exact decimal value total, "
+    "argmax-(ts, event_id) latest event type), rewriting ONLY the "
+    "buckets the batch touches (dynamic partition overwrite = the "
+    "copy-on-write MERGE unit). A per-bucket batch-id HIGH-WATER MARK "
+    "stored in the state makes replayed batches no-ops — the "
+    "idempotent exactly-once MERGE guard Delta's txn log provides, "
+    "expressed relationally. Final state must equal the batch "
+    "recomputation over ALL events (per-user counts, decimal totals, "
+    "latest type), aggregated by latest type. 100 TB: per batch the "
+    "work is one partial-aggregable shuffle of the BATCH (not the "
+    "state), a bucket-pruned state read, and bucket-granular rewrites; "
+    "state never rewrites wholesale.",
+)
+def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.file_stream import ensure_session_confs, run_stream_update_mode_counts
+
+    ensure_session_confs(spark)
+    root = Path(__file__).resolve().parents[2]
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    sliced = str(root / "spark-warehouse" / f"events_slices_{sfname}")
+    if not os.path.exists(os.path.join(sliced, "_SLICED")):
+        run_stream_update_mode_counts(spark, sf_dir)  # materializes slices
+    base = tempfile.mkdtemp(prefix="merge_upsert_")
+    state = os.path.join(base, "state")
+    try:
+        schema = spark.read.parquet(sliced).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sliced)
+        )
+
+        def sink(batch_df, batch_id: int) -> None:
+            last = F.max(F.struct("ts", "event_id", "event_type")).alias("last")
+            b = (
+                batch_df.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(25,6)")).alias("v"),
+                    last,
+                )
+                .select(
+                    "user_id",
+                    (F.col("user_id") % MERGE_SINK_BUCKETS).alias("bucket"),
+                    "n",
+                    F.col("v").cast("decimal(30,6)").alias("v"),
+                    F.col("last.ts").alias("last_ts"),
+                    F.col("last.event_id").alias("last_eid"),
+                    F.col("last.event_type").alias("last_type"),
+                )
+            )
+            have_state = os.path.exists(state) and any(
+                f.startswith("bucket=") for f in os.listdir(state)
+            )
+            if not have_state:
+                merged = b.withColumn("batch_hwm", F.lit(batch_id).cast("bigint"))
+            else:
+                cur = spark.read.parquet(state)
+                # Replay guard: a bucket whose recorded high-water mark
+                # already covers this batch_id was produced by a previous
+                # (successful) attempt — drop its rows, the merge is a no-op.
+                hwm = cur.groupBy("bucket").agg(F.max("batch_hwm").alias("hwm"))
+                b2 = (
+                    b.join(hwm, "bucket", "left")
+                    .filter(F.col("hwm").isNull() | (F.col("hwm") < batch_id))
+                    .drop("hwm")
+                )
+                affected = [r["bucket"] for r in b2.select("bucket").distinct().collect()]
+                if not affected:
+                    return
+                cur_aff = cur.filter(F.col("bucket").isin(affected)).select(
+                    "user_id", "bucket", "n", "v", "last_ts", "last_eid", "last_type"
+                )
+                bb, cc = b2.alias("b"), cur_aff.alias("c")
+                j = bb.join(cc, ["user_id", "bucket"], "full_outer")
+                b_newer = F.col("c.last_ts").isNull() | (
+                    F.struct(F.col("b.last_ts"), F.col("b.last_eid"))
+                    > F.struct(F.col("c.last_ts"), F.col("c.last_eid"))
+                )
+                merged = j.select(
+                    "user_id",
+                    "bucket",
+                    (
+                        F.coalesce(F.col("b.n"), F.lit(0))
+                        + F.coalesce(F.col("c.n"), F.lit(0))
+                    ).cast("bigint").alias("n"),
+                    (
+                        F.coalesce(F.col("b.v"), F.lit(0).cast("decimal(30,6)"))
+                        + F.coalesce(F.col("c.v"), F.lit(0).cast("decimal(30,6)"))
+                    ).cast("decimal(30,6)").alias("v"),
+                    F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_ts"))
+                    .otherwise(F.col("b.last_ts")).alias("last_ts"),
+                    F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_eid"))
+                    .otherwise(F.col("b.last_eid")).alias("last_eid"),
+                    F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_type"))
+                    .otherwise(F.col("b.last_type")).alias("last_type"),
+                    F.lit(batch_id).cast("bigint").alias("batch_hwm"),
+                )
+            merged.write.mode("overwrite").partitionBy("bucket").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(state)
+
+        q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(state)
+            .groupBy(F.col("last_type").alias("last_event_type"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.sum("n").cast("bigint").alias("total_events"),
+                F.sum("v").cast("double").alias("total_value"),
+            )
+            .orderBy("last_event_type")
+            .collect()
+        )
+        rows = [tuple(r) for r in out]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "last_event_type string, n_users bigint, total_events bigint, total_value double",
+    )
