@@ -1106,3 +1106,122 @@ def sssp_weighted_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         "node", F.col("cost").cast("bigint").alias("best_cost")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction / item-item collaborative filtering (bipartite common
+# neighbors + Jaccard + cosine)
+# ---------------------------------------------------------------------------
+
+LP_CENTER_CAP = 256  # customers with more distinct suppliers than this are
+#                      excluded from wedge generation (hub guard, mirrored in
+#                      the oracle): one pathological 10k-degree center would
+#                      otherwise emit 10^8 wedges on its own. Full (uncapped)
+#                      degrees still feed the similarity denominators.
+LP_TOP = 50
+
+
+@query(
+    "link_prediction_suppliers",
+    oracle=f"""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ds AS (SELECT supp, CAST(count(*) AS BIGINT) AS d FROM cs GROUP BY supp),
+    centers AS (
+        SELECT cust FROM cs GROUP BY cust HAVING count(*) <= {LP_CENTER_CAP}
+    ),
+    capped AS (SELECT cs.cust, cs.supp FROM cs JOIN centers USING (cust)),
+    cn AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               CAST(count(*) AS BIGINT) AS common_customers
+        FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY a.supp, b.supp
+    )
+    SELECT supp_a, supp_b, common_customers,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(common_customers AS DOUBLE)
+               / CAST(da.d + db.d - common_customers AS DOUBLE) AS jaccard,
+           CAST(common_customers AS DOUBLE)
+               / sqrt(CAST(da.d * db.d AS DOUBLE)) AS cosine
+    FROM cn
+    JOIN ds da ON da.supp = cn.supp_a
+    JOIN ds db ON db.supp = cn.supp_b
+    ORDER BY common_customers DESC, supp_a, supp_b
+    LIMIT {LP_TOP}
+    """,
+    doc="LINK PREDICTION / item-item collaborative filtering over the "
+    "bipartite customer-supplier graph: for every supplier pair, the "
+    "number of customers served by BOTH (common neighbors), plus the "
+    "Jaccard coefficient and cosine similarity those counts induce — "
+    "the candidate-scoring primitive behind 'suppliers likely to "
+    "co-serve' / 'items bought by the same users' recommendations. "
+    "Wedges are generated at the customer (center) side — one equi-"
+    "join of the capped customer-supplier set with itself on cust — "
+    f"with a {LP_CENTER_CAP}-degree center cap (hub guard, mirrored in "
+    "the oracle) bounding any single center's wedge fan-out; full "
+    "UNCAPPED supplier degrees feed the Jaccard/cosine denominators, "
+    "so the cap only bounds candidate GENERATION, standard practice "
+    "in production CF where power users add cost but no signal. "
+    "All-integer counts; each similarity is one IEEE division (plus a "
+    "correctly-rounded sqrt), bit-identical across engines. Top-"
+    f"{LP_TOP} under the total order (common DESC, supp_a, supp_b) "
+    "plans as TakeOrderedAndProject. 100 TB: the wedge join shuffles "
+    "on cust, the pair count partial-aggregates into a supplier-pair "
+    "key space quadratic only in the SMALL side of the bipartite "
+    "graph, and the degree joins broadcast. Complements "
+    "copurchase_part_pairs (within-order support, no normalization): "
+    "this is cross-order, per-customer reach with normalized scores.",
+)
+def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = managed_cache(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    ds = cs.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    centers = (
+        cs.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .filter(F.col("dc") <= LP_CENTER_CAP)
+        .select("cust")
+    )
+    capped = cs.join(centers, "cust")
+    a = capped.select("cust", F.col("supp").alias("supp_a"))
+    b = capped.select("cust", F.col("supp").alias("supp_b"))
+    cn = (
+        a.join(b, "cust")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("common_customers"))
+    )
+    da = ds.select(F.col("supp").alias("supp_a"), F.col("d").alias("deg_a"))
+    db = ds.select(F.col("supp").alias("supp_b"), F.col("d").alias("deg_b"))
+    return (
+        cn.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_customers",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_customers").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_customers")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.col("common_customers").cast("double")
+                / F.sqrt((F.col("deg_a") * F.col("deg_b")).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("common_customers"), "supp_a", "supp_b")
+        .limit(LP_TOP)
+    )

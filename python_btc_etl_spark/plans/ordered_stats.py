@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, managed_cache
 from .exprs import dsum, sql_dsum
 from .registry import query
 
@@ -642,4 +642,258 @@ def correlation_matrix_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select("type_a", "type_b", "n", corr.alias("corr")).orderBy(
         "type_a", "type_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — distributed exact ranks
+# ---------------------------------------------------------------------------
+
+MW_G1 = "click"     # group 1 of the two-sample rank test
+MW_G2 = "purchase"  # group 2
+
+
+@query(
+    "mannwhitney_u_values",
+    oracle=f"""
+    WITH vc AS (
+        SELECT value,
+               CAST(floor(value) AS BIGINT) AS block,
+               CAST(count(CASE WHEN event_type = '{MW_G1}' THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN event_type = '{MW_G2}' THEN 1 END) AS BIGINT) AS c2
+        FROM events
+        WHERE event_type IN ('{MW_G1}', '{MW_G2}') AND value IS NOT NULL
+        GROUP BY value
+    ),
+    wb AS (
+        SELECT *,
+               sum(c1) OVER (PARTITION BY block ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) - c1 AS w1,
+               sum(c2) OVER (PARTITION BY block ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) - c2 AS w2
+        FROM vc
+    ),
+    bt AS (
+        SELECT block, sum(c1) AS t1, sum(c2) AS t2 FROM vc GROUP BY block
+    ),
+    bp AS (
+        SELECT block,
+               COALESCE(sum(t1) OVER (ORDER BY block
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p1,
+               COALESCE(sum(t2) OVER (ORDER BY block
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p2
+        FROM bt
+    ),
+    terms AS (
+        SELECT wb.c1, wb.c2,
+               (bp.p1 + wb.w1) + (bp.p2 + wb.w2) AS total_less
+        FROM wb JOIN bp ON bp.block = wb.block
+    ),
+    agg AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * (2 * total_less + c1 + c2 + 1)) AS BIGINT) AS two_r1,
+               CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT)
+                   AS tie_sum
+        FROM terms
+    )
+    SELECT n1, n2, two_r1, tie_sum,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS u1,
+           CAST(n1 * n2 AS DOUBLE)
+               - CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS u2,
+           CAST(n1 * n2 AS DOUBLE) / CAST(2 AS DOUBLE) AS mu,
+           sqrt((CAST(n1 * n2 AS DOUBLE) / CAST(12 AS DOUBLE))
+                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(tie_sum AS DOUBLE)
+                     / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) AS sigma,
+           (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE)
+            - CAST(n1 * n2 AS DOUBLE) / CAST(2 AS DOUBLE))
+           / sqrt((CAST(n1 * n2 AS DOUBLE) / CAST(12 AS DOUBLE))
+                  * (CAST(n1 + n2 + 1 AS DOUBLE)
+                     - CAST(tie_sum AS DOUBLE)
+                       / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) AS z
+    FROM agg
+    """,
+    doc=f"MANN-WHITNEY U (Wilcoxon rank-sum) two-sample test comparing "
+    f"'{MW_G1}' vs '{MW_G2}' value distributions — the nonparametric "
+    "A/B-test primitive (no normality assumption), with midrank tie "
+    "handling and the tie-corrected normal approximation (U, mu, "
+    "sigma, z). EXACT and fully distributed: global ranks are never "
+    "materialized per row — per-distinct-value group counts feed a "
+    "TWO-PHASE PREFIX SUM (within-block running counts under a window "
+    "PARTITIONED by the domain block floor(value), plus a block-total "
+    "prefix over the ~hundreds of domain blocks), so no unpartitioned "
+    "window ever sees row-scale data; 2*midrank = 2*count_below + "
+    "ties + 1 keeps every accumulator an INTEGER (2*R1 and the "
+    "sum(t^3 - t) tie correction are exact bigints), and the handful "
+    "of final U/sigma/z doubles are division/sqrt chains written "
+    "operation-for-operation identically in both engines. 100 TB: two "
+    "partial-aggregable shuffles (value groups, block totals) and a "
+    "broadcast of the block-prefix table; at trillion-row scale widen "
+    "the 2*R1 accumulator to decimal(38,0) (sum bound n*(2n+1)).",
+)
+def mannwhitney_u_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_G1, MW_G2) & F.col("value").isNotNull()
+    )
+    vc = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == MW_G1, 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == MW_G2, 1)).alias("c2"),
+    ).withColumn("block", F.floor("value").cast("bigint"))
+    win = PW.partitionBy("block").orderBy("value").rowsBetween(
+        PW.unboundedPreceding, 0
+    )
+    wb = vc.select(
+        "value",
+        "block",
+        "c1",
+        "c2",
+        (F.sum("c1").over(win) - F.col("c1")).alias("w1"),
+        (F.sum("c2").over(win) - F.col("c2")).alias("w2"),
+    )
+    bt = vc.groupBy("block").agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    # Block-prefix window is deliberately unpartitioned: it runs over the
+    # DOMAIN blocks (floor(value): a few hundred rows at any SF), not rows.
+    bwin = PW.orderBy("block").rowsBetween(PW.unboundedPreceding, -1)
+    bp = bt.select(
+        "block",
+        F.coalesce(F.sum("t1").over(bwin), F.lit(0)).alias("p1"),
+        F.coalesce(F.sum("t2").over(bwin), F.lit(0)).alias("p2"),
+    )
+    terms = wb.join(F.broadcast(bp), "block").select(
+        "c1",
+        "c2",
+        ((F.col("p1") + F.col("w1")) + (F.col("p2") + F.col("w2"))).alias("total_less"),
+    )
+    t = F.col("c1") + F.col("c2")
+    agg = terms.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("total_less") + F.col("c1") + F.col("c2") + 1)
+        )
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    two_r1, tie_sum = F.col("two_r1"), F.col("tie_sum")
+    u1 = (two_r1 - n1 * (n1 + 1)).cast("double") / F.lit(2).cast("double")
+    mu = (n1 * n2).cast("double") / F.lit(2).cast("double")
+    sigma = F.sqrt(
+        ((n1 * n2).cast("double") / F.lit(12).cast("double"))
+        * (
+            (n1 + n2 + 1).cast("double")
+            - tie_sum.cast("double") / ((n1 + n2) * (n1 + n2 - 1)).cast("double")
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "two_r1",
+        "tie_sum",
+        u1.alias("u1"),
+        ((n1 * n2).cast("double") - u1).alias("u2"),
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        ((u1 - mu) / sigma).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (bounded contingency, ordered fold)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY seg),
+    ct AS (SELECT prio, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY prio),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT cells.seg, cells.prio, tot.n,
+               (CAST(cells.o * tot.n - rt.r * ct.c AS DOUBLE)
+                * CAST(cells.o * tot.n - rt.r * ct.c AS DOUBLE))
+               / CAST(tot.n * rt.r * ct.c AS DOUBLE) AS term
+        FROM cells
+        JOIN rt ON rt.seg = cells.seg
+        JOIN ct ON ct.prio = cells.prio
+        CROSS JOIN tot
+    )
+    SELECT list_reduce(list(CAST(term AS DOUBLE) ORDER BY seg, prio),
+                       (a, b) -> a + b) AS chi2,
+           CAST(16 AS INT) AS dof,
+           max(n) AS n,
+           sqrt(list_reduce(list(CAST(term AS DOUBLE) ORDER BY seg, prio),
+                            (a, b) -> a + b)
+                / CAST(4 * max(n) AS DOUBLE)) AS cramers_v
+    FROM terms
+    """,
+    doc="CHI-SQUARE TEST OF INDEPENDENCE over the market-segment x "
+    "order-priority contingency table (+ Cramer's V effect size) — "
+    "the categorical-association primitive behind feature selection "
+    "and cohort-drift checks. The observed counts are one broadcast "
+    "dim join + a partial-aggregable count into a BOUNDED 5x5 cell "
+    "space; marginals re-aggregate the 25 cells, never the fact "
+    "table. Per-cell contribution is computed as the exact-integer "
+    "identity (o*n - r*c)^2 / (n*r*c) — numerator and denominator "
+    "are exact bigints, so each term is one double multiply + one "
+    "divide of identical operands in both engines — and the 25 "
+    "terms are summed with an ORDERED FOLD over (seg, prio): Spark "
+    "F.aggregate over array_sort(collect_list(...)), DuckDB "
+    "list_reduce(list(... ORDER BY ...)), sequential left-to-right "
+    "in the same order, hence bit-identical (a plain SUM of doubles "
+    "is partial-aggregation-order-dependent). 100 TB: all the scale "
+    "is in the first count; everything after runs on 25 rows. At "
+    "extreme counts widen o*n to decimal(38,0) (bigint holds to "
+    "n ~ 3e9 per cell).",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    cells = managed_cache(cells)
+    rt = cells.groupBy("seg").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("prio").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    terms = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "prio",
+            "n",
+            ((d * d) / (F.col("n") * F.col("r") * F.col("c")).cast("double")).alias(
+                "term"
+            ),
+        )
+    )
+    chi2 = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("seg", "prio", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return terms.agg(
+        chi2.alias("chi2"),
+        F.lit(16).cast("int").alias("dof"),
+        F.max("n").alias("n"),
+        F.sqrt(chi2 / (4 * F.max("n")).cast("double")).alias("cramers_v"),
     )

@@ -666,3 +666,130 @@ def partition_spec_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(row("by_day_type", matched_b, matched_b))
         .orderBy("spec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish (WAP) — staged commit with DQ gate
+# ---------------------------------------------------------------------------
+
+WAP_BAD_SLICE = 5  # the staged unit a simulated upstream bug corrupts
+
+
+@query(
+    "wap_publish_audit",
+    oracle=f"""
+    SELECT CAST(event_id % 8 AS BIGINT) AS slice,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum(f'CASE WHEN event_id % 8 = {WAP_BAD_SLICE} THEN -value ELSE value END')}
+               AS total_value,
+           CAST(count(*) - count(user_id) AS BIGINT) AS n_null_user,
+           event_id % 8 <> {WAP_BAD_SLICE} AS audit_pass,
+           event_id % 8 <> {WAP_BAD_SLICE} AS published
+    FROM events
+    GROUP BY event_id % 8
+    ORDER BY slice
+    """,
+    doc="WRITE-AUDIT-PUBLISH (the Iceberg WAP / Delta staged-commit "
+    "pattern): the ingest job writes all 8 event slices to a STAGING "
+    "location (one immutable unit per slice, with a simulated upstream "
+    f"bug sign-flipping every value in slice {WAP_BAD_SLICE}); a DQ "
+    "audit pass computes per-unit contracts (row count > 0, no null "
+    "user_id, min(value) >= 0) over the staged table in ONE scan; only "
+    "units passing every contract are PUBLISHED — the publish step is "
+    "a manifest listing the passing unit paths, no data movement — and "
+    "the failing unit stays quarantined in staging. The result reads "
+    "the passing slices BACK THROUGH THE PUBLISHED MANIFEST (so a "
+    "publish bug that listed a wrong unit mismatches) and reports the "
+    "quarantined slice from the audit stats, with per-slice rows, "
+    "exact decimal value totals, and the audit/publish flags; the "
+    "oracle recomputes every slice (corruption included) from the raw "
+    "slice predicate. 100 TB: staging is the same partitioned write "
+    "the final table needs anyway, the audit is one partial-aggregable "
+    "scan of ONLY the staged commit (never the live table), and "
+    "publish/quarantine are manifest operations — bad data never "
+    "becomes reader-visible, which is the entire point of WAP.",
+)
+def wap_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ensure_session_confs(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="wap_")
+    staging = os.path.join(base, "staging")
+    try:
+        staged = ev.select(
+            (F.col("event_id") % 8).cast("bigint").alias("slice"),
+            (F.col("event_id") % 8).cast("bigint").alias("sl"),
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("event_id") % 8 == WAP_BAD_SLICE, -F.col("value")
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        staged.write.mode("overwrite").partitionBy("slice").parquet(staging)
+
+        audit = (
+            spark.read.parquet(staging)
+            .groupBy("sl")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("value").alias("total_value"),
+                (F.count(F.lit(1)) - F.count("user_id")).alias("n_null_user"),
+                F.min("value").alias("min_value"),
+            )
+            .withColumn(
+                "audit_pass",
+                (F.col("n_rows") > 0)
+                & (F.col("n_null_user") == 0)
+                & (F.col("min_value") >= 0),
+            )
+        )
+        # The audit table is one bounded row per staged unit — manifest
+        # metadata, not data.
+        audit_rows = audit.collect()
+        manifest = sorted(
+            os.path.join(staging, f"slice={r['sl']}")
+            for r in audit_rows
+            if r["audit_pass"]
+        )
+
+        published = (
+            spark.read.parquet(*manifest)
+            .groupBy("sl")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("value").alias("total_value"),
+                (F.count(F.lit(1)) - F.count("user_id")).alias("n_null_user"),
+            )
+            .select(
+                F.col("sl").alias("slice"),
+                "n_rows",
+                "total_value",
+                F.col("n_null_user").cast("bigint").alias("n_null_user"),
+                F.lit(True).alias("audit_pass"),
+                F.lit(True).alias("published"),
+            )
+        )
+        quarantined = [
+            (
+                int(r["sl"]),
+                int(r["n_rows"]),
+                float(r["total_value"]),
+                int(r["n_null_user"]),
+                False,
+                False,
+            )
+            for r in audit_rows
+            if not r["audit_pass"]
+        ]
+        out = [tuple(r) for r in published.collect()] + quarantined
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(out),
+        "slice bigint, n_rows bigint, total_value double, n_null_user bigint, "
+        "audit_pass boolean, published boolean",
+    )
