@@ -1225,3 +1225,119 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_customers"), "supp_a", "supp_b")
         .limit(LP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (unnormalized = exact integer path counting)
+# ---------------------------------------------------------------------------
+
+HITS_TOP = 20
+
+
+@query(
+    "hits_hubs_authorities",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (SELECT supp, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY supp),
+    h1 AS (
+        SELECT e.cust, CAST(sum(a1.a) AS BIGINT) AS h
+        FROM e JOIN a1 ON a1.supp = e.supp GROUP BY e.cust
+    ),
+    a2 AS (
+        SELECT e.supp, CAST(sum(h1.h) AS BIGINT) AS a
+        FROM e JOIN h1 ON h1.cust = e.cust GROUP BY e.supp
+    ),
+    h2 AS (
+        SELECT e.cust, CAST(sum(a2.a) AS BIGINT) AS h
+        FROM e JOIN a2 ON a2.supp = e.supp GROUP BY e.cust
+    ),
+    ta AS (
+        SELECT 'authority' AS role, supp AS node, a AS score,
+               row_number() OVER (ORDER BY a DESC, supp) AS rn,
+               max(a) OVER () AS mx
+        FROM a2
+    ),
+    th AS (
+        SELECT 'hub' AS role, cust AS node, h AS score,
+               row_number() OVER (ORDER BY h DESC, cust) AS rn,
+               max(h) OVER () AS mx
+        FROM h2
+    )
+    SELECT role, node, score,
+           CAST(score AS DOUBLE) / CAST(mx AS DOUBLE) AS rel_score
+    FROM (SELECT * FROM ta WHERE rn <= {HITS_TOP}
+          UNION ALL
+          SELECT * FROM th WHERE rn <= {HITS_TOP})
+    ORDER BY role, score DESC, node
+    """,
+    doc="HITS (Kleinberg hubs & authorities) over the directed "
+    "customer->supplier purchase graph, run UNNORMALIZED for two full "
+    "mutual-reinforcement rounds: without per-round normalization the "
+    "iterates are exact INTEGER path counts ((A^T A)^k applied to "
+    "ones), whose ranking equals normalized HITS's ranking exactly — "
+    "so the whole iteration is bigint arithmetic, bit-identical "
+    "across engines with NO float policy needed; one final "
+    "score/max(score) division per row reports a normalized double. "
+    f"Top-{HITS_TOP} authorities (suppliers serving well-connected "
+    f"customers) and top-{HITS_TOP} hubs (customers buying from "
+    "authoritative suppliers). Each half-round is one edges x scores "
+    "equi-join + a partial-aggregable integer sum — the same shuffle "
+    "shape as the PageRank twins (cache edges pre-partitioned on the "
+    "re-aggregation key, broadcast the node-sized score table; zero "
+    "per-round edge shuffles); at deeper k or 100 TB-scale degrees "
+    "widen the accumulator to decimal(38,0) (score bound "
+    "(d_max^2)^k).",
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = managed_cache(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .repartition(F.col("cust"))
+    )
+    a1 = e.groupBy("supp").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(F.broadcast(a1), "supp")
+        .groupBy("cust")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        e.join(F.broadcast(h1), "cust")
+        .groupBy("supp")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = (
+        e.join(F.broadcast(a2), "supp")
+        .groupBy("cust")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+
+    def top(df: DataFrame, node_col: str, score_col: str, role: str) -> DataFrame:
+        w = W.orderBy(F.desc(score_col), node_col)
+        mx = df.agg(F.max(score_col).alias("mx"))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HITS_TOP)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                F.lit(role).alias("role"),
+                F.col(node_col).alias("node"),
+                F.col(score_col).alias("score"),
+                (F.col(score_col).cast("double") / F.col("mx").cast("double")).alias(
+                    "rel_score"
+                ),
+            )
+        )
+
+    return (
+        top(a2, "supp", "a", "authority")
+        .unionByName(top(h2, "cust", "h", "hub"))
+        .orderBy("role", F.desc("score"), "node")
+    )

@@ -897,3 +897,112 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.sqrt(chi2 / (4 * F.max("n")).cast("double")).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact median WITHOUT a global sort (two-pass histogram narrowing)
+# ---------------------------------------------------------------------------
+
+TP_BIN = 256  # histogram bin width over the price domain (~400 bins)
+
+
+@query(
+    "exact_median_two_pass",
+    oracle=f"""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    k AS (SELECT n, (n + 1) // 2 AS k1, (n + 2) // 2 AS k2 FROM t),
+    s AS (
+        SELECT l_extendedprice AS x,
+               row_number() OVER (ORDER BY l_extendedprice) AS rn
+        FROM lineitem
+    ),
+    v AS (
+        SELECT (SELECT x FROM s WHERE rn = (SELECT k1 FROM k)) AS v1,
+               (SELECT x FROM s WHERE rn = (SELECT k2 FROM k)) AS v2
+    )
+    SELECT k.n, k.k1, k.k2,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE floor(l_extendedprice / {TP_BIN})
+                      >= (SELECT floor(v1 / {TP_BIN}) FROM v)
+              AND floor(l_extendedprice / {TP_BIN})
+                      <= (SELECT floor(v2 / {TP_BIN}) FROM v)) AS pass2_rows,
+           CAST((SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE floor(l_extendedprice / {TP_BIN})
+                           >= (SELECT floor(v1 / {TP_BIN}) FROM v)
+                   AND floor(l_extendedprice / {TP_BIN})
+                           <= (SELECT floor(v2 / {TP_BIN}) FROM v)) AS DOUBLE)
+               / CAST(k.n AS DOUBLE) AS scan_fraction,
+           (SELECT (v1 + v2) / CAST(2 AS DOUBLE) FROM v) AS median_price
+    FROM k
+    """,
+    doc="EXACT MEDIAN WITHOUT A GLOBAL SORT — the two-pass histogram-"
+    "narrowing algorithm (select the median at 100 TB where a total "
+    "order is unaffordable): pass 1 builds a DOMAIN-bounded histogram "
+    f"(floor(price/{TP_BIN}), ~400 bins — a partial-aggregable count, "
+    "collected as bounded metadata) whose cumulative counts locate the "
+    "bin(s) holding ranks (n+1)/2 and (n+2)/2; pass 2 ranks ONLY those "
+    "bins' rows (<1% of the table, the scan_fraction column makes the "
+    "saving visible) and reads the two order statistics at the "
+    "residual ranks. The exact median of an even count is (lo+hi)/2 — "
+    "one IEEE add + one divide, written identically in both engines; "
+    "the oracle computes the same order statistics via a global sort, "
+    "a DIFFERENT algorithm reaching the same bits. Complements "
+    "percentile_quantity (engine ordered-set aggregate) and "
+    "approx_quantiles_check (sketch): this is the exact-at-scale "
+    "path. At 100 TB pass 2 recurses on the bin instead of ranking "
+    "it whole if a single bin is still too big — same algorithm, "
+    "log_bins(n) passes, each a narrow filter scan.",
+)
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    li = managed_cache(li)
+    n = li.count()
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    # Pass 1: domain-bounded histogram — ~400 rows of metadata, not data.
+    hist = sorted(
+        (int(r["bin"]), int(r["cnt"]))
+        for r in li.groupBy(F.floor(F.col("x") / TP_BIN).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    below = 0
+    bin_lo = bin_hi = None
+    for b, c in hist:
+        if below < k1 <= below + c and bin_lo is None:
+            bin_lo = b
+            below_lo = below
+        if below < k2 <= below + c:
+            bin_hi = b
+        below += c
+    # Pass 2: rank only the target bins' rows. The unpartitioned
+    # row_number window is the POINT: it sees one histogram bin
+    # (~1/400th of the table), not the table.
+    from pyspark.sql.window import Window as PW
+
+    p2 = li.filter(
+        (F.floor(F.col("x") / TP_BIN) >= bin_lo) & (F.floor(F.col("x") / TP_BIN) <= bin_hi)
+    )
+    pass2_rows = p2.count()
+    ranked = p2.select(
+        "x", F.row_number().over(PW.orderBy("x")).alias("rn")
+    )
+    r1, r2 = k1 - below_lo, k2 - below_lo
+    vals = (
+        ranked.filter(F.col("rn").isin(r1, r2))
+        .agg(F.min("x").alias("v1"), F.max("x").alias("v2"))
+        .collect()[0]
+    )
+    v1, v2 = float(vals["v1"]), float(vals["v2"])
+    row = [(n, k1, k2, pass2_rows)]
+    return spark.createDataFrame(
+        row, "n bigint, k1 bigint, k2 bigint, pass2_rows bigint"
+    ).select(
+        "n",
+        "k1",
+        "k2",
+        "pass2_rows",
+        (F.col("pass2_rows").cast("double") / F.col("n").cast("double")).alias(
+            "scan_fraction"
+        ),
+        ((F.lit(v1) + F.lit(v2)) / F.lit(2).cast("double")).alias("median_price"),
+    )
