@@ -1006,3 +1006,143 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.lit(v1) + F.lit(v2)) / F.lit(2).cast("double")).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (controlled experiments)
+# ---------------------------------------------------------------------------
+
+_CUPED_DEC = "decimal(25,6)"   # exact per-user sums of 2-dp values
+_CUPED_DECP = "decimal(15,6)"  # re-narrowed operand so products stay exact
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+    ),
+    pu AS (
+        SELECT user_id, user_id % 2 AS variant,
+               sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                        THEN CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))
+                        ELSE CAST(0 AS DECIMAL(25,6)) END) AS x,
+               sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+                        THEN CAST(CAST(value AS VARCHAR) AS DECIMAL(25,6))
+                        ELSE CAST(0 AS DECIMAL(25,6)) END) AS y
+        FROM events GROUP BY user_id
+    ),
+    pv AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy
+        FROM pu GROUP BY variant
+    ),
+    pool AS (
+        SELECT CAST(count(*) AS BIGINT) AS pn,
+               CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS psx,
+               CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS psy,
+               CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+                    AS VARCHAR) AS DOUBLE) AS psxx,
+               CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                    AS VARCHAR) AS DOUBLE) AS psxy,
+               CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                    AS VARCHAR) AS DOUBLE) AS psyy
+        FROM pu
+    )
+    SELECT variant, n_users,
+           sx / CAST(n_users AS DOUBLE) AS mean_x,
+           sy / CAST(n_users AS DOUBLE) AS mean_y,
+           (CAST(pn AS DOUBLE) * psxy - psx * psy)
+               / (CAST(pn AS DOUBLE) * psxx - psx * psx) AS theta,
+           sy / CAST(n_users AS DOUBLE)
+               - (CAST(pn AS DOUBLE) * psxy - psx * psy)
+                 / (CAST(pn AS DOUBLE) * psxx - psx * psx)
+                 * (sx / CAST(n_users AS DOUBLE) - psx / CAST(pn AS DOUBLE))
+               AS adjusted_mean,
+           ((CAST(pn AS DOUBLE) * psxy - psx * psy)
+            * (CAST(pn AS DOUBLE) * psxy - psx * psy))
+           / ((CAST(pn AS DOUBLE) * psxx - psx * psx)
+              * (CAST(pn AS DOUBLE) * psyy - psy * psy)) AS rho2
+    FROM pv CROSS JOIN pool
+    ORDER BY variant
+    """,
+    doc="CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM'13) — the "
+    "controlled-experiment primitive every experimentation platform "
+    "ships: per-user PRE-period value (covariate X, events before the "
+    "time midpoint) adjusts the IN-period metric Y via theta = "
+    "cov(X,Y)/var(X), shrinking the A/B estimator's variance by the "
+    "pooled rho^2 (reported). Variants are the deterministic "
+    "user_id%2 split. Determinism: per-user X/Y are EXACT decimal "
+    "sums of the 2-dp values; the five pooled moments are decimal "
+    "sums of re-narrowed decimal PRODUCTS (exact — no float "
+    "accumulation anywhere), cast once to double through the "
+    "engine-matched text hop (exprs.py policy); theta / adjusted "
+    "means / rho^2 are then fixed chains of IEEE ops on identical "
+    "scalars, written operation-for-operation identically in both "
+    "engines. 100 TB: ONE shuffle on user_id for the per-user "
+    "covariate rollup, then two partial-aggregable moment passes "
+    "over the user table; the epoch midpoint is a broadcast scalar. "
+    "Widen the product decimals for heavier-tailed metrics.",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    mm = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    pu = (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("us") < F.col("mid"), F.col("value"))
+                .otherwise(F.lit(0))
+                .cast(_CUPED_DEC)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("us") >= F.col("mid"), F.col("value"))
+                .otherwise(F.lit(0))
+                .cast(_CUPED_DEC)
+            ).alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    pu = managed_cache(pu)
+    xp = F.col("x").cast(_CUPED_DECP)
+    yp = F.col("y").cast(_CUPED_DECP)
+    pv = pu.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+    )
+    pool = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("pn"),
+        F.sum("x").cast("double").alias("psx"),
+        F.sum("y").cast("double").alias("psy"),
+        F.sum(xp * xp).cast("double").alias("psxx"),
+        F.sum(xp * yp).cast("double").alias("psxy"),
+        F.sum(yp * yp).cast("double").alias("psyy"),
+    )
+    pn_d = F.col("pn").cast("double")
+    nv_d = F.col("n_users").cast("double")
+    cov_t = pn_d * F.col("psxy") - F.col("psx") * F.col("psy")
+    var_x = pn_d * F.col("psxx") - F.col("psx") * F.col("psx")
+    var_y = pn_d * F.col("psyy") - F.col("psy") * F.col("psy")
+    theta = cov_t / var_x
+    return (
+        pv.crossJoin(F.broadcast(pool))
+        .select(
+            "variant",
+            "n_users",
+            (F.col("sx") / nv_d).alias("mean_x"),
+            (F.col("sy") / nv_d).alias("mean_y"),
+            theta.alias("theta"),
+            (
+                F.col("sy") / nv_d
+                - theta * (F.col("sx") / nv_d - F.col("psx") / pn_d)
+            ).alias("adjusted_mean"),
+            ((cov_t * cov_t) / (var_x * var_y)).alias("rho2"),
+        )
+        .orderBy("variant")
+    )
