@@ -1745,3 +1745,95 @@ def poisson_bootstrap_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replicate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (categorical featurization)
+# ---------------------------------------------------------------------------
+
+TE_PRIOR = 10   # smoothing pseudo-count toward the global mean
+TE_MOD = 97     # deterministic output subset: o_orderkey % TE_MOD == 0
+
+
+@query(
+    "target_encoding_loo",
+    oracle=f"""
+    WITH j AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS seg,
+               CAST(CAST(o.o_totalprice AS VARCHAR) AS DECIMAL(25,2)) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    st AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n, sum(y) AS s
+        FROM j GROUP BY seg
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS gn,
+               CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS gs
+        FROM j
+    )
+    SELECT j.o_orderkey, j.seg, st.n AS n_cat,
+           CAST(CAST(st.s - j.y AS VARCHAR) AS DOUBLE)
+               / CAST(st.n - 1 AS DOUBLE) AS loo_mean,
+           (CAST(CAST(st.s - j.y AS VARCHAR) AS DOUBLE)
+            + CAST({TE_PRIOR} AS DOUBLE) * (g.gs / CAST(g.gn AS DOUBLE)))
+           / (CAST(st.n - 1 AS DOUBLE) + CAST({TE_PRIOR} AS DOUBLE))
+               AS smoothed_loo
+    FROM j JOIN st ON st.seg = j.seg CROSS JOIN g
+    WHERE j.o_orderkey % {TE_MOD} = 0
+    ORDER BY j.o_orderkey
+    """,
+    doc="LEAVE-ONE-OUT TARGET ENCODING of a categorical feature "
+    "(market segment -> mean order total), the standard high-"
+    "cardinality featurization for tabular ML: each row's encoding "
+    "is its category's target mean EXCLUDING the row itself — "
+    "(sum_cat - y_i)/(n_cat - 1) — which is what prevents the "
+    "target-leakage a naive category mean injects; plus the "
+    f"m-estimate smoothed variant (prior weight {TE_PRIOR} toward "
+    "the global mean) that tames rare categories. Determinism: "
+    "per-category sums are EXACT decimals, each row's numerator is "
+    "one exact decimal subtraction cast once to double (text-hop "
+    "policy on the DuckDB side), and the remaining arithmetic is an "
+    "identical IEEE op chain in both engines. Category stats are a "
+    "partial-aggregable one-pass rollup re-joined via BROADCAST "
+    "(categories are few even when rows are 100 TB), so the fact "
+    "table never shuffles; output is a deterministic orderkey-"
+    "modulus slice so the differential stays hash-sized while "
+    "stats still cover every row.",
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").cast("decimal(25,2)").alias("y"),
+    )
+    j = managed_cache(j)
+    st = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("y").alias("s")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("y").cast("double").alias("gs"),
+    )
+    prior = F.lit(TE_PRIOR).cast("double")
+    num = (F.col("s") - F.col("y")).cast("double")
+    return (
+        j.filter(F.col("o_orderkey") % TE_MOD == 0)
+        .join(F.broadcast(st), "seg")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "seg",
+            F.col("n").alias("n_cat"),
+            (num / (F.col("n") - 1).cast("double")).alias("loo_mean"),
+            (
+                (num + prior * (F.col("gs") / F.col("gn").cast("double")))
+                / ((F.col("n") - 1).cast("double") + prior)
+            ).alias("smoothed_loo"),
+        )
+        .orderBy("o_orderkey")
+    )
