@@ -517,6 +517,85 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_SINK_BUCKETS = 16
 
 
+def merge_upsert_batch(spark: SparkSession, state: str, batch_df: DataFrame, batch_id: int) -> None:
+    """One MERGE of a micro-batch into the bucketed parquet state table
+    (module-level so the replay guard is unit-testable outside the
+    stream: tests/test_merge_upsert.py re-applies a batch id and
+    asserts the state is byte-stable)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    last = F.max(F.struct("ts", "event_id", "event_type")).alias("last")
+    b = (
+        batch_df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("v"),
+            last,
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") % MERGE_SINK_BUCKETS).alias("bucket"),
+            "n",
+            F.col("v").cast("decimal(30,6)").alias("v"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_id").alias("last_eid"),
+            F.col("last.event_type").alias("last_type"),
+        )
+    )
+    have_state = os.path.exists(state) and any(
+        f.startswith("bucket=") for f in os.listdir(state)
+    )
+    if not have_state:
+        merged = b.withColumn("batch_hwm", F.lit(batch_id).cast("bigint"))
+    else:
+        cur = spark.read.parquet(state)
+        # Replay guard: a bucket whose recorded high-water mark
+        # already covers this batch_id was produced by a previous
+        # (successful) attempt — drop its rows, the merge is a no-op.
+        hwm = cur.groupBy("bucket").agg(F.max("batch_hwm").alias("hwm"))
+        b2 = (
+            b.join(hwm, "bucket", "left")
+            .filter(F.col("hwm").isNull() | (F.col("hwm") < batch_id))
+            .drop("hwm")
+        )
+        affected = [r["bucket"] for r in b2.select("bucket").distinct().collect()]
+        if not affected:
+            return
+        cur_aff = cur.filter(F.col("bucket").isin(affected)).select(
+            "user_id", "bucket", "n", "v", "last_ts", "last_eid", "last_type"
+        )
+        bb, cc = b2.alias("b"), cur_aff.alias("c")
+        j = bb.join(cc, ["user_id", "bucket"], "full_outer")
+        b_newer = F.col("c.last_ts").isNull() | (
+            F.struct(F.col("b.last_ts"), F.col("b.last_eid"))
+            > F.struct(F.col("c.last_ts"), F.col("c.last_eid"))
+        )
+        merged = j.select(
+            "user_id",
+            "bucket",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("c.n"), F.lit(0))
+            ).cast("bigint").alias("n"),
+            (
+                F.coalesce(F.col("b.v"), F.lit(0).cast("decimal(30,6)"))
+                + F.coalesce(F.col("c.v"), F.lit(0).cast("decimal(30,6)"))
+            ).cast("decimal(30,6)").alias("v"),
+            F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_ts"))
+            .otherwise(F.col("b.last_ts")).alias("last_ts"),
+            F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_eid"))
+            .otherwise(F.col("b.last_eid")).alias("last_eid"),
+            F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_type"))
+            .otherwise(F.col("b.last_type")).alias("last_type"),
+            F.lit(batch_id).cast("bigint").alias("batch_hwm"),
+        )
+    merged.write.mode("overwrite").partitionBy("bucket").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(state)
+
+
 @query(
     "stream_merge_upsert_sink",
     oracle="""
@@ -584,74 +663,7 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sink(batch_df, batch_id: int) -> None:
-            last = F.max(F.struct("ts", "event_id", "event_type")).alias("last")
-            b = (
-                batch_df.groupBy("user_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("value").cast("decimal(25,6)")).alias("v"),
-                    last,
-                )
-                .select(
-                    "user_id",
-                    (F.col("user_id") % MERGE_SINK_BUCKETS).alias("bucket"),
-                    "n",
-                    F.col("v").cast("decimal(30,6)").alias("v"),
-                    F.col("last.ts").alias("last_ts"),
-                    F.col("last.event_id").alias("last_eid"),
-                    F.col("last.event_type").alias("last_type"),
-                )
-            )
-            have_state = os.path.exists(state) and any(
-                f.startswith("bucket=") for f in os.listdir(state)
-            )
-            if not have_state:
-                merged = b.withColumn("batch_hwm", F.lit(batch_id).cast("bigint"))
-            else:
-                cur = spark.read.parquet(state)
-                # Replay guard: a bucket whose recorded high-water mark
-                # already covers this batch_id was produced by a previous
-                # (successful) attempt — drop its rows, the merge is a no-op.
-                hwm = cur.groupBy("bucket").agg(F.max("batch_hwm").alias("hwm"))
-                b2 = (
-                    b.join(hwm, "bucket", "left")
-                    .filter(F.col("hwm").isNull() | (F.col("hwm") < batch_id))
-                    .drop("hwm")
-                )
-                affected = [r["bucket"] for r in b2.select("bucket").distinct().collect()]
-                if not affected:
-                    return
-                cur_aff = cur.filter(F.col("bucket").isin(affected)).select(
-                    "user_id", "bucket", "n", "v", "last_ts", "last_eid", "last_type"
-                )
-                bb, cc = b2.alias("b"), cur_aff.alias("c")
-                j = bb.join(cc, ["user_id", "bucket"], "full_outer")
-                b_newer = F.col("c.last_ts").isNull() | (
-                    F.struct(F.col("b.last_ts"), F.col("b.last_eid"))
-                    > F.struct(F.col("c.last_ts"), F.col("c.last_eid"))
-                )
-                merged = j.select(
-                    "user_id",
-                    "bucket",
-                    (
-                        F.coalesce(F.col("b.n"), F.lit(0))
-                        + F.coalesce(F.col("c.n"), F.lit(0))
-                    ).cast("bigint").alias("n"),
-                    (
-                        F.coalesce(F.col("b.v"), F.lit(0).cast("decimal(30,6)"))
-                        + F.coalesce(F.col("c.v"), F.lit(0).cast("decimal(30,6)"))
-                    ).cast("decimal(30,6)").alias("v"),
-                    F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_ts"))
-                    .otherwise(F.col("b.last_ts")).alias("last_ts"),
-                    F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_eid"))
-                    .otherwise(F.col("b.last_eid")).alias("last_eid"),
-                    F.when(F.col("b.last_ts").isNull() | ~b_newer, F.col("c.last_type"))
-                    .otherwise(F.col("b.last_type")).alias("last_type"),
-                    F.lit(batch_id).cast("bigint").alias("batch_hwm"),
-                )
-            merged.write.mode("overwrite").partitionBy("bucket").option(
-                "partitionOverwriteMode", "dynamic"
-            ).parquet(state)
+            merge_upsert_batch(spark, state, batch_df, batch_id)
 
         q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
         q.awaitTermination()
