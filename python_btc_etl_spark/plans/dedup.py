@@ -919,12 +919,61 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize once next to the corpus. Only the SMALL distinct
     fingerprint arrays (~|doc|/W entries) ever move into joins."""
     aug = docs_with_truncated_copies(spark, sf_dir)
-    w = TX.words(F.col("text"))
-    h = TX.shingle_hashes28(TX.grams_all(w, TX.WINNOW_K))
+    # Tokenize JVM-side (split/lower are native codegen); everything
+    # after — positional k-grams, 28-bit sha hashes, windowed minima —
+    # runs in ONE Arrow batch pass. The Column forms (grams_all +
+    # shingle_hashes28 + winnow_from_hashes, kept as the semantic
+    # reference and equality-tested in tests/test_winnowing.py) execute
+    # as INTERPRETED higher-order functions: forcing the gram strings
+    # alone measured 30.6 s for 5100 docs at sf0.1 (~65 us/element, the
+    # same pathology the IVFADC encode hit; Catalyst's
+    # size(transform(...)) simplification had been hiding this cost
+    # from size()-based probes). The numpy/hashlib twin computes
+    # IDENTICAL grams (" ".join == concat_ws(" ") on never-null split
+    # output), hashes (utf-8 sha256 hex prefix, like conv(substring())),
+    # and minima — the sf0.001/sf0.01 cross-engine differential vs the
+    # pure-SQL oracle is the parity proof.
+    nwords_min = TX.WINNOW_K + TX.WINNOW_W - 1  # == size(h) >= WINNOW_W
+    wdf = aug.select("doc_id", TX.words(F.col("text")).alias("w")).filter(
+        F.size("w") >= nwords_min
+    )
+    k, winnow_w, hexd = TX.WINNOW_K, TX.WINNOW_W, TX.SHINGLE_HEX_DIGITS
+
+    def _winnow_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            fps = []
+            for wl in pdf["w"]:
+                toks = list(wl)
+                n_grams = len(toks) - k + 1
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.sha256(
+                                " ".join(toks[i : i + k]).encode("utf-8")
+                            ).hexdigest()[:hexd],
+                            16,
+                        )
+                        for i in range(n_grams)
+                    ),
+                    dtype=np.int64,
+                    count=n_grams,
+                )
+                m = hs
+                width = 1
+                while width < winnow_w:
+                    step = min(width, winnow_w - width)
+                    m = np.minimum(m[: len(m) - step], m[step:])
+                    width += step
+                fps.append(np.unique(m))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fps": fps})
+
     return managed_cache(
-        aug.select("doc_id", h.alias("h"))
-        .filter(F.size("h") >= TX.WINNOW_W)
-        .select("doc_id", TX.winnow_from_hashes(F.col("h")).alias("fps"))
+        wdf.mapInPandas(_winnow_batches, "doc_id bigint, fps array<bigint>")
     )
 
 
