@@ -605,3 +605,52 @@ def sql_scripting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_sugar_audit",
+    oracle="""
+    SELECT seg, prio, n_customers, n_orders, max_price
+    FROM (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               max(o.o_totalprice) AS max_price,
+               min(o.o_totalprice) AS min_price
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE lower(c.c_name) LIKE lower('%CUSTOMER#%001')
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+    )
+    ORDER BY seg, prio
+    """,
+    doc="MODERN SQL SUGAR audit — three analyst-ergonomics surfaces "
+    "Spark 4 shares with DuckDB/BigQuery, proven to desugar to the "
+    "classic plan: GROUP BY ALL (group by every non-aggregate select "
+    "item — no more repeating the dimension list), SELECT * EXCEPT "
+    "(project-away instead of enumerate), and case-insensitive ILIKE "
+    "in the predicate. The ORACLE is the fully desugared ANSI "
+    "spelling (explicit GROUP BY list, explicit projection, "
+    "lower() LIKE lower()), so the differential proves the sugar "
+    "forms are pure parse-time rewrites with identical semantics — "
+    "same contract style as pipe_sql_order_stats for |> syntax. "
+    "Plan shape: broadcast dim join + partial-aggregable count into "
+    "a bounded 5x5 cell space; TakeOrdered on the tiny result.",
+)
+def sql_sugar_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (min_price) FROM (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+                   CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   max(o.o_totalprice) AS max_price,
+                   min(o.o_totalprice) AS min_price
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_name ILIKE '%CUSTOMER#%001'
+            GROUP BY ALL
+        )
+        ORDER BY seg, prio
+        """
+    )
