@@ -861,3 +861,90 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- Readability scoring (Flesch reading ease) -----------------------------
+
+
+@query(
+    "readability_flesch_by_lang",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(len({TX.sql_words('text')}) AS BIGINT) AS w,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                   AS syl
+        FROM documents
+    ),
+    f AS (
+        SELECT lang, w, s, syl,
+               CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(w AS DOUBLE) / CAST(greatest(s, 1) AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(syl AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE))
+                   AS flesch
+        FROM d
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_words,
+           CAST(sum(s) AS BIGINT) AS total_sentences,
+           CAST(sum(syl) AS BIGINT) AS total_syllables,
+           {sql_dsum('flesch', 18)} / count(*) AS mean_flesch
+    FROM f
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="FLESCH READING-EASE scoring per language — the classic "
+    "readability feature used in training-data quality filtering "
+    "(alongside text_quality_score's length/punct ratios): 206.835 "
+    "- 1.015*(words/sentences) - 84.6*(syllables/words), with "
+    "syllables approximated as VOWEL GROUPS — counted with ONE flat "
+    "regexp_extract_all over the whole lowercased document (vowel "
+    "runs never span the whitespace between words, so the per-word "
+    "sum collapses to a single document-level count: no per-word "
+    "HOF, no explode). Sentences are terminal-punctuation runs. All "
+    "three counts are integers; the per-doc score is a fixed chain "
+    "of IEEE ops on them (constants CAST AS DOUBLE — DuckDB parses "
+    "bare literals as DECIMAL), and the per-language mean uses the "
+    "exact-decimal dsum at scale 18, the BM25 policy for "
+    "non-fixed-point doubles. greatest(...,1) guards division on "
+    "degenerate docs identically in both engines. 100 TB: pure "
+    "per-row regex compute + one partial-aggregable rollup keyed on "
+    "the bounded language set.",
+)
+def readability_flesch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "lang",
+        F.size(TX.words(F.col("text"))).cast("bigint").alias("w"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+        .cast("bigint")
+        .alias("s"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0))
+        .cast("bigint")
+        .alias("syl"),
+    )
+    flesch = (
+        F.lit(206.835).cast("double")
+        - F.lit(1.015).cast("double")
+        * (F.col("w").cast("double") / F.greatest(F.col("s"), F.lit(1)).cast("double"))
+        - F.lit(84.6).cast("double")
+        * (
+            F.col("syl").cast("double")
+            / F.greatest(F.col("w"), F.lit(1)).cast("double")
+        )
+    )
+    return (
+        d.withColumn("flesch", flesch)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_words"),
+            F.sum("s").cast("bigint").alias("total_sentences"),
+            F.sum("syl").cast("bigint").alias("total_syllables"),
+            (dsum("flesch", 18) / F.count(F.lit(1))).alias("mean_flesch"),
+        )
+        .orderBy("lang")
+    )
