@@ -1146,3 +1146,239 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud / data-quality screening)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, written out as literals: libm log is not
+# bit-reproducible across engines (house policy bans it in computed
+# paths), but PUBLISHED CONSTANTS are just doubles — both engines parse
+# the identical decimal literal to the identical bit pattern.
+BENFORD_P = {
+    # Rounded to 5 significant digits: DuckDB's VARCHAR->DOUBLE parse
+    # proved 1 ulp off Python/Java on a 17-digit literal (observed live
+    # on 0.12493873660829993); short literals parse to the identical
+    # nearest double everywhere, and 5 digits is far beyond the audit's
+    # statistical resolution.
+    1: 0.30103,
+    2: 0.17609,
+    3: 0.12494,
+    4: 0.09691,
+    5: 0.07918,
+    6: 0.06695,
+    7: 0.05799,
+    8: 0.05115,
+    9: 0.04576,
+}
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    p(digit, benford_p) AS (VALUES
+        {', '.join(f'({d}, CAST({p!r} AS DOUBLE))' for d, p in BENFORD_P.items())}
+    )
+    SELECT p.digit, COALESCE(c.n, 0) AS n_orders,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           p.benford_p,
+           abs(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+               - p.benford_p) AS abs_dev
+    FROM p LEFT JOIN c ON c.digit = p.digit CROSS JOIN t
+    ORDER BY p.digit
+    """,
+    doc="BENFORD'S-LAW first-digit audit over order totals — the "
+    "classic fraud / fabricated-data screen (naturally occurring "
+    "multi-magnitude amounts follow P(d) = log10(1+1/d); fabricated "
+    "ones usually don't): first digits extracted via INTEGER string "
+    "rendering (floor to bigint, then substring — never a double's "
+    "string form, which differs across engines), counted in a "
+    "9-key partial-aggregable rollup, and compared against the "
+    "published Benford constants embedded as exact double LITERALS "
+    "(libm log10 is banned from computed paths as not "
+    "bit-reproducible; literals parse identically everywhere). "
+    "Emits per-digit share and absolute deviation. 100 TB: one scan, "
+    "one 9-key aggregate — the whole comparison runs on 9 rows. "
+    "(TPC-H totals span ~3 magnitudes with a lognormal-ish shape, "
+    "so deviations here are expectedly moderate; the OPERATOR is "
+    "what's exercised, as with text_langid_confusion.)",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    c = managed_cache(c)
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    p = spark.createDataFrame(
+        [(d, pv) for d, pv in BENFORD_P.items()], "digit int, benford_p double"
+    )
+    share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total").cast(
+        "double"
+    )
+    return (
+        p.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            share.alias("share"),
+            "benford_p",
+            F.abs(share - F.col("benford_p")).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+TS_YEAR = 1995  # bounded series: one year of daily revenue (~365 points)
+
+
+@query(
+    "theil_sen_daily_revenue",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+               {sql_dsum('o_totalprice', 2)} AS y
+        FROM orders
+        WHERE o_orderdate >= DATE '{TS_YEAR}-01-01'
+          AND o_orderdate < DATE '{TS_YEAR + 1}-01-01'
+        GROUP BY o_orderdate
+    ),
+    pr AS (
+        SELECT a.x AS x1, b.x AS x2,
+               (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM d a JOIN d b ON b.x > a.x
+    ),
+    rs AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, x1, x2) AS rn,
+               count(*) OVER () AS np
+        FROM pr
+    ),
+    med AS (
+        SELECT
+            ((SELECT slope FROM rs WHERE rn = (np + 1) // 2 LIMIT 1)
+             + (SELECT slope FROM rs WHERE rn = (np + 2) // 2 LIMIT 1))
+            / CAST(2 AS DOUBLE) AS slope_med,
+            (SELECT max(np) FROM rs) AS n_pairs
+        FROM rs LIMIT 1
+    ),
+    res AS (
+        SELECT d.y - m.slope_med * CAST(d.x AS DOUBLE) AS r, d.x
+        FROM d CROSS JOIN med m
+    ),
+    rr AS (
+        SELECT r, row_number() OVER (ORDER BY r, x) AS rn, count(*) OVER () AS nd
+        FROM res
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+           CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           m.slope_med AS theil_sen_slope,
+           ((SELECT r FROM rr WHERE rn = (nd + 1) // 2 LIMIT 1)
+            + (SELECT r FROM rr WHERE rn = (nd + 2) // 2 LIMIT 1))
+           / CAST(2 AS DOUBLE) AS intercept
+    FROM med m
+    """,
+    doc=f"THEIL-SEN ROBUST TREND over {TS_YEAR}'s daily revenue: the "
+    "median of all pairwise slopes (y2-y1)/(x2-x1) — the classic "
+    "outlier-resistant alternative to OLS (up to ~29% contamination "
+    "tolerated), plus the median-residual intercept. Exactness: each "
+    "daily revenue is an exact-decimal sum cast once to double, each "
+    "pairwise slope is one subtraction + one division of identical "
+    "doubles, and both medians are EXPLICIT order statistics under a "
+    "total order (slope, x1, x2) with the even-count midpoint written "
+    "(lo+hi)/2 in both engines — never an engine median() whose "
+    "interpolation formula may differ by an ulp. Scale discipline: "
+    "the O(n^2) pair join runs on the AGGREGATED day series (~365 "
+    "rows, a DOMAIN-bounded table — ~66k pairs), never on raw "
+    "orders; the raw scan is one partial-aggregable rollup. The "
+    "ranking windows therefore see only the bounded pair table — "
+    "same argument as the block-prefix pass in mannwhitney_u_values.",
+)
+def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{TS_YEAR}-01-01"))
+        & (F.col("o_orderdate") < F.lit(f"{TS_YEAR + 1}-01-01"))
+    )
+    d = managed_cache(
+        o.groupBy("o_orderdate")
+        .agg(dsum("o_totalprice", 2).alias("y"))
+        .select(
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    a = d.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = d.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pr = a.join(b, F.col("x2") > F.col("x1")).select(
+        "x1",
+        "x2",
+        ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")).cast("double")).alias(
+            "slope"
+        ),
+    )
+    rs = pr.select(
+        "slope",
+        F.row_number().over(PW.orderBy("slope", "x1", "x2")).alias("rn"),
+        F.count(F.lit(1)).over(PW.partitionBy()).alias("np"),
+    )
+    rs = managed_cache(rs)
+    k = rs.select(
+        F.expr("(np + 1) div 2").alias("k1"), F.expr("(np + 2) div 2").alias("k2")
+    ).limit(1)
+    med = (
+        rs.join(F.broadcast(k), (F.col("rn") == F.col("k1")) | (F.col("rn") == F.col("k2")))
+        .agg(
+            ((F.min("slope") + F.max("slope")) / F.lit(2).cast("double")).alias(
+                "slope_med"
+            ),
+            F.max("np").cast("bigint").alias("n_pairs"),
+        )
+    )
+    res = d.crossJoin(F.broadcast(med)).select(
+        "x",
+        (F.col("y") - F.col("slope_med") * F.col("x").cast("double")).alias("r"),
+        "slope_med",
+        "n_pairs",
+    )
+    rr = res.select(
+        "r",
+        "slope_med",
+        "n_pairs",
+        F.row_number().over(PW.orderBy("r", "x")).alias("rn"),
+        F.count(F.lit(1)).over(PW.partitionBy()).alias("nd"),
+    )
+    picked = rr.filter(
+        (F.col("rn") == F.expr("(nd + 1) div 2")) | (F.col("rn") == F.expr("(nd + 2) div 2"))
+    )
+    n_days = d.count()
+    return picked.agg(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.max("slope_med").alias("theil_sen_slope"),
+        ((F.min("r") + F.max("r")) / F.lit(2).cast("double")).alias("intercept"),
+    )
