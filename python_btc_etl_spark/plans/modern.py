@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from .dedup import EXACT_EVERY, EXACT_OFFSET, TRUNC_EVERY, TRUNC_OFFSET
+from .exprs import sql_dsum
 from .registry import query
 
 
@@ -653,4 +654,70 @@ def sql_sugar_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ORDER BY seg, prio
         """
+    )
+
+
+@query(
+    "observed_metrics_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(count(*) - count(l_quantity) AS BIGINT) FROM lineitem)
+               AS n_null_qty,
+           (SELECT {sql_dsum('l_extendedprice', 2)} FROM lineitem) AS total_price,
+           (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_groups,
+           (SELECT CAST(sum(n) AS BIGINT) FROM g) AS rows_via_groups
+    """,
+    doc="IN-FLIGHT OBSERVED METRICS (DataFrame.observe + Observation): "
+    "data-quality counters — row count, null count, exact decimal "
+    "price total — collected as accumulator-style metrics WHILE the "
+    "real aggregation runs, with NO second scan of the input: the "
+    "observe node piggybacks on the same pass that feeds the "
+    "per-flag group-by, which is the entire point at 100 TB (a "
+    "separate DQ scan doubles the read bill; this is the mechanism "
+    "behind Delta Live Tables expectations / Deequ metric "
+    "repositories). The query returns the observed metrics joined "
+    "with an invariant derived from the REAL query result (group "
+    "count, and rows-via-groups which must equal the observed row "
+    "count — a cross-check that the metrics describe the same pass); "
+    "the oracle recomputes everything relationally. The ingest path "
+    "uses the same face in production (sources/csv_bars.py observe).",
+)
+def observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from .exprs import dsum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).cast("bigint").alias("n_null_qty"),
+        dsum("l_extendedprice", 2).alias("total_price"),
+    )
+    groups = (
+        observed.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )
+    m = obs.get  # populated by the action above — same single pass
+    row = [
+        (
+            int(m["n_rows"]),
+            int(m["n_null_qty"]),
+            float(m["total_price"]),
+            len(groups),
+            int(sum(r["n"] for r in groups)),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_rows bigint, n_null_qty bigint, total_price double, "
+        "n_groups bigint, rows_via_groups bigint",
     )
