@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, managed_cache
 from .exprs import davg, dsum, sql_davg, sql_dsum
 from .registry import query
 
@@ -2818,4 +2818,103 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
         .orderBy("event_type")
+    )
+
+
+# --- Market basket: lift / confidence scoring ------------------------------
+
+ML_MIN_SUPPORT = 3  # pairs must co-occur in >= this many orders
+ML_TOP_K = 25
+
+
+@query(
+    "copurchase_lift_topk",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM li),
+    freq AS (
+        SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY pk
+        HAVING count(*) >= {MB_MIN_PART_ORDERS}
+    ),
+    pruned AS (SELECT li.ok, li.pk FROM li JOIN freq USING (pk)),
+    pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS support
+        FROM pruned a JOIN pruned b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING count(*) >= {ML_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, support, fa.n AS n_a, fb.n AS n_b,
+           CAST(support * nb.n_baskets AS DOUBLE)
+               / CAST(fa.n * fb.n AS DOUBLE) AS lift,
+           CAST(support AS DOUBLE) / CAST(fa.n AS DOUBLE) AS confidence_a_to_b
+    FROM pairs
+    JOIN freq fa ON fa.pk = pairs.part_a
+    JOIN freq fb ON fb.pk = pairs.part_b
+    CROSS JOIN nb
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {ML_TOP_K}
+    """,
+    doc="MARKET-BASKET LIFT + CONFIDENCE (the A-priori second pass, "
+    "completing copurchase_part_pairs' raw support): lift = "
+    "P(a,b)/(P(a)P(b)) computed as the exact-integer identity "
+    "support*N/(n_a*n_b) — one IEEE division of exact bigints, no "
+    "float accumulation — with directed confidence P(b|a). Lift "
+    "NORMALIZES away item popularity, surfacing genuinely "
+    "associated pairs instead of two-bestsellers-coincide (support "
+    f">= {ML_MIN_SUPPORT} floors the small-sample noise that "
+    "dominates raw lift rankings). Same scale discipline as the "
+    "support pass: frequency prune BEFORE the basket self-join "
+    "(A-priori downward closure), item-stat re-joins broadcast, "
+    "top-k under a unique total order plans as "
+    "TakeOrderedAndProject. This support -> lift pair is exactly "
+    "the token/item co-occurrence + PMI-style association pipeline "
+    "at 100 TB (lift is the log-free PMI surrogate, per the house "
+    "no-libm policy).",
+)
+def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    li = managed_cache(li)
+    nb = li.agg(F.countDistinct("ok").cast("bigint").alias("n_baskets"))
+    freq = (
+        li.groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= MB_MIN_PART_ORDERS)
+    )
+    freq = managed_cache(freq)
+    pruned = li.join(freq.select("pk"), "pk")
+    a = pruned.select("ok", F.col("pk").alias("part_a"))
+    b = pruned.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= ML_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_a",
+            "n_b",
+            (
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+            (F.col("support").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence_a_to_b"
+            ),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(ML_TOP_K)
     )

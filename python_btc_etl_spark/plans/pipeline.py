@@ -1837,3 +1837,78 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# StringIndexer + one-hot encoding (categorical featurization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_indexer_onehot",
+    oracle="""
+    WITH c AS (
+        SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_brand
+    ),
+    idx AS (
+        SELECT brand, n_parts,
+               CAST(row_number() OVER (ORDER BY n_parts DESC, brand) - 1 AS INT)
+                   AS category_index,
+               CAST(count(*) OVER () AS INT) AS n_categories
+        FROM c
+    )
+    SELECT brand, n_parts, category_index,
+           CAST(1 AS BIGINT) << category_index AS one_hot_mask,
+           array_to_string(list_transform(range(0, n_categories),
+                           i -> CASE WHEN i = category_index
+                                     THEN 1 ELSE 0 END), ',') AS one_hot
+    FROM idx
+    ORDER BY category_index
+    """,
+    doc="STRING-INDEXER + ONE-HOT encoding of a categorical column "
+    "(Spark MLlib's StringIndexer/OneHotEncoder semantics "
+    "re-expressed relationally, with the tie broken "
+    "DETERMINISTICALLY): categories indexed by frequency descending "
+    "— index 0 = most frequent, MLlib's frequencyDesc — with "
+    "alphabetical tie-break (MLlib's tie order is undefined; "
+    "spelling it out is what makes the encoding reproducible across "
+    "runs AND engines), then expanded to a dense 0/1 indicator "
+    "vector sized to the category count. All integers. 100 TB: the "
+    "category dictionary is one partial-aggregable count over the "
+    "fact column (the dictionary itself is small by definition — "
+    "a high-cardinality column belongs to feature_hashing_stats, "
+    "the vocabulary-free sibling); the window runs over the "
+    "dictionary, never the data; applying the encoding downstream "
+    "is a broadcast join.",
+)
+def string_indexer_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(F.col("p_brand").alias("brand"))
+    c = p.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    idx = c.select(
+        "brand",
+        "n_parts",
+        (F.row_number().over(W.orderBy(F.desc("n_parts"), "brand")) - 1)
+        .cast("int")
+        .alias("category_index"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("int").alias("n_categories"),
+    )
+    one_hot = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_categories") - 1),
+            lambda i: F.when(i == F.col("category_index"), 1).otherwise(0).cast("int"),
+        ),
+        ",",
+    )
+    return (
+        idx.select(
+            "brand",
+            "n_parts",
+            "category_index",
+            F.expr("shiftleft(CAST(1 AS BIGINT), category_index)").alias(
+                "one_hot_mask"
+            ),
+            one_hot.alias("one_hot"),
+        )
+        .orderBy("category_index")
+    )
