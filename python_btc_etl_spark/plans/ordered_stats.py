@@ -1382,3 +1382,94 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("slope_med").alias("theil_sen_slope"),
         ((F.min("r") + F.max("r")) / F.lit(2).cast("double")).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast evaluation: MASE (seasonal-naive vs naive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_mase_daily",
+    oracle=f"""
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(25,2))) AS y
+        FROM orders
+        WHERE o_orderdate >= DATE '{TS_YEAR}-01-01'
+          AND o_orderdate < DATE '{TS_YEAR + 1}-01-01'
+        GROUP BY o_orderdate
+    ),
+    l AS (
+        SELECT day, y,
+               lag(y, 1) OVER (ORDER BY day) AS y1,
+               lag(y, 7) OVER (ORDER BY day) AS y7
+        FROM d
+    ),
+    e AS (
+        SELECT abs(y - y1) AS e1, abs(y - y7) AS e7
+        FROM l WHERE y1 IS NOT NULL AND y7 IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(CAST(sum(e1) AS VARCHAR) AS DOUBLE) AS se1,
+               CAST(CAST(sum(e7) AS VARCHAR) AS DOUBLE) AS se7
+        FROM e
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+           n_eval,
+           se1 / CAST(n_eval AS DOUBLE) AS mae_naive,
+           se7 / CAST(n_eval AS DOUBLE) AS mae_seasonal,
+           (se7 / CAST(n_eval AS DOUBLE)) / (se1 / CAST(n_eval AS DOUBLE)) AS mase
+    FROM agg
+    """,
+    doc="FORECAST EVALUATION via MASE (Hyndman & Koehler '06, mean "
+    "absolute scaled error) comparing the SEASONAL-naive lag-7 "
+    "forecast of daily revenue against the lag-1 naive scaler over "
+    f"a common {TS_YEAR} evaluation window — the scale-free accuracy "
+    "metric (MASE < 1 = beats naive) every forecasting pipeline "
+    "reports, complementing q6_forecast_revenue (the forecast) and "
+    "seasonality_index_dow (the weekly pattern MASE quantifies the "
+    "value of). EXACT end to end: daily totals, lag differences, "
+    "absolute errors, and their sums all stay in DECIMAL (2-dp "
+    "money never leaves fixed point), cast once to double through "
+    "the text-hop policy; the two MAEs and their ratio are three "
+    "IEEE divisions written identically in both engines. The lag "
+    "window runs over the DOMAIN-bounded day series (~365 rows, "
+    "same argument as theil_sen_daily_revenue), never over raw "
+    "orders; the raw scan is one partial-aggregable rollup.",
+)
+def forecast_mase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{TS_YEAR}-01-01"))
+        & (F.col("o_orderdate") < F.lit(f"{TS_YEAR + 1}-01-01"))
+    )
+    d = managed_cache(
+        o.groupBy(F.col("o_orderdate").alias("day")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("y")
+        )
+    )
+    w = PW.orderBy("day")
+    l = d.select(
+        "y", F.lag("y", 1).over(w).alias("y1"), F.lag("y", 7).over(w).alias("y7")
+    )
+    e = l.filter(F.col("y1").isNotNull() & F.col("y7").isNotNull()).select(
+        F.abs(F.col("y") - F.col("y1")).alias("e1"),
+        F.abs(F.col("y") - F.col("y7")).alias("e7"),
+    )
+    n_days = d.count()
+    agg = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum("e1").cast("double").alias("se1"),
+        F.sum("e7").cast("double").alias("se7"),
+    )
+    ne = F.col("n_eval").cast("double")
+    return agg.select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        "n_eval",
+        (F.col("se1") / ne).alias("mae_naive"),
+        (F.col("se7") / ne).alias("mae_seasonal"),
+        ((F.col("se7") / ne) / (F.col("se1") / ne)).alias("mase"),
+    )
