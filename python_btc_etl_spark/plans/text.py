@@ -948,3 +948,162 @@ def readability_flesch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- URL canonicalization dedup (the CommonCrawl-style first gate) ----------
+
+# Synthetic raw-URL corpus: each group of 5 docs carries 5 decorated
+# variants of one logical page (mixed-case scheme/host, http vs https,
+# www prefix, default :443 port, utm_* tracking params, #fragment,
+# trailing slash). The decorations are exactly the noise a crawl-dedup
+# gate must erase; variant 3 keeps a REAL query param (ref=home) that
+# canonicalization must preserve, so each group yields two canonical
+# URLs, not one.
+_URL_HOSTS = 7  # host = example{g % 7}.com
+
+
+def _raw_url_sql() -> str:
+    """DuckDB expression synthesizing the raw URL from doc_id."""
+    return """
+        CASE doc_id % 5
+          WHEN 0 THEN 'https://www.example' || (doc_id // 5) % 7
+                      || '.com/articles/' || (doc_id // 5)
+          WHEN 1 THEN 'HTTP://WWW.EXAMPLE' || (doc_id // 5) % 7
+                      || '.COM/articles/' || (doc_id // 5) || '/'
+          WHEN 2 THEN 'https://example' || (doc_id // 5) % 7
+                      || '.com/articles/' || (doc_id // 5)
+                      || '?utm_source=feed&utm_campaign=x'
+          WHEN 3 THEN 'https://www.example' || (doc_id // 5) % 7
+                      || '.com:443/articles/' || (doc_id // 5)
+                      || '?ref=home&utm_medium=email'
+          ELSE        'https://www.example' || (doc_id // 5) % 7
+                      || '.com/articles/' || (doc_id // 5) || '#section-2'
+        END
+    """
+
+
+def _raw_url_col() -> Column:
+    g = F.expr("doc_id DIV 5")
+    h = g % _URL_HOSTS
+    path = F.concat(F.lit("/articles/"), g.cast("string"))
+    host = F.concat(F.lit("example"), h.cast("string"), F.lit(".com"))
+    return (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://www."), host, path),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTP://WWW.EXAMPLE"),
+                h.cast("string"),
+                F.lit(".COM"),
+                path,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("https://www."), host, F.lit(":443"), path,
+                F.lit("?ref=home&utm_medium=email"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://www."), host, path, F.lit("#section-2")))
+    )
+
+
+def _canonical_url(u: Column) -> Column:
+    """Canonicalize a URL with native regexp expressions only (the
+    100 TB path: pure JVM codegen, no UDF, no parse_url round-trips).
+
+    Steps (each mirrored 1:1 in the DuckDB oracle, RE2-safe — no
+    lookarounds): normalize scheme to https + lowercase the authority;
+    strip the www. prefix; drop default ports :443/:80; strip the
+    fragment; strip utm_* tracking params (mid-query '&utm_x=v', then
+    leading '?utm_x=v&' -> '?', then a lone '?utm_x=v'); strip the
+    trailing slash (corpus has no root-path URLs, so the bare '/$' is
+    safe)."""
+    c = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]*)", 1)),
+        F.regexp_replace(u, r"^[A-Za-z]+://[^/?#]*", ""),
+    )
+    c = F.regexp_replace(c, r"^https://www\.", "https://")
+    c = F.regexp_replace(c, r"^(https://[^/?#:]*):(443|80)([/?#].*)?$", "$1$3")
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"&utm_[A-Za-z_]+=[^&#]*", "")
+    c = F.regexp_replace(c, r"\?utm_[A-Za-z_]+=[^&#]*&", "?")
+    c = F.regexp_replace(c, r"\?utm_[A-Za-z_]+=[^&#]*$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_raw_url_sql()} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+            regexp_replace(
+                'https://' || lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1))
+                           || regexp_replace(url, '^[A-Za-z]+://[^/?#]*', ''),
+                '^https://www\\.', 'https://'),
+                '^(https://[^/?#:]*):(443|80)([/?#].*)?$', '\\1\\3'),
+                '#.*$', ''),
+                '&utm_[A-Za-z_]+=[^&#]*', '', 'g'),
+                '\\?utm_[A-Za-z_]+=[^&#]*&', '?'),
+                '\\?utm_[A-Za-z_]+=[^&#]*$', ''),
+                '/$', '') AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    doc="URL CANONICALIZATION DEDUP — the CommonCrawl-style first gate "
+    "of a web-scale cleaning pipeline: normalize scheme case + https, "
+    "lowercase the authority, strip www., drop default ports, strip "
+    "fragments and utm_* tracking params (REAL query params like "
+    "ref=home survive), strip the trailing slash, then group by the "
+    "canonical form. Every step is a native regexp_replace/"
+    "regexp_extract chain (whole-stage codegen; RE2-compatible "
+    "patterns so the DuckDB oracle mirrors them literally — no "
+    "lookarounds, no engine-specific syntax). Each 5-doc group "
+    "carries 5 decorated variants of one page URL, four of which "
+    "must collapse and one (real param) must stay distinct — the "
+    "planted truth the differential locks. 100 TB: canonicalization "
+    "is scan-local string compute; the dedup is one partial-"
+    "aggregable groupBy on the canonical key (same discipline as "
+    "dedup_exact_sha).",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", _raw_url_col().alias("url"))
+    canon = d.select("doc_id", "url", _canonical_url(F.col("url")).alias("canonical_url"))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_forms"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
