@@ -980,6 +980,23 @@ def feature_hashing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-classifier constants (shared by quality_classifier_scores
+# below and the funnel's stage 5): fastText-style linear scorer over
+# hashed BOW features, weights a closed-form integer function of the
+# bucket so both engines compute the exact same integer score.
+QC_BIAS = 3  # intercept
+# Keep threshold: sits near the observed 30th percentile of the score
+# distribution at sf0.01 (min -22, median 29, max 66), so the gate
+# drops the low-quality tail (~25-30%) and keeps the head+middle — the
+# CCNet-style operating point (a gate at score>0 kept 98% here because
+# the corpus' shared vocabulary concentrates the scores).
+QC_KEEP_MIN = 20
+
+
+def _qc_weight_sql(bucket: str) -> str:
+    return f"(({bucket}) * 37 + 11) % 21 - 10"
+
+
 # Cleaning-funnel thresholds (integer-exact gates)
 FUNNEL_MIN_WORDS = 20
 FUNNEL_LANGS = ("de", "en", "es", "fr")  # keep these labeled languages
@@ -1004,6 +1021,13 @@ FUNNEL_REP_NUM, FUNNEL_REP_DEN = 1, 5  # drop if dup-3-grams > 1/5
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(ltext)) AS keeper
         FROM g
     ),
+    qc AS (
+        SELECT doc_id,
+               {QC_BIAS} + sum({_qc_weight_sql(f"{TX.sql_hash28('tok')} % {FH_DIM}")})
+                   AS score
+        FROM (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM g)
+        GROUP BY doc_id
+    ),
     staged AS (
         SELECT g.doc_id,
                len(g.w) >= {FUNNEL_MIN_WORDS} AS s1,
@@ -1017,8 +1041,15 @@ FUNNEL_REP_NUM, FUNNEL_REP_DEN = 1, 5  # drop if dup-3-grams > 1/5
                    AND g.lang IN {FUNNEL_LANGS!r}
                    AND (g.n_grams - g.n_distinct) * {FUNNEL_REP_DEN}
                            <= g.n_grams * {FUNNEL_REP_NUM}
-                   AND c.keeper = g.doc_id AS s4
+                   AND c.keeper = g.doc_id AS s4,
+               len(g.w) >= {FUNNEL_MIN_WORDS}
+                   AND g.lang IN {FUNNEL_LANGS!r}
+                   AND (g.n_grams - g.n_distinct) * {FUNNEL_REP_DEN}
+                           <= g.n_grams * {FUNNEL_REP_NUM}
+                   AND c.keeper = g.doc_id
+                   AND coalesce(q.score, {QC_BIAS}) >= {QC_KEEP_MIN} AS s5
         FROM g JOIN canon c ON c.doc_id = g.doc_id
+        LEFT JOIN qc q ON q.doc_id = g.doc_id
     )
     SELECT stage, n_surviving,
            CAST(n_surviving AS DOUBLE)
@@ -1035,16 +1066,20 @@ FUNNEL_REP_NUM, FUNNEL_REP_DEN = 1, 5  # drop if dup-3-grams > 1/5
         SELECT '3_repetition', count(CASE WHEN s3 THEN 1 END) FROM staged
         UNION ALL
         SELECT '4_exact_dedup', count(CASE WHEN s4 THEN 1 END) FROM staged
+        UNION ALL
+        SELECT '5_quality', count(CASE WHEN s5 THEN 1 END) FROM staged
     )
     ORDER BY stage
     """,
     doc="The cleaning-funnel report — the headline artifact of every "
     "training-data pipeline: how many documents survive each "
     "successive filter (minimum length → allowed language → "
-    "within-doc repetition → exact dedup keep-first), with cumulative "
-    "survival rates. All four gates are integer-exact (word counts, "
-    "label membership, cross-multiplied repetition ratio, md5-group "
-    "min); the whole funnel is ONE scan + one content-hash window — "
+    "within-doc repetition → exact dedup keep-first → quality-"
+    "classifier keep), with cumulative survival rates. All five gates "
+    "are integer-exact (word counts, label membership, cross-"
+    "multiplied repetition ratio, md5-group min, the linear scorer's "
+    "integer dot product); the funnel is ONE scan + one content-hash "
+    "window + one doc-keyed score join — "
     "each stage is a flag, not a materialized intermediate table, "
     "which is precisely how a 100 TB cleaning pass avoids writing "
     "four copies of the corpus.",
@@ -1070,9 +1105,39 @@ def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_grams") - F.col("n_distinct")) * FUNNEL_REP_DEN
         <= F.col("n_grams") * FUNNEL_REP_NUM
     )
-    staged = g.withColumn("keeper", keeper).select(
-        s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
-        (s3 & (F.col("keeper") == F.col("doc_id"))).alias("s4"),
+    # Stage-5 quality gate: the fastText-style linear score (same
+    # featurizer + closed-form weights as quality_classifier_scores).
+    # Computed as a doc-keyed partial-aggregable sum and LEFT-joined
+    # back (empty docs default to the bias) — explode+groupBy stays in
+    # whole-stage codegen, where an aggregate() HOF over the token
+    # array would run interpreted (~45 us/element, the round-7
+    # winnowing lesson).
+    qc = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.words(F.col("text")))).alias("tok"),
+        )
+        .select("doc_id", (TX.hash28(F.col("tok")) % FH_DIM).alias("bucket"))
+        .groupBy("doc_id")
+        .agg(
+            (F.lit(QC_BIAS) + F.sum((F.col("bucket") * 37 + 11) % 21 - 10)).alias(
+                "score"
+            )
+        )
+    )
+    staged = (
+        g.withColumn("keeper", keeper)
+        .join(qc, "doc_id", "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(QC_BIAS)))
+        .select(
+            s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
+            (s3 & (F.col("keeper") == F.col("doc_id"))).alias("s4"),
+            (
+                s3
+                & (F.col("keeper") == F.col("doc_id"))
+                & (F.col("score") >= QC_KEEP_MIN)
+            ).alias("s5"),
+        )
     )
     counts = staged.agg(
         F.count(F.lit(1)).alias("0_ingested"),
@@ -1080,8 +1145,12 @@ def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("s2"), 1)).alias("2_language"),
         F.count(F.when(F.col("s3"), 1)).alias("3_repetition"),
         F.count(F.when(F.col("s4"), 1)).alias("4_exact_dedup"),
+        F.count(F.when(F.col("s5"), 1)).alias("5_quality"),
     )
-    stages = ["0_ingested", "1_min_length", "2_language", "3_repetition", "4_exact_dedup"]
+    stages = [
+        "0_ingested", "1_min_length", "2_language", "3_repetition",
+        "4_exact_dedup", "5_quality",
+    ]
     stack = ", ".join(f"'{s}', `{s}`" for s in stages)
     long = counts.selectExpr(f"stack({len(stages)}, {stack}) AS (stage, n_surviving)")
     base = F.first("n_surviving").over(
@@ -1912,3 +1981,76 @@ def string_indexer_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category_index")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier inference (the fastText-style linear gate)
+# --------------------------------------------------------------------------
+
+# The #1 quality gate in production cleaning stacks (CCNet / fastText
+# langid-quality, GPT-3 "WebText classifier", Llama's quality scorer) is
+# linear-model inference over hashed bag-of-words features. Inference =
+# one dot product per doc between its hashed feature set and a FIXED
+# weight vector. Here the trained weights are a closed-form integer
+# function of the bucket — w(b) = (b*37 + 11) % 21 - 10, range [-10,10]
+# — so the whole scorer is exact integer arithmetic and the DuckDB
+# differential needs no float policy; in production the trained
+# FH_DIM-sized vector is a broadcast lookup table instead (a few KB —
+# the fact table never shuffles either way, same story as the LOO
+# target encoder). Constants + the weight expression live next to the
+# cleaning funnel above (the funnel's stage-5 oracle f-string needs
+# them at decoration time).
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({TX.sql_words('text')})) AS tok
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, {TX.sql_hash28('tok')} % {FH_DIM} AS bucket
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_features,
+               CAST({QC_BIAS} + sum({_qc_weight_sql('bucket')}) AS BIGINT)
+                   AS score
+        FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_features, score, score >= {QC_KEEP_MIN} AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="QUALITY-CLASSIFIER INFERENCE — fastText-style linear scoring "
+    "over hashed bag-of-words features: per doc, score = bias + sum of "
+    "w(hash(tok) % FH_DIM) over DISTINCT tokens (binary BOW features, "
+    f"the same 28-bit sha-carved hash and {FH_DIM}-dim bucket space as "
+    "feature_hashing_stats — the featurizer and the scorer share one "
+    "definition, as train/serve skew demands). Weights are a "
+    "closed-form integer function so the cross-engine differential is "
+    "exact; the keep/drop gate at score >= 1 feeds "
+    "cleaning_funnel_report's stage 5. 100 TB: inference is one "
+    "explode + partial-aggregable integer sum — scan-local compute, "
+    "no model table to shuffle (a real weight vector broadcasts a few "
+    "KB).",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    feat = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.words(F.col("text")))).alias("tok"),
+    ).select("doc_id", (TX.hash28(F.col("tok")) % FH_DIM).alias("bucket"))
+    weight = (F.col("bucket") * 37 + 11) % 21 - 10
+    scored = feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        (F.lit(QC_BIAS) + F.sum(weight)).cast("bigint").alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "score",
+        (F.col("score") >= QC_KEEP_MIN).alias("keep"),
+    ).orderBy("doc_id")
