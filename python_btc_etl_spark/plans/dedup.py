@@ -1059,3 +1059,171 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# 10. Duplicate-span REMOVAL (the Lee et al. '22 rewrite face)
+# --------------------------------------------------------------------------
+
+# dedup_winnowing DETECTS verbatim overlap from sampled fingerprints;
+# this operator REWRITES the corpus dropping the duplicated spans — the
+# artifact a 100 TB cleaning job actually ships ("Deduplicating
+# Training Data Makes Language Models Better", Lee et al. '22: remove
+# every substring of >= N tokens that appears more than once, keeping
+# the first occurrence). The sampled winnowing fingerprints cannot
+# drive a rewrite (minima don't locate span boundaries), so removal
+# uses the FULL positional k-gram index: a token is dropped iff it is
+# covered by some DSR_K-token gram whose 60-bit content hash also
+# occurs in an EARLIER document (keep-first by doc_id; within-doc
+# repeats in the keeper survive, matching Lee et al.'s
+# one-occurrence-survives contract). Guaranteed removed-span length is
+# therefore >= DSR_K tokens. 60-bit hashes make chance collisions
+# negligible (~7e4 grams at sf0.01 in a 2^60 space); the oracle carves
+# the identical hash so even a collision is mirrored.
+DSR_K = 8  # span detector gram length (min removable span, in tokens)
+
+
+def _span_gram_batches(it):
+    """Arrow pass 1: per-doc array of positional DSR_K-gram 60-bit
+    hashes (same sha-carve as TX.sql_hash60 — int(hexdigest[:15],16)).
+    Pure per-row compute, zero shuffles; one batch pass for the same
+    reason as _winnow_fps (interpreted HOFs measured ~65 us/element)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        out = []
+        for wl in pdf["w"]:
+            toks = list(wl)
+            n = len(toks) - DSR_K + 1
+            out.append(
+                np.fromiter(
+                    (
+                        int(
+                            hashlib.sha256(
+                                " ".join(toks[i : i + DSR_K]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "hs": out})
+
+
+def _span_rewrite_batches(it):
+    """Arrow pass 2: drop covered token positions, emit the removal
+    accounting + survivor hash. Narrow (no shuffle): the removal
+    position list arrives pre-joined per doc."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in it:
+        rows = []
+        for doc_id, wl, rm in zip(pdf["doc_id"], pdf["w"], pdf["rm"]):
+            toks = list(wl)
+            rset = {int(x) for x in rm} if rm is not None else set()
+            kept = [t for i, t in enumerate(toks) if i not in rset]
+            rows.append(
+                (
+                    int(doc_id),
+                    len(toks),
+                    len(rset),
+                    len(kept),
+                    hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "tokens_before",
+                "tokens_removed",
+                "tokens_after",
+                "after_md5",
+            ],
+        )
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_TRUNC}),
+    t AS (SELECT doc_id, {TX.sql_words('text')} AS w FROM aug),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               {TX.sql_hash60(f"array_to_string(w[i:i+{DSR_K}-1], ' ')")} AS h
+        FROM t, unnest(range(1, len(w) - {DSR_K} + 2)) AS u(i)
+        WHERE len(w) >= {DSR_K}
+    ),
+    md AS (SELECT h, min(doc_id) AS keep_doc FROM g GROUP BY h),
+    cov AS (
+        SELECT DISTINCT g.doc_id, p.tpos
+        FROM g JOIN md USING (h),
+             unnest(range(g.pos, g.pos + {DSR_K})) AS p(tpos)
+        WHERE g.doc_id > md.keep_doc
+    ),
+    e AS (
+        SELECT doc_id, i - 1 AS tpos, w[i] AS tok
+        FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+    ),
+    kept AS (
+        SELECT e.doc_id, e.tpos, e.tok
+        FROM e LEFT JOIN cov c ON c.doc_id = e.doc_id AND c.tpos = e.tpos
+        WHERE c.doc_id IS NULL
+    ),
+    after AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_after,
+               md5(string_agg(tok, ' ' ORDER BY tpos)) AS after_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT)                        AS tokens_before,
+           CAST(len(t.w) - coalesce(a.n_after, 0) AS BIGINT) AS tokens_removed,
+           CAST(coalesce(a.n_after, 0) AS BIGINT)          AS tokens_after,
+           coalesce(a.after_md5, md5(''))                  AS after_md5
+    FROM t LEFT JOIN after a ON a.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc=f"DUPLICATE-SPAN REMOVAL (Lee et al. '22 rewrite): drop every "
+    f"token covered by a {DSR_K}-token gram whose exact content "
+    "appears in an earlier document, keep-first by doc_id; emit the "
+    "per-doc removal accounting (tokens_before = tokens_removed + "
+    "tokens_after structurally) and the md5 of the rewritten text — "
+    "the differential proves the REWRITE itself, not just the pair "
+    "detection. Planted 80%-prefix copies are erased to their "
+    "non-shared tail (full copies vanish to md5('')). Plan: one Arrow "
+    "pass fingerprints (scan-local), the gram index shuffles once on "
+    "the 60-bit hash for keep-first attribution, coverage re-"
+    "aggregates keyed doc_id, and ONE narrow Arrow pass rewrites — "
+    "the corpus text never joins or shuffles.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    base = aug.select("doc_id", TX.words(F.col("text")).alias("w"))
+    wdf = base.filter(F.size("w") >= DSR_K)
+    fp = wdf.mapInPandas(_span_gram_batches, "doc_id bigint, hs array<bigint>")
+    grams = fp.select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    mind = grams.groupBy("h").agg(F.min("doc_id").alias("keep_doc"))
+    removable = grams.join(mind, "h").filter(F.col("doc_id") > F.col("keep_doc"))
+    cov = removable.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(DSR_K - 1))
+        ).alias("tpos"),
+    ).distinct()
+    rm = cov.groupBy("doc_id").agg(F.sort_array(F.collect_set("tpos")).alias("rm"))
+    joined = base.join(rm, "doc_id", "left")
+    out = joined.mapInPandas(
+        _span_rewrite_batches,
+        "doc_id bigint, tokens_before bigint, tokens_removed bigint, "
+        "tokens_after bigint, after_md5 string",
+    )
+    return out.orderBy("doc_id")
