@@ -655,3 +655,140 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("doc_id") % 3 != 2)
     )
     return d.mapInPandas(_audio_energy_batches, schema=AFE_SCHEMA).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Image perceptual-hash near-dup (decoders x dedup machinery, round 8)
+# --------------------------------------------------------------------------
+
+# The image-dedup operator every multimodal pipeline needs: aHash over
+# decoded rasters, Hamming-banded blocking, XOR+popcount verification —
+# composing the REAL pure-numpy decoder/resize path (functions/
+# multimodal.py) with the SimHash pigeonhole-blocking discipline
+# (plans/dedup.py simhash_near_dup). Fixed-midpoint aHash variant
+# (bit = pixel >= 128, not >= mean) so the planted perturbations flip
+# bits DETERMINISTICALLY and the closed-form oracle needs no float or
+# data-dependent threshold.
+#
+# Deterministic corpus: group g = doc_id//4 defines a conceptual 8x8
+# raster v(g,i) = (g*37 + i*11) % 256; variant t = doc_id%4 inverts the
+# first t values (255-v, which always crosses the 128 midpoint, so
+# variant t flips exactly hash bits 0..t-1). Each pixel is duplicated
+# 2x2 into a 16x16 P5 netpbm payload, decoded by the real decoder and
+# resized 8x8 nearest-neighbor (which exactly recovers v). Within a
+# group all C(4,2) pairs sit at Hamming |t-s| <= 3; across groups
+# hashes are far apart except mirrored-by-both-engines coincidences.
+PH_BITS = 60  # packed hash width (bits 60..63 unused: signed bigint)
+PH_BANDS, PH_BAND_BITS = 4, 15  # pigeonhole: Hamming <= 3 shares a band
+PH_HD_MAX = 3
+
+
+def _phash_batches(batches):
+    """mapInPandas worker: synthesize each doc's 16x16 P5 payload, run
+    the REAL decoder + 8x8 nearest resize, compute the 60-bit
+    fixed-midpoint aHash. Per-row compute, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_image, resize_nearest
+
+    weights = np.left_shift(np.int64(1), np.arange(PH_BITS, dtype=np.int64))
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            g, t = d // 4, d % 4
+            idx = np.arange(64, dtype=np.int64)
+            base = (g * 37 + idx * 11) % 256
+            val = np.where(idx < t, 255 - base, base).astype(np.uint8)
+            big = val.reshape(8, 8).repeat(2, axis=0).repeat(2, axis=1)
+            payload = b"P5\n16 16\n255\n" + big.tobytes()
+            img = decode_image(payload)
+            small = resize_nearest(img, 8, 8).reshape(-1)
+            bits = (small.astype(np.int64) >= 128).astype(np.int64)[:PH_BITS]
+            rows.append((d, int((bits * weights).sum())))
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+@query(
+    "image_phash_neardup",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - ((doc_id // 4) * 37 + i * 11) % 256
+                         ELSE ((doc_id // 4) * 37 + i * 11) % 256 END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+        FROM documents, unnest(range(0, {PH_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, phash, j,
+               (phash >> (CAST({PH_BAND_BITS} AS INTEGER) * j)) & {2**PH_BAND_BITS - 1} AS band
+        FROM v, unnest(range(0, {PH_BANDS})) AS b(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS ph_a, b.phash AS ph_b
+        FROM bands a
+        JOIN bands b ON a.j = b.j AND a.band = b.band
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {PH_HD_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"IMAGE PERCEPTUAL-HASH NEAR-DUP: {PH_BITS}-bit fixed-midpoint "
+    "aHash over rasters decoded by the real netpbm decoder + "
+    f"nearest-neighbor resize, {PH_BANDS}x{PH_BAND_BITS}-bit pigeonhole "
+    f"band blocking (Hamming <= {PH_HD_MAX} guarantees a shared band), "
+    "XOR+popcount verification pushed into the join — NO all-pairs "
+    "comparison exists (same blocking discipline as simhash_near_dup / "
+    "ann_recall_binary_sign). The oracle recomputes the hash in closed "
+    "form from the deterministic pixel function, so the differential "
+    "covers decoder, resize, packing, banding, and verification. "
+    "100 TB: hashing is per-row compute next to the image bytes "
+    "(payloads never shuffle); only 8-byte hashes enter the "
+    "bounded-bucket join.",
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    ph = d.mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("phash"), PH_BAND_BITS * j)
+                        .bitwiseAND(F.lit(2**PH_BAND_BITS - 1))
+                        .alias("band"),
+                    )
+                    for j in range(PH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "phash", F.col("bs.j").alias("j"), F.col("bs.band").alias("band"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "j", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "j", "band"
+    )
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= PH_HD_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1003,6 +1003,59 @@ FUNNEL_LANGS = ("de", "en", "es", "fr")  # keep these labeled languages
 FUNNEL_REP_NUM, FUNNEL_REP_DEN = 1, 5  # drop if dup-3-grams > 1/5
 
 
+def _funnel_stats_batches(it):
+    """Arrow pass for the funnel's per-doc stats: word count, trigram
+    count + distinct-trigram count (the repetition gate), and the
+    stage-5 quality score (28-bit sha-carved bucket -> closed-form
+    integer weight, identical to quality_classifier_scores). ONE batch
+    pass replaces the size(array_distinct(transform(...))) expression —
+    interpreted HOFs cost ~65-90 us/element (re-measured round 8 after
+    the corpus regenerated at ~54 words/doc: the HOF form took the
+    funnel from 1.4 s to ~20 s at sf0.1; this pass returns it to ~1 s)
+    — and folds in the quality score so no doc-keyed join is needed.
+    Gram distinctness over tuples == distinctness over the oracle's
+    "a b c" strings (tokens cannot contain spaces)."""
+    import hashlib
+
+    import pandas as pd
+
+    n = TX.SHINGLE_N
+    for pdf in it:
+        n_words, n_grams, n_distinct, scores = [], [], [], []
+        for wl in pdf["w"]:
+            toks = list(wl)
+            n_words.append(len(toks))
+            k = max(0, len(toks) - n + 1)
+            n_grams.append(k)
+            n_distinct.append(
+                len({tuple(toks[i : i + n]) for i in range(k)})
+            )
+            score = QC_BIAS
+            for tok in set(toks):
+                b = (
+                    int(
+                        hashlib.sha256(tok.encode("utf-8")).hexdigest()[
+                            : TX.SHINGLE_HEX_DIGITS
+                        ],
+                        16,
+                    )
+                    % FH_DIM
+                )
+                score += (b * 37 + 11) % 21 - 10
+            scores.append(score)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "ltext": pdf["ltext"],
+                "n_words": n_words,
+                "n_grams": n_grams,
+                "n_distinct": n_distinct,
+                "score": scores,
+            }
+        )
+
+
 @query(
     "cleaning_funnel_report",
     oracle=f"""
@@ -1088,15 +1141,16 @@ def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as PW
 
     d = spread(load(spark, sf_dir, "documents"))
-    w = TX.words(F.col("text"))
-    grams = TX.grams_all(w)
-    g = d.select(
+    base_cols = d.select(
         "doc_id",
         "lang",
         F.lower("text").alias("ltext"),
-        F.size(w).alias("n_words"),
-        F.size(grams).alias("n_grams"),
-        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        TX.words(F.col("text")).alias("w"),
+    )
+    g = base_cols.mapInPandas(
+        _funnel_stats_batches,
+        "doc_id bigint, lang string, ltext string, n_words bigint, "
+        "n_grams bigint, n_distinct bigint, score bigint",
     )
     keeper = F.min("doc_id").over(PW.partitionBy(F.md5(F.col("ltext").cast("binary"))))
     s1 = F.col("n_words") >= FUNNEL_MIN_WORDS
@@ -1105,30 +1159,8 @@ def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_grams") - F.col("n_distinct")) * FUNNEL_REP_DEN
         <= F.col("n_grams") * FUNNEL_REP_NUM
     )
-    # Stage-5 quality gate: the fastText-style linear score (same
-    # featurizer + closed-form weights as quality_classifier_scores).
-    # Computed as a doc-keyed partial-aggregable sum and LEFT-joined
-    # back (empty docs default to the bias) — explode+groupBy stays in
-    # whole-stage codegen, where an aggregate() HOF over the token
-    # array would run interpreted (~45 us/element, the round-7
-    # winnowing lesson).
-    qc = (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(TX.words(F.col("text")))).alias("tok"),
-        )
-        .select("doc_id", (TX.hash28(F.col("tok")) % FH_DIM).alias("bucket"))
-        .groupBy("doc_id")
-        .agg(
-            (F.lit(QC_BIAS) + F.sum((F.col("bucket") * 37 + 11) % 21 - 10)).alias(
-                "score"
-            )
-        )
-    )
     staged = (
         g.withColumn("keeper", keeper)
-        .join(qc, "doc_id", "left")
-        .withColumn("score", F.coalesce(F.col("score"), F.lit(QC_BIAS)))
         .select(
             s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
             (s3 & (F.col("keeper") == F.col("doc_id"))).alias("s4"),
