@@ -1227,3 +1227,80 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_after bigint, after_md5 string",
     )
     return out.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# 11. Cross-source duplication matrix (the crawl-overlap audit)
+# --------------------------------------------------------------------------
+
+# "Which sources mirror which": the audit a corpus curator runs before
+# setting mixing weights — CommonCrawl snapshots, mirrored sites and
+# re-crawls duplicate each other, and double-counted content silently
+# doubles a source's effective weight. Planted like the dedup corpora:
+# every SOM_EVERY-th doc gains an exact copy attributed to a DIFFERENT
+# source (src{doc_id % 3}), so the matrix has known hot cells.
+SOM_EVERY = 10  # originals come from src0 AND src10 (doc_id % 20)
+SOM_OFFSET = 4_000_000
+
+
+@query(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, source, lower(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + {SOM_OFFSET}, 'src' || ((doc_id // {SOM_EVERY}) % 7),
+               lower(text)
+        FROM documents WHERE doc_id % {SOM_EVERY} = 0
+    ),
+    h AS (SELECT doc_id, source, md5(text) AS ch FROM aug)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs_a,
+           CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs_b
+    FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+    doc="CROSS-SOURCE DUPLICATION MATRIX: exact-content pairs spanning "
+    "two different sources, grouped into a source x source overlap "
+    "matrix (pair count + distinct docs on each side). Content "
+    "equality joins on the md5 of the text — the same hash-"
+    "partitioned, multiplicity-bounded self-join discipline as "
+    "dedup_exact_sha (no all-pairs: only rows sharing a content hash "
+    "ever meet). Planted cross-source copies give the matrix known "
+    "hot cells; the natural corpus contributes none. 100 TB: one "
+    "shuffle on the content hash, matrix is |sources|²-bounded.",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.lower("text").alias("text")
+    )
+    copies = d.filter(F.col("doc_id") % SOM_EVERY == 0).select(
+        (F.col("doc_id") + SOM_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("src"),
+            (F.expr(f"doc_id DIV {SOM_EVERY}") % 7).cast("string"),
+        ).alias("source"),
+        "text",
+    )
+    h = d.unionByName(copies).select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("ch")
+    )
+    a = h.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"), "ch"
+    )
+    b = h.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), "ch"
+    )
+    return (
+        a.join(b, "ch")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_a").cast("bigint").alias("n_docs_a"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_docs_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )

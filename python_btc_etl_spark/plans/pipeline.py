@@ -2321,3 +2321,185 @@ def token_budget_real_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_tokens"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Overlap chunking (embedding-index / RAG corpus preparation)
+# --------------------------------------------------------------------------
+
+# The chunker every retrieval/embedding pipeline runs before indexing:
+# fixed-length token windows with overlap (stride < length), last chunk
+# clamped to the document end. HF/LangChain-style start rule: starts at
+# 0, stride, 2*stride, ...; a document shorter than one chunk yields
+# exactly one chunk; otherwise the final start is the first one whose
+# window reaches the end (n_chunks = 1 + ceil((n - LEN) / STRIDE)).
+CHUNK_LEN = 24  # tokens per chunk
+CHUNK_STRIDE = 16  # tokens between chunk starts (overlap = 8)
+
+
+@query(
+    "doc_chunking_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w,
+               len({TX.sql_words('text')}) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, i AS chunk_idx,
+               least({CHUNK_LEN}, n - i * {CHUNK_STRIDE}) AS n_tokens,
+               array_to_string(
+                   w[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_LEN}],
+                   ' ') AS chunk
+        FROM t,
+             unnest(range(0,
+                 CASE WHEN n <= {CHUNK_LEN} THEN 1
+                      ELSE 1 + (n - {CHUNK_LEN} + {CHUNK_STRIDE} - 1)
+                               // {CHUNK_STRIDE} END)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, CAST(n_tokens AS BIGINT) AS n_tokens,
+           sha256(chunk) AS chunk_sha
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"OVERLAP CHUNKING for embedding-index/RAG preparation: "
+    f"{CHUNK_LEN}-token windows every {CHUNK_STRIDE} tokens "
+    f"(overlap {CHUNK_LEN - CHUNK_STRIDE}), last window clamped to the "
+    "document end, one window for short docs. Entirely native "
+    "expressions — sequence/explode for starts, slice + array_join "
+    "for the window text, sha2 for the chunk fingerprint (no HOF, no "
+    "Python): the one-row-in/k-rows-out fan-out stays in whole-stage "
+    "codegen. The chunk_sha column is what an embedding index stores "
+    "as the dedup/idempotence key. 100 TB: scan-local fan-out, "
+    "output rows ~ tokens/STRIDE, no shuffle at all until the "
+    "downstream index groupBy.",
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        TX.words(F.col("text")).alias("w"),
+        F.size(TX.words(F.col("text"))).alias("n"),
+    )
+    n_chunks = F.when(F.col("n") <= CHUNK_LEN, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(n - {CHUNK_LEN} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE}"
+        )
+    )
+    c = t.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(CHUNK_LEN), F.col("n") - F.col("chunk_idx") * CHUNK_STRIDE
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sha2(
+            F.array_join(
+                F.expr(f"slice(w, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_LEN})"),
+                " ",
+            ),
+            256,
+        ).alias("chunk_sha"),
+    )
+    return c.orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# LM-familiarity quality gate (the integer perplexity-proxy filter)
+# --------------------------------------------------------------------------
+
+# CCNet/GPT-3-style cleaning ranks documents by language-model
+# perplexity and drops the tail. The production scorer is a KenLM; the
+# cross-engine-exact reduction here scores each document by the average
+# CORPUS FREQUENCY of its adjacent word bigrams (the empirical-
+# likelihood core of the perplexity rank, ln() omitted deliberately:
+# ln is not correctly-rounded IEEE in either engine, so a log-domain
+# score could flip a rounded hash bit; frequency averages rank docs
+# monotonically the same way for a fixed-length window). Scores are
+# made scale-invariant as rel = total_freq * 1e6 // (n_bigrams *
+# corpus_bigrams), so the keep threshold survives SF changes.
+LM_REL_MIN = 1130  # ~30th pct of rel at sf0.01 (min 999, median 1152)
+
+
+@query(
+    "lm_familiarity_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM t, unnest(range(1, len(w))) AS u(i)
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    tot AS (SELECT count(*) AS m FROM bg),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(c.c) AS BIGINT) AS familiarity_total
+        FROM bg JOIN cnt c USING (w1, w2)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, familiarity_total,
+           CAST((familiarity_total * 1000000)
+                // (n_bigrams * (SELECT m FROM tot)) AS BIGINT) AS rel,
+           (familiarity_total * 1000000)
+                // (n_bigrams * (SELECT m FROM tot)) >= {LM_REL_MIN} AS keep
+    FROM per
+    ORDER BY doc_id
+    """,
+    doc="LM-FAMILIARITY FILTER — the integer-exact stand-in for "
+    "perplexity filtering: score = average corpus frequency of the "
+    "document's adjacent bigrams, normalized by the corpus bigram "
+    f"total (rel, ppm), keep at rel >= {LM_REL_MIN} (~30th pct). "
+    "Bigrams come from a posexplode + doc-partitioned lead window "
+    "(codegen, no HOF); the count model is vocabulary²-bounded and "
+    "BROADCAST back onto the fact bigrams — at real vocabulary sizes "
+    "production caps the model to top-K bigrams + a default count, "
+    "keeping the broadcast bounded, exactly like the LOO target "
+    "encoder's category stats. Two partial-aggregable groupBys, fact "
+    "table shuffles once (by doc_id for the window).",
+)
+def lm_familiarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(TX.words(F.col("text"))).alias("pos", "w1")
+    )
+    bg = (
+        toks.withColumn(
+            "w2", F.lead("w1").over(PW.partitionBy("doc_id").orderBy("pos"))
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    bg = managed_cache(bg)
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = bg.agg(F.count(F.lit(1)).alias("m"))
+    per = (
+        bg.join(F.broadcast(cnt), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("familiarity_total"),
+        )
+    )
+    rel = F.expr("(familiarity_total * 1000000) DIV (n_bigrams * m)")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "familiarity_total",
+            rel.cast("bigint").alias("rel"),
+            (rel >= LM_REL_MIN).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
