@@ -1304,3 +1304,118 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# 12. SemDeDup: cluster-blocked semantic dedup (Abbas et al. '23)
+# --------------------------------------------------------------------------
+
+# SemDeDup is the production semantic-dedup recipe for embedding
+# corpora (LAION/LLM pretraining): k-means-cluster the embeddings,
+# then prune near-duplicates ONLY within each cluster — the cluster
+# assignment replaces LSH as the blocking key, so the pairwise cosine
+# work is bounded by cluster size (K is chosen ~ N / target_size; the
+# within-cluster join is the method's documented quadratic-in-cluster
+# cost). Keep policy: greedy keep-lowest-id — a vector is pruned iff
+# some LOWER-id vector in its cluster has cosine >= COSINE_T with it
+# (pairwise, no transitive closure — matching the reference
+# implementation's per-cluster greedy pass). Centroids are a fixed
+# deterministic vector subset standing in for the k-means output, like
+# knn_ivf_ann's coarse cells; assignment argmax is bit-identical
+# cross-engine because both evaluate the same IEEE cosine sequence.
+SD_C0 = 40  # centroids: base vec_id in [SD_C0, SD_C0 + SD_CELLS)
+SD_CELLS = 16
+
+
+@query(
+    "semdedup_cluster_prune",
+    oracle=f"""
+    WITH aug AS ({SQL_VECS_SCALED}),
+    cents AS (SELECT vec_id AS cell_id, v AS cv FROM aug
+              WHERE vec_id >= {SD_C0} AND vec_id < {SD_C0 + SD_CELLS}),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT aug.vec_id, aug.v, c.cell_id,
+                   row_number() OVER (PARTITION BY aug.vec_id
+                                      ORDER BY {VX.sql_cosine('c.cv', 'aug.v')} DESC,
+                                               c.cell_id) AS rn
+            FROM aug CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    pruned AS (
+        SELECT DISTINCT b.cell_id, b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE {VX.sql_cosine('a.v', 'b.v')} >= {COSINE_T}
+    ),
+    per AS (
+        SELECT cell_id, CAST(count(*) AS BIGINT) AS n_pruned,
+               CAST(sum(vec_id) AS BIGINT) AS pruned_id_sum
+        FROM pruned GROUP BY cell_id
+    )
+    SELECT s.cell_id,
+           CAST(count(*) AS BIGINT)            AS n_vectors,
+           CAST(coalesce(max(p.n_pruned), 0) AS BIGINT) AS n_pruned,
+           CAST(coalesce(max(p.pruned_id_sum), 0) AS BIGINT) AS pruned_id_sum
+    FROM assigned s LEFT JOIN per p ON p.cell_id = s.cell_id
+    GROUP BY s.cell_id
+    ORDER BY s.cell_id
+    """,
+    doc=f"SEMDEDUP (Abbas et al. '23): assign every embedding to its "
+    f"nearest of {SD_CELLS} fixed centroids (broadcast nested-loop "
+    "argmax — the corpus never shuffles for assignment), then prune "
+    f"within-cluster near-duplicates at cosine >= {COSINE_T} with the "
+    "greedy keep-lowest-id policy. Planted 1.01x-scaled copies land "
+    "in their original's cluster (cosine is scale-invariant) and are "
+    "pruned; per-cluster output (size, prune count, pruned-id sum) "
+    "keeps the result bounded at |K| rows. 100 TB: assignment is "
+    "scan-local vs a broadcast codebook, the prune join is blocked by "
+    "cell_id with cluster sizes bounded by K ~ N/target — the same "
+    "bounded-bucket discipline as every other dedup face; a skewed "
+    "cluster is the signal to re-train K upward, the SemDeDup paper's "
+    "own guidance.",
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = managed_cache(vecs_with_scaled_copies(spark, sf_dir))
+    cents = aug.filter(
+        (F.col("vec_id") >= SD_C0) & (F.col("vec_id") < SD_C0 + SD_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
+    win = W.partitionBy("vec_id").orderBy(F.desc("cell_sim"), "cell_id")
+    assigned = managed_cache(
+        aug.crossJoin(F.broadcast(cents))
+        .withColumn("cell_sim", VX.cosine(F.col("cv"), F.col("v")))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    a = assigned.select(
+        "cell_id", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cell_id", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    pruned = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(VX.cosine(F.col("va"), F.col("vb")) >= COSINE_T)
+        .select("cell_id", F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    per = pruned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pruned"),
+        F.sum("vec_id").cast("bigint").alias("pruned_id_sum"),
+    )
+    return (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .join(per, "cell_id", "left")
+        .select(
+            "cell_id",
+            "n_vectors",
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("bigint").alias("n_pruned"),
+            F.coalesce(F.col("pruned_id_sum"), F.lit(0))
+            .cast("bigint")
+            .alias("pruned_id_sum"),
+        )
+        .orderBy("cell_id")
+    )
