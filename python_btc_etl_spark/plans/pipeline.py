@@ -2372,7 +2372,9 @@ CHUNK_STRIDE = 16  # tokens between chunk starts (overlap = 8)
     "codegen. The chunk_sha column is what an embedding index stores "
     "as the dedup/idempotence key. 100 TB: scan-local fan-out, "
     "output rows ~ tokens/STRIDE, no shuffle at all until the "
-    "downstream index groupBy.",
+    "downstream index groupBy. Complements udtf_chunk_documents "
+    "(the UDTF API face, fixed non-overlapping chunks): this is the "
+    "production chunker — overlap semantics, zero Python.",
 )
 def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
@@ -2409,97 +2411,3 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_sha"),
     )
     return c.orderBy("doc_id", "chunk_idx")
-
-
-# --------------------------------------------------------------------------
-# LM-familiarity quality gate (the integer perplexity-proxy filter)
-# --------------------------------------------------------------------------
-
-# CCNet/GPT-3-style cleaning ranks documents by language-model
-# perplexity and drops the tail. The production scorer is a KenLM; the
-# cross-engine-exact reduction here scores each document by the average
-# CORPUS FREQUENCY of its adjacent word bigrams (the empirical-
-# likelihood core of the perplexity rank, ln() omitted deliberately:
-# ln is not correctly-rounded IEEE in either engine, so a log-domain
-# score could flip a rounded hash bit; frequency averages rank docs
-# monotonically the same way for a fixed-length window). Scores are
-# made scale-invariant as rel = total_freq * 1e6 // (n_bigrams *
-# corpus_bigrams), so the keep threshold survives SF changes.
-LM_REL_MIN = 1130  # ~30th pct of rel at sf0.01 (min 999, median 1152)
-
-
-@query(
-    "lm_familiarity_filter",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
-    ),
-    bg AS (
-        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-        FROM t, unnest(range(1, len(w))) AS u(i)
-    ),
-    cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
-    tot AS (SELECT count(*) AS m FROM bg),
-    per AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               CAST(sum(c.c) AS BIGINT) AS familiarity_total
-        FROM bg JOIN cnt c USING (w1, w2)
-        GROUP BY doc_id
-    )
-    SELECT doc_id, n_bigrams, familiarity_total,
-           CAST((familiarity_total * 1000000)
-                // (n_bigrams * (SELECT m FROM tot)) AS BIGINT) AS rel,
-           (familiarity_total * 1000000)
-                // (n_bigrams * (SELECT m FROM tot)) >= {LM_REL_MIN} AS keep
-    FROM per
-    ORDER BY doc_id
-    """,
-    doc="LM-FAMILIARITY FILTER — the integer-exact stand-in for "
-    "perplexity filtering: score = average corpus frequency of the "
-    "document's adjacent bigrams, normalized by the corpus bigram "
-    f"total (rel, ppm), keep at rel >= {LM_REL_MIN} (~30th pct). "
-    "Bigrams come from a posexplode + doc-partitioned lead window "
-    "(codegen, no HOF); the count model is vocabulary²-bounded and "
-    "BROADCAST back onto the fact bigrams — at real vocabulary sizes "
-    "production caps the model to top-K bigrams + a default count, "
-    "keeping the broadcast bounded, exactly like the LOO target "
-    "encoder's category stats. Two partial-aggregable groupBys, fact "
-    "table shuffles once (by doc_id for the window).",
-)
-def lm_familiarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as PW
-
-    d = spread(load(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.posexplode(TX.words(F.col("text"))).alias("pos", "w1")
-    )
-    bg = (
-        toks.withColumn(
-            "w2", F.lead("w1").over(PW.partitionBy("doc_id").orderBy("pos"))
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
-    )
-    bg = managed_cache(bg)
-    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    tot = bg.agg(F.count(F.lit(1)).alias("m"))
-    per = (
-        bg.join(F.broadcast(cnt), ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum("c").cast("bigint").alias("familiarity_total"),
-        )
-    )
-    rel = F.expr("(familiarity_total * 1000000) DIV (n_bigrams * m)")
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "familiarity_total",
-            rel.cast("bigint").alias("rel"),
-            (rel >= LM_REL_MIN).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
