@@ -65,6 +65,46 @@ def _previous_timings() -> dict[str, float]:
         return {}
 
 
+def _calibrate(spark) -> float:
+    """Machine-speed canary: a FIXED JVM workload (sum over a 200M-row
+    range, no I/O, no Python) timed best-of-3. Stamped into the artifact
+    at suite start and end so cross-round totals can be normalized for
+    box speed and so EXTERNAL interference (co-tenant load this box
+    exhibits in bursts — a 1.4 s query sampled at 75 s on 2026-08-15)
+    is visible as calibration drift instead of reading as engine
+    regressions."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _data_fingerprint() -> dict | None:
+    """Corpus fingerprint for drift attribution: the testdata is
+    regenerated per round and its statistics move (round 8: documents
+    went from ~30 to ~54 words/doc, doubling every per-gram cost).
+    Recording rows + avg length makes data-driven timing drift
+    attributable from the artifacts alone."""
+    try:
+        import duckdb
+
+        row = duckdb.sql(
+            f"""SELECT (SELECT count(*) FROM '{SF_DIR}/documents.parquet'),
+                       (SELECT round(avg(n_chars), 1)
+                        FROM '{SF_DIR}/documents.parquet'),
+                       (SELECT count(*) FROM '{SF_DIR}/lineitem.parquet')"""
+        ).fetchone()
+        return {
+            "documents_rows": row[0],
+            "documents_avg_chars": row[1],
+            "lineitem_rows": row[2],
+        }
+    except Exception:  # noqa: BLE001 — fingerprint must never kill bench
+        return None
+
+
 def _cleanup(spark) -> None:
     """Reset session state between queries so each timing is
     self-contained: drop the streaming memory-sink tables (two of them
@@ -132,6 +172,8 @@ def main() -> int:
         _run(spark.read.format("synthetic_bars").option("days", "1").load())
     except Exception as exc:  # noqa: BLE001 — warm-up must never kill bench
         print(f"[bench] pyds warmup skipped: {exc}", file=sys.stderr, flush=True)
+
+    calibration_start = _calibrate(spark)
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = only.split(",") if only else list(plans.REGISTRY)
@@ -206,6 +248,7 @@ def main() -> int:
                     break
                 _cleanup(spark)
 
+    calibration_end = _calibrate(spark)
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # 1/5/15-min load averages at snapshot time: a loaded box (driver
@@ -227,6 +270,10 @@ def main() -> int:
         # main's top) so the headline property is measured on a cold box,
         # not hostage to suite-induced load (judge r6 #8).
         "speedup_order": "pre-suite",
+        # Fixed-workload machine-speed canary (seconds; smaller = faster
+        # box). Compare across rounds before comparing query totals.
+        "calibration_sec": {"start": calibration_start, "end": calibration_end},
+        "data_fingerprint": _data_fingerprint(),
     }
     if load_warning:
         detail["load_warning"] = load_warning
