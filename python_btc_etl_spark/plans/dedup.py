@@ -1209,7 +1209,13 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs_with_truncated_copies(spark, sf_dir)
     base = aug.select("doc_id", TX.words(F.col("text")).alias("w"))
     wdf = base.filter(F.size("w") >= DSR_K)
-    fp = wdf.mapInPandas(_span_gram_batches, "doc_id bigint, hs array<bigint>")
+    # Cached: the gram table feeds BOTH the keep-first attribution
+    # groupBy and the coverage join — uncached, Spark re-runs the whole
+    # fingerprint pass (and the corpus scan under it) once per consumer
+    # (plan-shape-tested in tests/test_plan_shape_r8.py).
+    fp = managed_cache(
+        wdf.mapInPandas(_span_gram_batches, "doc_id bigint, hs array<bigint>")
+    )
     grams = fp.select("doc_id", F.posexplode("hs").alias("pos", "h"))
     mind = grams.groupBy("h").agg(F.min("doc_id").alias("keep_doc"))
     removable = grams.join(mind, "h").filter(F.col("doc_id") > F.col("keep_doc"))

@@ -33,3 +33,50 @@ def test_hits_score_joins_broadcast_and_edges_shuffle_once(spark):
     # InMemoryTableScan of the cached edges must appear with no fresh
     # Exchange above it feeding the joins.
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_span_removal_corpus_never_joins_grams(spark):
+    """dedup_span_removal's doc string: fingerprints via Arrow, corpus
+    rewritten in a narrow Arrow pass. The text/words only ever meet the
+    SMALL per-doc removal-position table (doc_id-keyed join); the gram
+    index joins only hashes. No cartesian anywhere."""
+    from python_btc_etl_spark.plans.dedup import dedup_span_removal
+
+    plan = _executed_plan(dedup_span_removal(spark, SF_SMALL))
+    # Rewrite pass exactly once; the fingerprint pass is CACHED and its
+    # two consumers read InMemoryTableScans (the cached subtree's own
+    # MapInPandas prints inside each scan's description, so count the
+    # scans, not the string).
+    assert plan.count("_span_rewrite_batches") == 1, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_image_phash_blocked_join(spark):
+    """image_phash_neardup: candidates come from the band equi-join —
+    never an all-pairs comparison."""
+    from python_btc_etl_spark.plans.multimodal import image_phash_neardup
+
+    plan = _executed_plan(image_phash_neardup(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan  # the real decoder pass
+
+
+def test_bpe_dictionary_join_is_broadcast(spark):
+    """bpe_encode_token_counts: the encoded dictionary joins back
+    BROADCAST (encode cost ∝ vocabulary, corpus pays a hash probe)."""
+    from python_btc_etl_spark.plans.pipeline import bpe_encode_token_counts
+
+    plan = _executed_plan(bpe_encode_token_counts(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunking_is_joinless_fanout(spark):
+    """doc_chunking_overlap: a scan-local generate — no join anywhere;
+    the only exchanges are spread()'s round-robin and the final sort."""
+    from python_btc_etl_spark.plans.pipeline import doc_chunking_overlap
+
+    plan = _executed_plan(doc_chunking_overlap(spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
