@@ -165,22 +165,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) with the shingle arrays CACHED.
+def _shingle_hash_batches(hexd: int):
+    """Arrow worker factory: per-doc DISTINCT word-trigram sha-carved
+    hashes (hexd hex digits: 7 = the shared 28-bit hash, 15 = 60-bit).
 
-    The shingle pipeline (regex split → n-gram assembly → distinct) feeds
-    three consumers in every near-dup query (inverted index / candidate
-    verify sides); caching materializes it once. Spark's cache manager
-    keys on the analyzed plan, so all dedup queries in a session share
-    this one entry. At 100 TB the equivalent is writing the shingle
-    (or signature) table once and reusing it across dedup passes.
-    """
-    aug = docs_with_truncated_copies(spark, sf_dir)
-    w = TX.words(F.col("text"))
-    return managed_cache(
-        aug.filter(F.size(w) >= TX.SHINGLE_N)
-        .select("doc_id", TX.shingles(w).alias("sh"))
-    )
+    One batch pass replaces the transform(concat_ws(element_at...)) +
+    transform(sha2...) interpreted-HOF chain — the same pathology and
+    the same fix as _winnow_fps (~65-90 us/element interpreted; the
+    regenerated round-8 corpus doubled gram counts to ~52/doc, pushing
+    dedup_ngram_jaccard to 9 s at sf0.1). Parity with the Column forms
+    (TX.shingles + TX.shingle_hashes28): " ".join == concat_ws on
+    never-null split output, utf-8 sha256 hex prefix == conv(substring(
+    sha2)), and set-of-hashes == array_distinct(transform(distinct
+    strings)) because distinctness commutes with hashing up to hash
+    collisions, which the set form also collapses — equality-tested in
+    tests/test_shingle_parity.py."""
+
+    def gen(it):
+        import hashlib
+
+        import pandas as pd
+
+        n = TX.SHINGLE_N
+        for pdf in it:
+            out = []
+            for wl in pdf["w"]:
+                toks = list(wl)
+                gs = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                out.append(
+                    [
+                        int(
+                            hashlib.sha256(g.encode("utf-8")).hexdigest()[:hexd],
+                            16,
+                        )
+                        for g in gs
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hs": out})
+
+    return gen
 
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,11 +218,18 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     28-bit collisions perturb Jaccard by <1e-4 on ~300-shingle docs, and
     the oracle applies the identical hash, so the differential check
     stays exact. At 100 TB this is the hashed-shingle table you'd
-    materialize once and reuse across dedup passes.
+    materialize once and reuse across dedup passes. Computed in ONE
+    Arrow batch pass (see _shingle_hash_batches).
     """
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    wdf = aug.select("doc_id", TX.words(F.col("text")).alias("w")).filter(
+        F.size("w") >= TX.SHINGLE_N
+    )
     return managed_cache(
-        _shingled(spark, sf_dir)
-        .select("doc_id", F.array_distinct(TX.shingle_hashes28(F.col("sh"))).alias("hs"))
+        wdf.mapInPandas(
+            _shingle_hash_batches(TX.SHINGLE_HEX_DIGITS),
+            "doc_id bigint, hs array<bigint>",
+        )
     )
 
 
@@ -457,9 +490,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same two-stage shape as MinHash: 60-bit SHA-carved shingle hashes
     # cached once, then the 60-bit signature is a pure int64 fold.
-    hs = managed_cache(_shingled(spark, sf_dir).select(
-        "doc_id", TX.token_hashes60(F.col("sh")).alias("hs")
-    ))
+    hs = managed_cache(
+        docs_with_truncated_copies(spark, sf_dir)
+        .select("doc_id", TX.words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= TX.SHINGLE_N)
+        .mapInPandas(
+            _shingle_hash_batches(15), "doc_id bigint, hs array<bigint>"
+        )
+    )
     # cache: the chunk self-join references sim on BOTH sides — uncached,
     # the 60-bit fold would run twice.
     sim = managed_cache(hs.select("doc_id", TX.simhash_from_hashes(F.col("hs")).alias("sim")))
