@@ -276,11 +276,13 @@ SQL_HASHED_SHINGLES = f"""
     "candidates, exact set intersect/union verify, threshold 0.3. The "
     "planted 80%-prefix copies surface at jaccard ≈ 0.8. Note: the "
     "synthetic corpus shares one tiny vocabulary, so the candidate set "
-    "is genuinely dense (~1M pairs at sf0.1 — measured: positional "
-    "prefix filtering and tighter df cuts either keep ~half the "
-    "candidates or lose recall); the verify join dominates and Spark "
-    "runs it ~5x faster than DuckDB on identical semantics. On natural "
-    "text the df cut prunes orders of magnitude harder.",
+    "is genuinely dense (round-8 corpus: ~52 grams/doc, 1.17M distinct "
+    "candidate pairs at sf0.1, max shingle df 27 — the df<=50 cut and "
+    "positional prefix filtering at t=0.3 both prune little or lose "
+    "recall here); the verify join dominates and the r7->r8 timing "
+    "drift (6.5 -> ~9 s) is exactly the corpus's ~2x gram growth "
+    "(data_fingerprint in BENCH_DETAIL). On natural text the df cut "
+    "prunes orders of magnitude harder.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _hashed_shingles(spark, sf_dir)
@@ -1462,4 +1464,136 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pruned_id_sum"),
         )
         .orderBy("cell_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# 13. Incremental batch-vs-corpus near-dup (the daily production face)
+# --------------------------------------------------------------------------
+
+# Every full-corpus detector above answers "which pairs duplicate each
+# other"; production mostly asks the INCREMENTAL question: a small new
+# batch arrives daily — which of its documents near-duplicate the
+# EXISTING corpus? The asymmetric shape changes everything at 100 TB:
+# the corpus's hashed-shingle index is materialized once and reused
+# across days (here: the same cached _hashed_shingles table every
+# full-corpus query shares), while the batch side is small enough to
+# BROADCAST — so the daily job never shuffles the corpus at all, the
+# same asymmetry decontam_embedding_knn exploits for its benchmark
+# side. Batch membership is deterministic (doc_id % INC_EVERY == 7).
+INC_EVERY = 10  # docs with doc_id % 10 == 7 form the "new batch"
+INC_T_NUM, INC_T_DEN = 3, 10  # report batch docs with jaccard >= 0.3
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    h AS ({SQL_HASHED_SHINGLES}),
+    batch  AS (SELECT * FROM h WHERE doc_id % {INC_EVERY} = 7),
+    corpus AS (SELECT * FROM h WHERE doc_id % {INC_EVERY} <> 7),
+    binv AS (SELECT doc_id AS batch_id, hs AS hs_b, unnest(hs) AS s FROM batch),
+    cinv AS (SELECT doc_id AS corpus_id, hs AS hs_c, unnest(hs) AS s FROM corpus),
+    cand AS (
+        SELECT DISTINCT batch_id, corpus_id, hs_b, hs_c
+        FROM binv JOIN cinv USING (s)
+    ),
+    scored AS (
+        SELECT batch_id, corpus_id,
+               len(list_intersect(hs_b, hs_c)) AS shared,
+               len(hs_b) AS nb, len(hs_c) AS nc
+        FROM cand
+    ),
+    hits AS (
+        SELECT batch_id, corpus_id, shared, nb, nc
+        FROM scored
+        WHERE shared * {INC_T_DEN} >= (nb + nc - shared) * {INC_T_NUM}
+    ),
+    best AS (
+        SELECT batch_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(corpus_id) AS BIGINT) AS first_match,
+               CAST(max(shared * 1000000 // (nb + nc - shared)) AS BIGINT)
+                   AS best_jaccard_ppm
+        FROM hits GROUP BY batch_id
+    )
+    SELECT b.doc_id AS batch_id,
+           coalesce(x.n_matches, 0) AS n_matches,
+           CAST(coalesce(x.first_match, -1) AS BIGINT) AS first_match,
+           CAST(coalesce(x.best_jaccard_ppm, 0) AS BIGINT) AS best_jaccard_ppm,
+           x.n_matches IS NOT NULL AS is_dup
+    FROM batch b LEFT JOIN best x ON x.batch_id = b.doc_id
+    ORDER BY batch_id
+    """,
+    doc="INCREMENTAL batch-vs-corpus near-dup — the daily-ingest "
+    "question production dedup actually answers: which NEW documents "
+    "near-duplicate the existing corpus (jaccard >= 0.3, "
+    "cross-multiplied integers; best match reported in exact ppm)? "
+    "Asymmetric plan: the corpus's hashed-shingle index is the SAME "
+    "cached table every full-corpus detector reuses (materialize-once "
+    "discipline), and the small batch side is broadcast into the "
+    "shingle equi-join — the corpus never shuffles, the shape "
+    "decontam_embedding_knn uses for its benchmark side. Per-batch-doc "
+    "verdict rows (match count, first match, best score, is_dup flag) "
+    "keep output bounded by batch size.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hashed_shingles(spark, sf_dir)
+    batch = h.filter(F.col("doc_id") % INC_EVERY == 7)
+    corpus = h.filter(F.col("doc_id") % INC_EVERY != 7)
+    binv = batch.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("hs").alias("hs_b"),
+        F.explode("hs").alias("s"),
+    )
+    cinv = corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("hs").alias("hs_c"),
+        F.explode("hs").alias("s"),
+    )
+    cand = (
+        F.broadcast(binv)
+        .join(cinv, "s")
+        .select("batch_id", "corpus_id", "hs_b", "hs_c")
+        .distinct()
+    )
+    shared = F.size(F.array_intersect("hs_b", "hs_c"))
+    nb, nc = F.size("hs_b"), F.size("hs_c")
+    hits = cand.select(
+        "batch_id",
+        "corpus_id",
+        shared.alias("shared"),
+        nb.alias("nb"),
+        nc.alias("nc"),
+    ).filter(
+        F.col("shared") * INC_T_DEN
+        >= (F.col("nb") + F.col("nc") - F.col("shared")) * INC_T_NUM
+    )
+    best = hits.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("corpus_id").cast("bigint").alias("first_match"),
+        F.max(
+            F.expr("shared * 1000000 DIV (nb + nc - shared)")
+        ).cast("bigint").alias("best_jaccard_ppm"),
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col("first_match"), F.lit(-1))
+            .cast("bigint")
+            .alias("first_match"),
+            F.coalesce(F.col("best_jaccard_ppm"), F.lit(0))
+            .cast("bigint")
+            .alias("best_jaccard_ppm"),
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+        .orderBy("batch_id")
     )
