@@ -1048,6 +1048,7 @@ def _funnel_stats_batches(it):
                 "doc_id": pdf["doc_id"],
                 "lang": pdf["lang"],
                 "ltext": pdf["ltext"],
+                "w": pdf["w"],  # passthrough: e2e_corpus_build_v2 needs it
                 "n_words": n_words,
                 "n_grams": n_grams,
                 "n_distinct": n_distinct,
@@ -1149,9 +1150,9 @@ def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = base_cols.mapInPandas(
         _funnel_stats_batches,
-        "doc_id bigint, lang string, ltext string, n_words bigint, "
-        "n_grams bigint, n_distinct bigint, score bigint",
-    )
+        "doc_id bigint, lang string, ltext string, w array<string>, "
+        "n_words bigint, n_grams bigint, n_distinct bigint, score bigint",
+    ).drop("w")
     keeper = F.min("doc_id").over(PW.partitionBy(F.md5(F.col("ltext").cast("binary"))))
     s1 = F.col("n_words") >= FUNNEL_MIN_WORDS
     s2 = s1 & F.col("lang").isin(*FUNNEL_LANGS)
@@ -2164,16 +2165,22 @@ def _bpe_sql_m_cte() -> str:
     )"""
 
 
-def _bpe_sql_enc_cte() -> str:
-    """DuckDB CTE: enc(word, n_bpe) — the encoded dictionary. The
-    nested replace chain applies merges rank 1..BPE_TOP; chr(1)
-    sentinels make absent ranks no-ops."""
+def _bpe_sql_enc_expr() -> str:
+    """DuckDB expression: the nested replace chain applying merges rank
+    1..BPE_TOP from CTE m(pat, rep, rnk); chr(1) sentinels make absent
+    ranks no-ops."""
     expr = "regexp_replace(word, '(.)', '|\\1|', 'g')"
     for k in range(1, BPE_TOP + 1):
         expr = (
             f"replace({expr}, coalesce((SELECT pat FROM m WHERE rnk = {k}), chr(1)),"
             f" coalesce((SELECT rep FROM m WHERE rnk = {k}), chr(1)))"
         )
+    return expr
+
+
+def _bpe_sql_enc_cte() -> str:
+    """DuckDB CTE: enc(word, n_bpe) — the encoded dictionary."""
+    expr = _bpe_sql_enc_expr()
     return f"""
     vocab AS (SELECT DISTINCT word FROM allw),
     enc AS (
@@ -2411,3 +2418,266 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_sha"),
     )
     return c.orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# e2e corpus build v2: the round-8 stages composed into ONE plan
+# --------------------------------------------------------------------------
+
+# e2e_corpus_build chains the classic gates; this twin chains the
+# ROUND-8 operators end-to-end, exactly as a production cleaning DAG
+# would run them: five-stage funnel (length -> language -> repetition
+# -> exact-dedup -> quality-classifier) -> duplicate-SPAN removal
+# within the kept corpus (Lee et al. rewrite, 8-token grams, 60-bit
+# hashes, keep-first) -> BPE merge table TRAINED ON THE SURVIVORS ->
+# encode the survivors and count real tokens -> deterministic md5
+# split -> per-split report (docs, surviving word tokens, removed
+# tokens, real BPE tokens, full context windows). Every stage reuses
+# its standalone query's exact constants, helpers and hash carves, so
+# the composed differential also cross-checks stage INTERACTIONS
+# (e.g. the merge ranking genuinely shifts when span removal drops
+# prefix-duplicated text first).
+
+
+@query(
+    "e2e_corpus_build_v2",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, lower(text) AS ltext, {TX.sql_words('text')} AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT *,
+               len({TX.sql_grams_all('w')}) AS n_grams,
+               len(list_distinct({TX.sql_grams_all('w')})) AS n_distinct
+        FROM w
+    ),
+    qc AS (
+        SELECT doc_id,
+               {QC_BIAS} + sum({_qc_weight_sql(f"{TX.sql_hash28('tok')} % {FH_DIM}")})
+                   AS score
+        FROM (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM w)
+        GROUP BY doc_id
+    ),
+    canon AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(ltext)) AS keeper FROM g
+    ),
+    kept AS (
+        SELECT g.doc_id, g.lang, g.w, len(g.w) AS n_tok
+        FROM g
+        JOIN canon c ON c.doc_id = g.doc_id
+        LEFT JOIN qc q ON q.doc_id = g.doc_id
+        WHERE len(g.w) >= {FUNNEL_MIN_WORDS}
+          AND g.lang IN {FUNNEL_LANGS!r}
+          AND (g.n_grams - g.n_distinct) * {FUNNEL_REP_DEN}
+                  <= g.n_grams * {FUNNEL_REP_NUM}
+          AND c.keeper = g.doc_id
+          AND coalesce(q.score, {QC_BIAS}) >= {QC_KEEP_MIN}
+    ),
+    sg AS (
+        SELECT doc_id, i - 1 AS pos,
+               ('0x' || substr(sha256(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        FROM kept, unnest(range(1, len(w) - 8 + 2)) AS u(i)
+        WHERE len(w) >= 8
+    ),
+    md AS (SELECT h, min(doc_id) AS keep_doc FROM sg GROUP BY h),
+    cov AS (
+        SELECT DISTINCT sg.doc_id, p.tpos
+        FROM sg JOIN md USING (h),
+             unnest(range(sg.pos, sg.pos + 8)) AS p(tpos)
+        WHERE sg.doc_id > md.keep_doc
+    ),
+    e AS (
+        SELECT doc_id, i - 1 AS tpos, w[i] AS word
+        FROM kept, unnest(range(1, len(w) + 1)) AS u(i)
+    ),
+    surv AS (
+        SELECT e.doc_id, e.word
+        FROM e LEFT JOIN cov c ON c.doc_id = e.doc_id AND c.tpos = e.tpos
+        WHERE c.doc_id IS NULL
+    ),
+    m AS (
+        SELECT '|' || c1 || '||' || c2 || '|' AS pat,
+               '|' || c1 || c2 || '|'         AS rep,
+               row_number() OVER (ORDER BY n DESC, c1, c2) AS rnk
+        FROM (
+            SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2,
+                   count(*) AS n
+            FROM surv, unnest(range(1, length(word))) AS t(i)
+            WHERE length(word) >= 2
+            GROUP BY c1, c2
+        )
+        QUALIFY rnk <= {BPE_TOP}
+    ),
+    vocab AS (SELECT DISTINCT word FROM surv),
+    enc AS (
+        SELECT word,
+               (length(sym) - length(replace(sym, '|', ''))) // 2 AS n_bpe
+        FROM (SELECT word, {_bpe_sql_enc_expr()} AS sym FROM vocab)
+    ),
+    perdoc AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_after,
+               CAST(sum(e2.n_bpe) AS BIGINT) AS n_bpe
+        FROM surv s JOIN enc e2 ON e2.word = s.word
+        GROUP BY s.doc_id
+    ),
+    tagged AS (
+        SELECT k.doc_id, k.lang, k.n_tok,
+               coalesce(p.n_after, 0) AS n_after,
+               coalesce(p.n_bpe, 0) AS n_bpe,
+               CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1)
+                        IN {SPLIT_TRAIN!r} THEN 'train'
+                    WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1)
+                        IN {SPLIT_VAL!r} THEN 'val'
+                    ELSE 'test'
+               END AS split
+        FROM kept k LEFT JOIN perdoc p ON p.doc_id = k.doc_id
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)                  AS n_docs,
+           CAST(sum(n_after) AS BIGINT)              AS n_tokens,
+           CAST(sum(n_tok - n_after) AS BIGINT)      AS tokens_removed,
+           CAST(sum(n_bpe) AS BIGINT)                AS n_bpe_tokens,
+           CAST(sum(n_bpe) // {CTX_TOKENS} AS BIGINT) AS n_ctx_windows,
+           count(DISTINCT lang)                      AS n_langs
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="The ROUND-8 pipeline composed END-TO-END in one plan: "
+    "five-stage cleaning funnel (incl. the quality-classifier gate) → "
+    "duplicate-span removal within the kept corpus → BPE merges "
+    "trained on the SURVIVORS → encode survivors, count real tokens → "
+    "md5 split → per-split report (docs, surviving/removed word "
+    "tokens, real BPE tokens, 512-token context windows). Each stage "
+    "reuses its standalone query's constants, Arrow workers and hash "
+    "carves, so the differential also locks stage INTERACTIONS (the "
+    "merge ranking genuinely shifts when span removal rewrites the "
+    "text first). One documents scan feeds everything; the only wide "
+    "ops are the stages' own (content-hash window, gram-hash "
+    "attribution shuffle, doc-keyed re-aggregations); the merge table "
+    "is a bounded 10-row collect and the dictionary joins broadcast.",
+)
+def e2e_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    from .dedup import DSR_K, _span_gram_batches
+
+    d = spread(load(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", "lang", F.lower("text").alias("ltext"),
+        TX.words(F.col("text")).alias("w"),
+    )
+    g = base.mapInPandas(
+        _funnel_stats_batches,
+        "doc_id bigint, lang string, ltext string, w array<string>, "
+        "n_words bigint, n_grams bigint, n_distinct bigint, score bigint",
+    )
+    keeper = F.min("doc_id").over(PW.partitionBy(F.md5(F.col("ltext").cast("binary"))))
+    kept = managed_cache(
+        g.withColumn("keeper", keeper)
+        .filter(
+            (F.col("n_words") >= FUNNEL_MIN_WORDS)
+            & F.col("lang").isin(*FUNNEL_LANGS)
+            & (
+                (F.col("n_grams") - F.col("n_distinct")) * FUNNEL_REP_DEN
+                <= F.col("n_grams") * FUNNEL_REP_NUM
+            )
+            & (F.col("keeper") == F.col("doc_id"))
+            & (F.col("score") >= QC_KEEP_MIN)
+        )
+        .select("doc_id", "lang", "w", F.col("n_words").alias("n_tok"))
+    )
+    fp = managed_cache(
+        kept.filter(F.size("w") >= DSR_K)
+        .select("doc_id", "w")
+        .mapInPandas(_span_gram_batches, "doc_id bigint, hs array<bigint>")
+    )
+    grams = fp.select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    mind = grams.groupBy("h").agg(F.min("doc_id").alias("keep_doc"))
+    cov = (
+        grams.join(mind, "h")
+        .filter(F.col("doc_id") > F.col("keep_doc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(DSR_K - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    e = kept.select("doc_id", F.posexplode("w").alias("tpos", "word"))
+    surv = managed_cache(
+        e.join(cov, ["doc_id", "tpos"], "left_anti").select("doc_id", "word")
+    )
+    # BPE merges trained on the SURVIVORS (bounded 10-row collect).
+    pairs = (
+        surv.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .select(
+            F.substring("pair", 1, 1).alias("c1"),
+            F.substring("pair", 2, 1).alias("c2"),
+        )
+    )
+    merges = [
+        (r["c1"], r["c2"])
+        for r in pairs.groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "c1", "c2")
+        .limit(BPE_TOP)
+        .collect()
+    ]
+    sym = _bpe_encode_col(F.col("word"))
+    for c1, c2 in merges:
+        sym = F.replace(sym, F.lit(f"|{c1}||{c2}|"), F.lit(f"|{c1}{c2}|"))
+    enc = surv.select("word").distinct().select(
+        "word",
+        ((F.length(sym) - F.length(F.replace(sym, F.lit("|"), F.lit("")))) / 2)
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+    perdoc = (
+        surv.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe"),
+        )
+    )
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(first_hex.isin(*SPLIT_TRAIN), "train")
+        .when(first_hex.isin(*SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+    tagged = (
+        kept.join(perdoc, "doc_id", "left")
+        .select(
+            split.alias("split"),
+            "lang",
+            "n_tok",
+            F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+            F.coalesce(F.col("n_bpe"), F.lit(0)).alias("n_bpe"),
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_after").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_tok") - F.col("n_after"))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+            F.expr(f"sum(n_bpe) DIV {CTX_TOKENS}").alias("n_ctx_windows"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
