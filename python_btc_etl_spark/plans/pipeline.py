@@ -2681,3 +2681,106 @@ def e2e_corpus_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus data card (the per-source summary a dataset ships with)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_datacard_report",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, lang, {TX.sql_words('text')} AS w
+        FROM documents
+    ),
+    qc AS (
+        SELECT doc_id,
+               {QC_BIAS} + sum({_qc_weight_sql(f"{TX.sql_hash28('tok')} % {FH_DIM}")})
+                   AS score
+        FROM (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM w)
+        GROUP BY doc_id
+    ),
+    dup AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(array_to_string(w, ' ')))
+                   AS keeper
+        FROM w
+    )
+    SELECT w.source,
+           CAST(count(*) AS BIGINT)                      AS n_docs,
+           CAST(sum(len(w.w)) AS BIGINT)                 AS n_tokens,
+           CAST(min(len(w.w)) AS BIGINT)                 AS min_tokens,
+           CAST(max(len(w.w)) AS BIGINT)                 AS max_tokens,
+           count(DISTINCT w.lang)                        AS n_langs,
+           CAST(sum(q.score) AS BIGINT)                  AS quality_score_sum,
+           CAST(count(CASE WHEN q.score >= {QC_KEEP_MIN} THEN 1 END) AS BIGINT)
+               AS n_quality_keep,
+           CAST(count(CASE WHEN d.keeper <> w.doc_id THEN 1 END) AS BIGINT)
+               AS n_exact_dups
+    FROM w
+    JOIN qc q ON q.doc_id = w.doc_id
+    JOIN dup d ON d.doc_id = w.doc_id
+    GROUP BY w.source
+    ORDER BY w.source
+    """,
+    doc="CORPUS DATA CARD — the per-source summary table a published "
+    "dataset ships with (Datasheets for Datasets / HF dataset cards): "
+    "document and token counts, length range, language coverage, the "
+    "quality-classifier keep rate (same closed-form scorer as "
+    "quality_classifier_scores, integer score sum so no float policy) "
+    "and the exact-duplicate count (content-hash keep-first, the "
+    "dedup_exact discipline). ONE documents scan feeds a doc-keyed "
+    "score aggregation, one content-hash window and one bounded "
+    "|sources|-row rollup. The provenance-accounting artifact every "
+    "corpus release needs.",
+)
+def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    w = d.select("doc_id", "source", "lang", TX.words(F.col("text")).alias("w"))
+    qc = (
+        w.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.col("w"))).alias("tok"),
+        )
+        .select("doc_id", (TX.hash28(F.col("tok")) % FH_DIM).alias("bucket"))
+        .groupBy("doc_id")
+        .agg(
+            (F.lit(QC_BIAS) + F.sum((F.col("bucket") * 37 + 11) % 21 - 10)).alias(
+                "score"
+            )
+        )
+    )
+    keeper = F.min("doc_id").over(
+        PW.partitionBy(F.md5(F.array_join(F.col("w"), " ").cast("binary")))
+    )
+    base = (
+        w.withColumn("keeper", keeper)
+        .join(qc, "doc_id")
+        .select(
+            "source",
+            "lang",
+            F.size("w").alias("n_tok"),
+            "score",
+            (F.col("keeper") != F.col("doc_id")).alias("is_dup"),
+        )
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("score").cast("bigint").alias("quality_score_sum"),
+            F.count(F.when(F.col("score") >= QC_KEEP_MIN, 1))
+            .cast("bigint")
+            .alias("n_quality_keep"),
+            F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )
