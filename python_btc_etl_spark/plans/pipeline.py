@@ -2784,3 +2784,55 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH {_bpe_sql_m_cte()},
+    {_bpe_sql_enc_cte()},
+    w AS (SELECT lang, unnest({TX.sql_words('text')}) AS word FROM documents)
+    SELECT w.lang,
+           CAST(count(*) AS BIGINT)            AS n_words,
+           CAST(sum(e.n_bpe) AS BIGINT)        AS n_bpe_tokens,
+           CAST(sum(e.n_bpe) * 1000000 // count(*) AS BIGINT)
+               AS fertility_ppm
+    FROM w JOIN enc e ON e.word = w.word
+    GROUP BY w.lang
+    ORDER BY w.lang
+    """,
+    doc="TOKENIZER FERTILITY by language — the standard multilingual "
+    "tokenizer-evaluation metric (tokens emitted per word; high "
+    "fertility = a language the merge table underserves, the signal "
+    "that drives vocabulary rebalancing in multilingual tokenizer "
+    "training). Reuses the BPE encode pass's merge table and "
+    "dictionary trick (encode ∝ vocabulary, broadcast join-back); "
+    "fertility reported in exact integer ppm so no float policy. "
+    "Bounded |languages|-row output from one partial-aggregable "
+    "rollup.",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_merges(spark, sf_dir)
+    d = spread(load(spark, sf_dir, "documents"))
+    w = d.select("lang", F.explode(TX.words(F.col("text"))).alias("word"))
+    sym = _bpe_encode_col(F.col("word"))
+    for c1, c2 in merges:
+        sym = F.replace(sym, F.lit(f"|{c1}||{c2}|"), F.lit(f"|{c1}{c2}|"))
+    enc = w.select("word").distinct().select(
+        "word",
+        ((F.length(sym) - F.length(F.replace(sym, F.lit("|"), F.lit("")))) / 2)
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+    return (
+        w.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+            F.expr("sum(n_bpe) * 1000000 DIV count(*)")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
