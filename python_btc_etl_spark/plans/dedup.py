@@ -728,7 +728,9 @@ CONTAIN_T = 0.9  # containment threshold: near-subset duplication
     "index candidate generation, same broadcast verify join — one "
     "extra metric for free off the materialized signature table, "
     "which is exactly how a 100 TB dedup pass amortizes: hash once, "
-    "score many ways.",
+    "score many ways. Timing tracks the Jaccard pass's dense-candidate "
+    "note (r7->r8 drift 3.6 -> ~5.4 s = the corpus's ~2x gram growth, "
+    "see dedup_ngram_jaccard).",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _hashed_shingles(spark, sf_dir)
