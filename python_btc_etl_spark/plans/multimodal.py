@@ -671,7 +671,12 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
 # data-dependent threshold.
 #
 # Deterministic corpus: group g = doc_id//4 defines a conceptual 8x8
-# raster v(g,i) = (g*37 + i*11) % 256; variant t = doc_id%4 inverts the
+# raster v(g,i) = (g*37 + i*11 + (g%13)*(i%7)*5) % 256 — the (g%13)-
+# keyed cross term gives each group a differently SHAPED bit pattern,
+# not just a shifted one (a purely linear g*37 pattern made groups at
+# certain Δg near-identical, which transitively chained the whole
+# corpus into ONE cluster in the apply face); variant t = doc_id%4
+# inverts the
 # first t values (255-v, which always crosses the 128 midpoint, so
 # variant t flips exactly hash bits 0..t-1). Each pixel is duplicated
 # 2x2 into a 16x16 P5 netpbm payload, decoded by the real decoder and
@@ -699,7 +704,7 @@ def _phash_batches(batches):
             d = int(d)
             g, t = d // 4, d % 4
             idx = np.arange(64, dtype=np.int64)
-            base = (g * 37 + idx * 11) % 256
+            base = (g * 37 + idx * 11 + (g % 13) * (idx % 7) * 5) % 256
             val = np.where(idx < t, 255 - base, base).astype(np.uint8)
             big = val.reshape(8, 8).repeat(2, axis=0).repeat(2, axis=1)
             payload = b"P5\n16 16\n255\n" + big.tobytes()
@@ -716,8 +721,8 @@ def _phash_batches(batches):
     WITH v AS (
         SELECT doc_id,
                CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
-                         THEN 255 - ((doc_id // 4) * 37 + i * 11) % 256
-                         ELSE ((doc_id // 4) * 37 + i * 11) % 256 END) >= 128
+                         THEN 255 - ((doc_id // 4) * 37 + i * 11 + ((doc_id // 4) % 13) * (i % 7) * 5) % 256
+                         ELSE ((doc_id // 4) * 37 + i * 11 + ((doc_id // 4) % 13) * (i % 7) * 5) % 256 END) >= 128
                     THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
         FROM documents, unnest(range(0, {PH_BITS})) AS u(i)
         GROUP BY doc_id
@@ -753,7 +758,9 @@ def _phash_batches(batches):
     "(payloads never shuffle); only 8-byte hashes enter the "
     "bounded-bucket join.",
 )
-def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming): verified near-dup image pairs — the
+    shared detection leg of image_phash_neardup and image_dedup_apply."""
     d = spread(load(spark, sf_dir, "documents")).select("doc_id")
     ph = d.mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
     bands = ph.select(
@@ -790,5 +797,84 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= PH_HD_MAX)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _phash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "image_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - ((doc_id // 4) * 37 + i * 11 + ((doc_id // 4) % 13) * (i % 7) * 5) % 256
+                         ELSE ((doc_id // 4) * 37 + i * 11 + ((doc_id // 4) % 13) * (i % 7) * 5) % 256 END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+        FROM documents, unnest(range(0, {PH_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, phash, j,
+               (phash >> (CAST({PH_BAND_BITS} AS INTEGER) * j)) & {2**PH_BAND_BITS - 1} AS band
+        FROM v, unnest(range(0, {PH_BANDS})) AS b(j)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a
+        JOIN bands b ON a.j = b.j AND a.band = b.band
+                     AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PH_HD_MAX}
+    ),
+    sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS canonical_doc FROM reach GROUP BY a),
+    sizes AS (
+        SELECT canonical_doc, CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY canonical_doc
+    )
+    SELECT c.doc_id AS dropped_doc, c.canonical_doc, s.n_members
+    FROM comp c JOIN sizes s USING (canonical_doc)
+    WHERE c.doc_id <> c.canonical_doc
+    ORDER BY dropped_doc
+    """,
+    doc="IMAGE DEDUP — the APPLY face: perceptual-hash near-dup pairs "
+    "(the exact edge set image_phash_neardup reports) closed into "
+    "clusters via alternating large-star/small-star connected "
+    "components (O(log²n) rounds INDEPENDENT of diameter — the phash "
+    "corpus chains clusters through ±7-group near-identical rasters, "
+    "so min-label propagation would need O(chain) rounds), then "
+    "min-id canonical election per cluster. Emits the dropped→"
+    "canonical replacement list (+cluster size) a cleaning job "
+    "anti-joins against the image corpus — the same "
+    "detect→closure→elect composition as dedup_apply_canonical / "
+    "entity_resolution_customers, on the multimodal column. Oracle: "
+    "DuckDB recursive-CTE closure over the identical edge set.",
+)
+def image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import cc_large_small_star
+
+    pairs = _phash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    labels, _ = cc_large_small_star(nodes, pairs)
+    sizes = labels.groupBy(F.col("component_id").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        labels.filter(F.col("doc_id") != F.col("component_id"))
+        .select(
+            F.col("doc_id").alias("dropped_doc"),
+            F.col("component_id").alias("canonical_doc"),
+        )
+        .join(sizes, "canonical_doc")
+        .select("dropped_doc", "canonical_doc", "n_members")
+        .orderBy("dropped_doc")
     )
