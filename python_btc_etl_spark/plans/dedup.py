@@ -165,21 +165,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _shingle_hash_batches(hexd: int):
-    """Arrow worker factory: per-doc DISTINCT word-trigram sha-carved
-    hashes (hexd hex digits: 7 = the shared 28-bit hash, 15 = 60-bit).
+def _shingle_hash_batches(hexd: int, dedup_hashes: bool):
+    """Arrow worker factory: per-doc word-trigram sha-carved hashes
+    (hexd hex digits: 7 = the shared 28-bit hash, 15 = 60-bit), built
+    from the set of DISTINCT trigram strings.
 
     One batch pass replaces the transform(concat_ws(element_at...)) +
     transform(sha2...) interpreted-HOF chain — the same pathology and
     the same fix as _winnow_fps (~65-90 us/element interpreted; the
     regenerated round-8 corpus doubled gram counts to ~52/doc, pushing
     dedup_ngram_jaccard to 9 s at sf0.1). Parity with the Column forms
-    (TX.shingles + TX.shingle_hashes28): " ".join == concat_ws on
-    never-null split output, utf-8 sha256 hex prefix == conv(substring(
-    sha2)), and set-of-hashes == array_distinct(transform(distinct
-    strings)) because distinctness commutes with hashing up to hash
-    collisions, which the set form also collapses — equality-tested in
-    tests/test_shingle_parity.py."""
+    (" ".join == concat_ws on never-null split output, utf-8 sha256 hex
+    prefix == conv(substring(sha2))) is equality-tested in
+    tests/test_shingle_parity.py on sorted lists (multiset equality,
+    not just set equality).
+
+    ``dedup_hashes`` pins which side of a POST-hash dedup the consumer's
+    oracle sits on — distinct strings alone do NOT imply distinct
+    hashes: a within-doc hexd-bit collision between distinct trigrams
+    (~C(grams,2)/2^28 per doc on the 28-bit path) leaves a duplicate
+    hash that only a post-hash dedup collapses.
+
+    * True  (28-bit `_hashed_shingles` path): matches the oracle's
+      ``list_distinct(list_transform(sh, hash28))`` — dedup AFTER
+      hashing, so collisions collapse identically on both engines.
+      Output sorted for cross-run determinism (every consumer —
+      F.size / explode / array_intersect|union / array_min — is
+      order-insensitive).
+    * False (60-bit simhash path): matches ``sql_simhash``'s sum over
+      ``list_distinct(strings)`` hashed — a colliding pair contributes
+      TWICE to the ±1 fold on both engines, so the multiset must keep
+      the duplicate."""
 
     def gen(it):
         import hashlib
@@ -195,15 +211,14 @@ def _shingle_hash_batches(hexd: int):
                     " ".join(toks[i : i + n])
                     for i in range(len(toks) - n + 1)
                 }
-                out.append(
-                    [
-                        int(
-                            hashlib.sha256(g.encode("utf-8")).hexdigest()[:hexd],
-                            16,
-                        )
-                        for g in gs
-                    ]
-                )
+                hs = [
+                    int(
+                        hashlib.sha256(g.encode("utf-8")).hexdigest()[:hexd],
+                        16,
+                    )
+                    for g in gs
+                ]
+                out.append(sorted(set(hs)) if dedup_hashes else hs)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "hs": out})
 
     return gen
@@ -227,7 +242,7 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return managed_cache(
         wdf.mapInPandas(
-            _shingle_hash_batches(TX.SHINGLE_HEX_DIGITS),
+            _shingle_hash_batches(TX.SHINGLE_HEX_DIGITS, dedup_hashes=True),
             "doc_id bigint, hs array<bigint>",
         )
     )
@@ -497,7 +512,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", TX.words(F.col("text")).alias("w"))
         .filter(F.size("w") >= TX.SHINGLE_N)
         .mapInPandas(
-            _shingle_hash_batches(15), "doc_id bigint, hs array<bigint>"
+            _shingle_hash_batches(15, dedup_hashes=False),
+            "doc_id bigint, hs array<bigint>",
         )
     )
     # cache: the chunk self-join references sim on BOTH sides — uncached,
@@ -1285,9 +1301,15 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # setting mixing weights — CommonCrawl snapshots, mirrored sites and
 # re-crawls duplicate each other, and double-counted content silently
 # doubles a source's effective weight. Planted like the dedup corpora:
-# every SOM_EVERY-th doc gains an exact copy attributed to a DIFFERENT
-# source (src{doc_id % 3}), so the matrix has known hot cells.
-SOM_EVERY = 10  # originals come from src0 AND src10 (doc_id % 20)
+# every SOM_EVERY-th doc gains an exact copy attributed to source
+# src{(doc_id // SOM_EVERY) % 7}, so the matrix has known hot cells.
+# CAVEAT: that planted source is NOT guaranteed different from the
+# original's `source` value — when the two coincide the pair is a
+# within-source duplicate, and the source_a < source_b predicate below
+# excludes it BY DESIGN on both engines (the matrix audits CROSS-source
+# overlap; within-source duplication is dedup_exact's job), so the
+# differential stays exact either way.
+SOM_EVERY = 10  # every 10th doc (doc_id % SOM_EVERY == 0) gains a copy
 SOM_OFFSET = 4_000_000
 
 

@@ -2064,7 +2064,7 @@ def string_indexer_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_hashing_stats — the featurizer and the scorer share one "
     "definition, as train/serve skew demands). Weights are a "
     "closed-form integer function so the cross-engine differential is "
-    "exact; the keep/drop gate at score >= 1 feeds "
+    f"exact; the keep/drop gate at score >= {QC_KEEP_MIN} feeds "
     "cleaning_funnel_report's stage 5. 100 TB: inference is one "
     "explode + partial-aggregable integer sum — scan-local compute, "
     "no model table to shuffle (a real weight vector broadcasts a few "
@@ -2438,6 +2438,8 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. the merge ranking genuinely shifts when span removal drops
 # prefix-duplicated text first).
 
+from .dedup import DSR_K as _DSR_K  # noqa: E402  (oracle interpolates the shared constant)
+
 
 @query(
     "e2e_corpus_build_v2",
@@ -2476,15 +2478,15 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sg AS (
         SELECT doc_id, i - 1 AS pos,
-               ('0x' || substr(sha256(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS h
-        FROM kept, unnest(range(1, len(w) - 8 + 2)) AS u(i)
-        WHERE len(w) >= 8
+               {TX.sql_hash60(f"array_to_string(w[i:i+{_DSR_K}-1], ' ')")} AS h
+        FROM kept, unnest(range(1, len(w) - {_DSR_K} + 2)) AS u(i)
+        WHERE len(w) >= {_DSR_K}
     ),
     md AS (SELECT h, min(doc_id) AS keep_doc FROM sg GROUP BY h),
     cov AS (
         SELECT DISTINCT sg.doc_id, p.tpos
         FROM sg JOIN md USING (h),
-             unnest(range(sg.pos, sg.pos + 8)) AS p(tpos)
+             unnest(range(sg.pos, sg.pos + {_DSR_K})) AS p(tpos)
         WHERE sg.doc_id > md.keep_doc
     ),
     e AS (
