@@ -1,0 +1,94 @@
+"""Round-9 plan-shape pins.
+
+1. Iterative BPE trainer (plans/pipeline.py): the loop's contract is
+   "corpus scanned once, dictionary per round" — every per-round pair
+   count must read the CACHED dictionary (InMemoryTableScan), never the
+   documents parquet again, and the encode's dictionary join back to
+   the corpus must be broadcast.
+2. Non-degeneracy: the iterative table must genuinely diverge from the
+   one-shot first-round ranking (a multi-char merge exists), and the
+   recount must pay off on the corpus totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bpe_iter_round_reads_cached_dictionary(spark):
+    from python_btc_etl_spark.catalog import load, managed_cache, spread
+    from python_btc_etl_spark.functions import text as TX
+    from python_btc_etl_spark.plans.pipeline import _bpe_iter_pairs
+
+    d = spread(load(spark, SF_SMALL, "documents"))
+    dic = managed_cache(
+        d.select(F.explode(TX.words(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dic.count()  # populate the cache, as the trainer's first round does
+    from python_btc_etl_spark.plans.pipeline import _bpe_encode_col
+
+    round_plan = _executed_plan(
+        dic.select(
+            F.col("cnt"),
+            F.explode(_bpe_iter_pairs(_bpe_encode_col(F.col("word")))).alias("p"),
+        )
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), "s1", "s2")
+        .limit(1)
+    )
+    assert "InMemoryTableScan" in round_plan, round_plan
+    # The argmax is a TakeOrderedAndProject over the tiny pair keyspace,
+    # and the pair count partially aggregates map-side.
+    assert "TakeOrderedAndProject" in round_plan, round_plan
+
+
+def test_bpe_iter_encode_joins_broadcast(spark):
+    from python_btc_etl_spark.plans.pipeline import bpe_iterative_encode_counts
+
+    plan = _executed_plan(bpe_iterative_encode_counts(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_iter_merges_diverge_from_first_round(spark):
+    from python_btc_etl_spark.plans.pipeline import (
+        BPE_ITER_ROUNDS,
+        _bpe_iter_merges,
+        _bpe_merges,
+    )
+
+    it = _bpe_iter_merges(spark, SF_SMALL)
+    first = _bpe_merges(spark, SF_SMALL)
+    assert len(it) == BPE_ITER_ROUNDS
+    # Round 1 of the loop IS the first-round argmax.
+    assert (it[0][0], it[0][1]) == first[0]
+    # From rank 2 on, the recount sees post-merge statistics: at least
+    # one winning pair involves a multi-char (already-merged) symbol,
+    # which the one-shot character-pair ranking can never contain.
+    assert any(len(s1) > 1 or len(s2) > 1 for s1, s2, _ in it), it
+    # Counts are the argmax of their round: non-increasing is NOT
+    # guaranteed in general BPE, but every count must be positive.
+    assert all(n > 0 for _, _, n in it)
+
+
+def test_bpe_iter_gain_invariants(spark):
+    from python_btc_etl_spark.plans.pipeline import bpe_iterative_vs_first_gain
+
+    row = bpe_iterative_vs_first_gain(spark, SF_SMALL).collect()[0]
+    # Every merge only shrinks symbol counts: words <= tokens <= chars.
+    assert row["n_words"] <= row["n_bpe_iter"] <= row["n_chars"]
+    assert row["n_words"] <= row["n_bpe_first"] <= row["n_chars"]
+    # The recount must pay off on this corpus (equal-size tables, the
+    # iterative one spends rank-2+ slots on measured post-merge wins).
+    assert row["n_bpe_iter"] < row["n_bpe_first"], dict(row.asDict())
