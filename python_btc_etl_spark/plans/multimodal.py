@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load, spread
+from ..catalog import load, managed_cache, spread
 from ..functions import multimodal as MM
 from ..functions.multimodal import CHECKSUM_MOD, FEATURE_BANDS, extract_features_batches
 from .registry import query
@@ -762,7 +762,11 @@ def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, hamming): verified near-dup image pairs — the
     shared detection leg of image_phash_neardup and image_dedup_apply."""
     d = spread(load(spark, sf_dir, "documents")).select("doc_id")
-    ph = d.mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
+    # cache: the band self-join references the hash table on BOTH sides —
+    # uncached, the decode+hash Arrow pass (the dominant cost) runs twice.
+    ph = managed_cache(
+        d.mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
+    )
     bands = ph.select(
         "doc_id",
         "phash",
@@ -861,6 +865,248 @@ def image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import cc_large_small_star
 
     pairs = _phash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    labels, _ = cc_large_small_star(nodes, pairs)
+    sizes = labels.groupBy(F.col("component_id").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        labels.filter(F.col("doc_id") != F.col("component_id"))
+        .select(
+            F.col("doc_id").alias("dropped_doc"),
+            F.col("component_id").alias("canonical_doc"),
+        )
+        .join(sizes, "canonical_doc")
+        .select("dropped_doc", "canonical_doc", "n_members")
+        .orderBy("dropped_doc")
+    )
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint near-dup (decoders x dedup machinery, round 9)
+# --------------------------------------------------------------------------
+
+# Completes the multimodal dedup matrix (text / image / AUDIO): a
+# Chromaprint-style frame-energy fingerprint over REAL decoded PCM,
+# banded pigeonhole blocking, XOR+popcount verification — the exact
+# composition image_phash_neardup runs for rasters, on the WAV codec
+# path (multimodal_audio_frame_energy's per-frame-energy primitive is
+# the fingerprint's basis: bit f = "frame f is loud").
+#
+# Deterministic corpus, one step harder than the image one: group
+# g = doc_id//4 defines a 60-frame amplitude profile u(g,f) =
+# mix(g*64 + f) % 256 where mix is a multiply/xor-fold hash
+# (murmur-finalizer style: x*2654435761 mod 2^32, xor-fold the high
+# half down, *40503 mod 2^32, xor-fold again). The xor folds matter:
+# any AFFINE profile — the image corpus's linear-plus-cross-term, or
+# a single multiplicative hash — has constant cross-group differences
+# in the ring, so group pairs at small effective amplitude shift are
+# near-identical and chain transitively (two audio drafts with those
+# shapes collapsed all 5000 sf0.1 docs into 1-11 CC clusters).
+# xor-folding breaks the affine structure: measured over the 1250
+# sf0.1 groups, minimum cross-group Hamming is 11 (zero pairs <= 6),
+# so clusters are exactly the planted 4-doc groups. Variant
+# t = doc_id%4 inverts the first t frames (255-u always crosses the
+# 128 midpoint, flipping exactly fingerprint bits 0..t-1). Each frame
+# is AFP_FRAME constant int16 samples, so
+# frame energy = AFP_FRAME*u^2 and the loudness bit u >= 128 is exact
+# integer math the oracle replays in closed form — the differential
+# covers the RIFF/WAVE encode/decode round-trip, framing, energy,
+# thresholding, packing, banding and verification. Within a group all
+# C(4,2) pairs sit at Hamming |t-s| <= 3. mix() stays exact int64 on
+# both engines: every intermediate is < 2^32 before a multiply whose
+# product is < 2^48 (40503 is a 16-bit multiplier for exactly this
+# reason); DuckDB bigint would ERROR on signed-int64 overflow, so the
+# bound is load-bearing, not cosmetic.
+AFP_BITS = 60  # fingerprint width (bits 60..63 unused: signed bigint)
+AFP_FRAME = 4  # samples per fingerprint frame
+AFP_BANDS, AFP_BAND_BITS = 4, 15  # pigeonhole: Hamming <= 3 shares a band
+AFP_HD_MAX = 3
+AFP_THRESH = AFP_FRAME * 128 * 128  # frame energy at the u >= 128 midpoint
+
+def _sql_afp_mix() -> str:
+    """DuckDB expression for mix((doc_id//4)*64 + i) % 256."""
+    v1 = "(((doc_id // 4) * 64 + i) * 2654435761) % 4294967296"
+    v2 = f"xor({v1}, ({v1}) // 65536)"
+    v3 = f"(({v2}) * 40503) % 4294967296"
+    return f"xor({v3}, ({v3}) // 65536) % 256"
+
+
+_SQL_AFP_U = _sql_afp_mix()
+SQL_AFP = f"""
+    v AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - {_SQL_AFP_U}
+                         ELSE {_SQL_AFP_U} END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS afp
+        FROM documents, unnest(range(0, {AFP_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, afp, j,
+               (afp >> (CAST({AFP_BAND_BITS} AS INTEGER) * j)) & {2**AFP_BAND_BITS - 1} AS band
+        FROM v, unnest(range(0, {AFP_BANDS})) AS b(j)
+    )
+"""
+
+
+def _afp_batches(batches):
+    """mapInPandas worker: synthesize each doc's 60-frame PCM, round-trip
+    it through the REAL RIFF/WAVE encoder+decoder, compute per-frame
+    energies, threshold into the 60-bit loudness fingerprint. Per-row
+    compute next to the audio bytes; zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_wav, encode_wav
+
+    weights = np.left_shift(np.int64(1), np.arange(AFP_BITS, dtype=np.int64))
+    f_idx = np.arange(AFP_BITS, dtype=np.int64)
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            g, t = d // 4, d % 4
+            v = (g * 64 + f_idx) * 2654435761 % 4294967296
+            v = v ^ (v // 65536)
+            v = v * 40503 % 4294967296
+            u = (v ^ (v // 65536)) % 256
+            amp = np.where(f_idx < t, 255 - u, u)
+            pcm = np.repeat(amp, AFP_FRAME).astype(np.int16)
+            back, _ = decode_wav(encode_wav(pcm, 8000))
+            s = back.astype(np.int64)
+            e = (s.reshape(AFP_BITS, AFP_FRAME) ** 2).sum(axis=1)
+            bits = (e >= AFP_THRESH).astype(np.int64)
+            rows.append((d, int((bits * weights).sum())))
+        yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+
+def _afp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming): verified near-dup audio pairs — the
+    shared detection leg of audio_fingerprint_neardup and
+    audio_dedup_apply (the image_phash_neardup twin)."""
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    # cache: the band self-join references the fingerprint table on BOTH
+    # sides — uncached, the codec round-trip Arrow pass runs twice.
+    fp = managed_cache(
+        d.mapInPandas(_afp_batches, schema="doc_id bigint, afp bigint")
+    )
+    bands = fp.select(
+        "doc_id",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("afp"), AFP_BAND_BITS * j)
+                        .bitwiseAND(F.lit(2**AFP_BAND_BITS - 1))
+                        .alias("band"),
+                    )
+                    for j in range(AFP_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "afp", F.col("bs.j").alias("j"), F.col("bs.band").alias("band"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("afp").alias("fp_a"), "j", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("afp").alias("fp_b"), "j", "band"
+    )
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= AFP_HD_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "audio_fingerprint_neardup",
+    oracle=f"""
+    WITH {SQL_AFP},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.afp AS fp_a, b.afp AS fp_b
+        FROM bands a
+        JOIN bands b ON a.j = b.j AND a.band = b.band
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {AFP_HD_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"AUDIO FINGERPRINT NEAR-DUP: {AFP_BITS}-bit frame-energy "
+    "loudness fingerprint over PCM decoded by the real RIFF/WAVE "
+    f"codec, {AFP_BANDS}x{AFP_BAND_BITS}-bit pigeonhole band blocking "
+    f"(Hamming <= {AFP_HD_MAX} guarantees a shared band), XOR+popcount "
+    "verification pushed into the join — NO all-pairs comparison "
+    "(image_phash_neardup's discipline on the audio column; completes "
+    "the text/image/audio dedup matrix). The oracle recomputes the "
+    "fingerprint in closed form from the deterministic amplitude "
+    "profile, so the differential covers codec round-trip, framing, "
+    "energy thresholding, packing, banding and verification. 100 TB: "
+    "fingerprinting is per-row compute next to the audio bytes "
+    "(payloads never shuffle); only 8-byte fingerprints enter the "
+    "bounded-bucket join.",
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _afp_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "audio_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {SQL_AFP},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a
+        JOIN bands b ON a.j = b.j AND a.band = b.band
+                     AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HD_MAX}
+    ),
+    sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS canonical_doc FROM reach GROUP BY a),
+    sizes AS (
+        SELECT canonical_doc, CAST(count(*) AS BIGINT) AS n_members
+        FROM comp GROUP BY canonical_doc
+    )
+    SELECT c.doc_id AS dropped_doc, c.canonical_doc, s.n_members
+    FROM comp c JOIN sizes s USING (canonical_doc)
+    WHERE c.doc_id <> c.canonical_doc
+    ORDER BY dropped_doc
+    """,
+    doc="AUDIO DEDUP — the APPLY face: fingerprint near-dup pairs (the "
+    "exact edge set audio_fingerprint_neardup reports) closed into "
+    "clusters via alternating large-star/small-star connected "
+    "components, then min-id canonical election per cluster. Emits the "
+    "dropped→canonical replacement list (+cluster size) a cleaning job "
+    "anti-joins against the audio corpus — image_dedup_apply's "
+    "composition on the audio column. Only docs appearing in the pair "
+    "set enter the CC iteration (singletons never iterate). Oracle: "
+    "DuckDB recursive-CTE closure over the identical edge set.",
+)
+def audio_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import cc_large_small_star
+
+    pairs = _afp_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     nodes = spread(load(spark, sf_dir, "documents")).select("doc_id")

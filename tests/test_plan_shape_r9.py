@@ -92,3 +92,29 @@ def test_bpe_iter_gain_invariants(spark):
     # The recount must pay off on this corpus (equal-size tables, the
     # iterative one spends rank-2+ slots on measured post-merge wins).
     assert row["n_bpe_iter"] < row["n_bpe_first"], dict(row.asDict())
+
+
+def test_audio_fingerprint_blocked_join(spark):
+    """audio_fingerprint_neardup: candidates come from the band
+    equi-join — never an all-pairs comparison — and the fingerprint
+    Arrow pass is cached so the self-join's two sides both read the
+    InMemoryTableScan instead of decoding twice."""
+    from python_btc_etl_spark.plans.multimodal import audio_fingerprint_neardup
+
+    plan = _executed_plan(audio_fingerprint_neardup(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_audio_apply_matches_group_structure(spark):
+    """The planted corpus: clusters are EXACTLY the 4-doc groups (the
+    xor-fold mix keeps cross-group Hamming >= 11), so the apply face
+    drops exactly 3 docs per group to the group's min doc_id."""
+    from python_btc_etl_spark.plans.multimodal import audio_dedup_apply
+
+    rows = audio_dedup_apply(spark, SF_SMALL).collect()
+    assert all(r["n_members"] == 4 for r in rows)
+    assert all(r["canonical_doc"] == (r["dropped_doc"] // 4) * 4 for r in rows)
+    n_docs = 500  # sf0.001 documents rows
+    assert len(rows) == 3 * (n_docs // 4)
