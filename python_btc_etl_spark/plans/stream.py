@@ -685,3 +685,254 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "last_event_type string, n_users bigint, total_events bigint, total_value double",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming near-dup gate against a materialized signature index (round 9)
+# --------------------------------------------------------------------------
+
+# The streaming face of dedup_incremental_batch: documents arrive in
+# micro-batches, each batch is checked against a MATERIALIZED
+# hashed-shingle signature index (the standing corpus), accepted docs'
+# signatures are APPENDED to the index, and a per-batch high-water mark
+# makes replayed batches no-ops — the production gate a continuously-
+# arriving corpus runs in front of its training store. Semantics, pinned
+# identically on both engines: a batch is checked ONLY against the index
+# as of its arrival (within-batch duplicates are the intra-batch
+# detector's job — the daily-production split), batches arrive in
+# batch-number order (the test harness lands slice b and drains it with
+# processAllAvailable before landing b+1), and a doc is rejected iff
+# some already-indexed doc has shingle-Jaccard >= 3/10 with it
+# (dedup_incremental_batch's exact cross-multiplied threshold).
+#
+# Scale shape per batch (the asymmetry that matters at 100 TB): the
+# BATCH's inverted index is broadcast; the persistent index — the side
+# that grows without bound — is streamed through the shingle equi-join
+# and never shuffles or broadcasts. Accepted signatures append as new
+# parquet units; nothing rewrites. The high-water mark is read from a
+# marker table bounded by the number of batches ever processed.
+
+# Batch count is 3 ON PURPOSE: the planted corpus's copies live at
+# doc_id + 1_000_000 (TRUNC_OFFSET), and 1e6 % 4 == 0 would put every
+# copy in the SAME batch as its original — within-batch pairs are
+# exempt by the gate's semantics, so nothing would ever be rejected.
+# 1e6 % 3 == 1 lands each copy exactly one batch after its original:
+# copies in later batches get rejected against the indexed original,
+# and the wrap-around cases (original in batch 2, copy in batch 0)
+# exercise the reverse direction — the ORIGINAL is rejected against
+# its already-indexed copy, proving the gate is order-, not
+# identity-, driven.
+NDG_BATCHES = 3  # stream slices: batch b = docs with doc_id % 3 == b
+
+
+def neardup_gate_batch(spark: SparkSession, state: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Gate ONE micro-batch of (doc_id, text) against the signature
+    index under ``state`` (module-level so the replay guard is
+    unit-testable outside the stream, like merge_upsert_batch).
+
+    Writes: decisions/ (one verdict row per batch doc), index/ (the
+    accepted docs' signatures, appended), hwm/ (the processed-batch
+    marker). The batch number is derived from CONTENT (doc_id %
+    NDG_BATCHES — every slice is pure by construction), so a replayed
+    batch is recognized even if the engine renumbers its attempts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TX
+    from .dedup import INC_T_DEN, INC_T_NUM, _shingle_hash_batches
+
+    head = batch_df.select(
+        (F.col("doc_id") % NDG_BATCHES).alias("b")
+    ).distinct().collect()  # bounded: slices are pure, <= NDG_BATCHES rows
+    if not head:
+        return
+    assert len(head) == 1, f"impure slice: {head}"
+    b = int(head[0]["b"])
+    hwm_dir = os.path.join(state, "hwm")
+    idx_dir = os.path.join(state, "index")
+    dec_dir = os.path.join(state, "decisions")
+    done = set()
+    if os.path.isdir(hwm_dir) and os.listdir(hwm_dir):
+        done = {r["b"] for r in spark.read.parquet(hwm_dir).collect()}
+    if b in done:  # replay: a previous successful attempt covered b
+        return
+    wdf = batch_df.select("doc_id", TX.words(F.col("text")).alias("w")).filter(
+        F.size("w") >= TX.SHINGLE_N
+    )
+    sig = wdf.mapInPandas(
+        _shingle_hash_batches(TX.SHINGLE_HEX_DIGITS, dedup_hashes=True),
+        "doc_id bigint, hs array<bigint>",
+    ).localCheckpoint()  # the batch is small; pin it — it feeds 2 writes + a join
+    have_idx = os.path.isdir(idx_dir) and any(
+        f.endswith(".parquet") or f.startswith("part-") for f in os.listdir(idx_dir)
+    )
+    if have_idx:
+        idx = spark.read.parquet(idx_dir)
+        binv = sig.select(
+            F.col("doc_id").alias("batch_id"),
+            F.col("hs").alias("hs_b"),
+            F.explode("hs").alias("s"),
+        )
+        cinv = idx.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("hs").alias("hs_c"),
+            F.explode("hs").alias("s"),
+        )
+        shared = F.size(F.array_intersect("hs_b", "hs_c"))
+        hits = (
+            F.broadcast(binv)
+            .join(cinv, "s")
+            .select("batch_id", "corpus_id", "hs_b", "hs_c")
+            .distinct()
+            .filter(
+                shared * INC_T_DEN
+                >= (F.size("hs_b") + F.size("hs_c") - shared) * INC_T_NUM
+            )
+            .groupBy("batch_id")
+            .agg(F.min("corpus_id").alias("first_match"))
+        )
+    else:
+        hits = spark.createDataFrame([], "batch_id bigint, first_match bigint")
+    decisions = (
+        batch_df.select(F.col("doc_id").alias("batch_id"))
+        .join(hits, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.lit(b).cast("int").alias("batch"),
+            F.col("first_match").isNull().alias("accepted"),
+            F.coalesce(F.col("first_match"), F.lit(-1)).cast("bigint").alias("first_match"),
+        )
+        .localCheckpoint()  # decide BEFORE the index append mutates state
+    )
+    decisions.write.mode("append").parquet(dec_dir)
+    sig.join(
+        decisions.filter(F.col("accepted")).select("doc_id"), "doc_id"
+    ).write.mode("append").parquet(idx_dir)
+    spark.createDataFrame([(b,)], "b int").write.mode("append").parquet(hwm_dir)
+
+
+def _ndg_oracle_sql() -> str:
+    """Unrolled NDG_BATCHES-round replay of the gate: hit{i} checks
+    batch i against idx{i} (the index AS OF arrival), dec{i} is the
+    verdict table, idx{i+1} appends the accepted signatures. Every
+    per-round CTE is MATERIALIZED — idx{i+1} references idx{i} twice
+    and a plain CTE chain would inline exponentially (the same fix as
+    the iterative-BPE oracle in plans/pipeline.py)."""
+    from ..functions import text as TX
+    from .dedup import (
+        INC_T_DEN,
+        INC_T_NUM,
+        SQL_DOCS_TRUNC,
+        SQL_HASHED_SHINGLES,
+    )
+
+    rounds, decs = [], []
+    for i in range(NDG_BATCHES):
+        rounds.append(
+            f""",
+    hit{i} AS MATERIALIZED (
+        SELECT b.doc_id, min(c.doc_id) AS first_match
+        FROM (SELECT doc_id, hs, unnest(hs) AS s FROM h
+              WHERE doc_id % {NDG_BATCHES} = {i}) b
+        JOIN (SELECT doc_id, hs, unnest(hs) AS s FROM idx{i}) c USING (s)
+        WHERE len(list_intersect(b.hs, c.hs)) * {INC_T_DEN}
+              >= (len(b.hs) + len(c.hs) - len(list_intersect(b.hs, c.hs)))
+                 * {INC_T_NUM}
+        GROUP BY b.doc_id
+    ),
+    dec{i} AS MATERIALIZED (
+        SELECT a.doc_id, {i} AS batch,
+               t.first_match IS NULL AS accepted,
+               CAST(coalesce(t.first_match, -1) AS BIGINT) AS first_match
+        FROM (SELECT doc_id FROM aug WHERE doc_id % {NDG_BATCHES} = {i}) a
+        LEFT JOIN hit{i} t USING (doc_id)
+    ),
+    idx{i + 1} AS MATERIALIZED (
+        SELECT doc_id, hs FROM idx{i}
+        UNION ALL
+        SELECT h.doc_id, h.hs FROM h
+        WHERE h.doc_id % {NDG_BATCHES} = {i}
+          AND h.doc_id IN (SELECT doc_id FROM dec{i} WHERE accepted)
+    )"""
+        )
+        decs.append(f"SELECT doc_id, batch, accepted, first_match FROM dec{i}")
+    return f"""
+    WITH aug AS MATERIALIZED ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    h AS MATERIALIZED ({SQL_HASHED_SHINGLES}),
+    idx0 AS (SELECT doc_id, hs FROM h WHERE false)
+    {"".join(rounds)}
+    SELECT * FROM ({" UNION ALL ".join(decs)}) ORDER BY doc_id
+    """
+
+
+@query(
+    "stream_neardup_gate",
+    oracle=_ndg_oracle_sql(),
+    doc="STREAMING NEAR-DUP GATE — micro-batches of documents checked "
+    "against a MATERIALIZED signature index via foreachBatch, accepted "
+    "signatures appended to the index, replays no-op'd by a per-batch "
+    "high-water mark (stream_merge_upsert_sink's guard on "
+    "dedup_incremental_batch's asymmetric join: batch side broadcast, "
+    "the growing index side never shuffles). Each batch sees exactly "
+    "the index its predecessors built — the oracle replays the "
+    f"{NDG_BATCHES} rounds as unrolled MATERIALIZED CTEs. Emits one "
+    "verdict row per doc (batch, accepted, first matched index doc). "
+    "100 TB: index grows append-only as parquet units; per batch the "
+    "only shuffle is the batch-side aggregation.",
+)
+def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.file_stream import ensure_session_confs
+    from .dedup import docs_with_truncated_copies
+
+    ensure_session_confs(spark)
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="neardup_gate_")
+    src, state = f"{base}/src", f"{base}/state"
+    try:
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            neardup_gate_batch(spark, state, batch_df, batch_id)
+
+        q = stream.writeStream.foreachBatch(sink).start()
+        try:
+            # Land slice b and DRAIN it before landing b+1 — arrival
+            # order is the gate's semantic, so the harness pins it.
+            # Slices are staged then moved in as FLAT uniquely-named
+            # files (a partition subdir would change the stream schema).
+            for b in range(NDG_BATCHES):
+                stage = f"{base}/stage{b}"
+                aug.filter(F.col("doc_id") % NDG_BATCHES == b).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(stage)
+                parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+                for i, f in enumerate(parts):
+                    shutil.move(f"{stage}/{f}", f"{src}/slice_{b}_{i}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = [
+            tuple(r)
+            for r in spark.read.parquet(f"{state}/decisions")
+            .orderBy("doc_id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, batch int, accepted boolean, first_match bigint"
+    )
