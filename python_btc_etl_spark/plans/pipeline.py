@@ -3133,3 +3133,253 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-classifier TRAINING (distributed normal equations, round 9)
+# --------------------------------------------------------------------------
+
+# quality_classifier_scores serves closed-form weights; this section
+# closes train→serve with a real TRAINING pass: exact least squares by
+# normal equations over features derived from the SAME hashed-BOW
+# featurizer (28-bit sha-carve % FH_DIM — one definition, no
+# train/serve skew). The distributed shape is the one that matters at
+# 100 TB: ONE partial-aggregable corpus pass accumulates XᵀX and Xᵀy
+# (the Gram matrix is dimension²-bounded metadata — here 3×3 with
+# intercept; at FH_DIM=1024 the same single pass accumulates ~1M cells
+# and the solve stays driver-side either way), then the solve touches
+# no data. The solve itself is Cramer's rule kept in EXACT integer
+# arithmetic — weights are reported as (numerator, common
+# denominator = det XᵀX) and the keep-gate compares pred_num >=
+# threshold*det, so there is NO division and no float anywhere:
+# DuckDB replays every value bit-for-bit (HUGEINT there,
+# decimal(38,0) here; triple products reach ~1e22, past int64).
+# Labels come from a planted integer rule y = 3·x1 − 2·x2 + 7 +
+# ((doc_id % 5) − 2): exactly linear plus bounded integer noise, so
+# the LS solution is a nontrivial exact rational and the normal
+# equations Σ residual·x = 0 hold exactly (pinned in
+# tests/test_plan_shape_r9.py).
+
+QCT_KEEP = 25  # keep-gate: pred >= 25 (in y units; compared x det)
+
+
+def _det3(m) -> str:
+    """SQL text of a 3x3 determinant by first-row cofactor expansion."""
+    return (
+        f"({m[0][0]})*(({m[1][1]})*({m[2][2]}) - ({m[1][2]})*({m[2][1]}))"
+        f" - ({m[0][1]})*(({m[1][0]})*({m[2][2]}) - ({m[1][2]})*({m[2][0]}))"
+        f" + ({m[0][2]})*(({m[1][0]})*({m[2][1]}) - ({m[1][1]})*({m[2][0]}))"
+    )
+
+
+def _det3_col(m) -> "F.Column":
+    """Column form of the same expansion (decimal-exact)."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+_QCT_A = [["s11", "s12", "s1"], ["s12", "s22", "s2"], ["s1", "s2", "n"]]
+_QCT_B = ["t1", "t2", "t0"]
+
+
+def _qct_sql_base() -> str:
+    """Shared CTEs: featurize (the FH_DIM hash space, even/odd bucket
+    split), plant labels, accumulate the Gram sums as HUGEINT."""
+    return f"""
+    toks AS (
+        SELECT doc_id, unnest(list_distinct({TX.sql_words('text')})) AS tok
+        FROM documents
+    ),
+    feat AS (
+        SELECT d.doc_id,
+               coalesce(sum(CASE WHEN {TX.sql_hash28('tok')} % {FH_DIM} % 2 = 0
+                            THEN 1 ELSE 0 END), 0) AS x1,
+               coalesce(sum(CASE WHEN {TX.sql_hash28('tok')} % {FH_DIM} % 2 = 1
+                            THEN 1 ELSE 0 END), 0) AS x2
+        FROM documents d LEFT JOIN toks t USING (doc_id)
+        GROUP BY d.doc_id
+    ),
+    lab AS (
+        SELECT doc_id, x1, x2,
+               3*x1 - 2*x2 + 7 + (doc_id % 5) - 2 AS y
+        FROM feat
+    ),
+    g AS (
+        SELECT CAST(sum(x1*x1) AS HUGEINT) AS s11,
+               CAST(sum(x1*x2) AS HUGEINT) AS s12,
+               CAST(sum(x1)    AS HUGEINT) AS s1,
+               CAST(sum(x2*x2) AS HUGEINT) AS s22,
+               CAST(sum(x2)    AS HUGEINT) AS s2,
+               CAST(count(*)   AS HUGEINT) AS n,
+               CAST(sum(x1*y)  AS HUGEINT) AS t1,
+               CAST(sum(x2*y)  AS HUGEINT) AS t2,
+               CAST(sum(y)     AS HUGEINT) AS t0
+        FROM lab
+    )"""
+
+
+def _qct_replace_col(col: int):
+    """Cramer numerator matrix: A with column `col` replaced by b."""
+    return [
+        [(_QCT_B[r] if c == col else _QCT_A[r][c]) for c in range(3)]
+        for r in range(3)
+    ]
+
+
+def _qct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.words(F.col("text")))).alias("tok")
+    )
+    feat = (
+        d.select("doc_id")
+        .join(
+            toks.select(
+                "doc_id", (TX.hash28(F.col("tok")) % FH_DIM).alias("bucket")
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("bucket") % 2 == 0, 1).otherwise(0)).alias("x1"),
+                F.sum(F.when(F.col("bucket") % 2 == 1, 1).otherwise(0)).alias("x2"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("x1", F.lit(0)).cast("bigint").alias("x1"),
+            F.coalesce("x2", F.lit(0)).cast("bigint").alias("x2"),
+        )
+    )
+    return feat.withColumn(
+        "y",
+        (
+            F.lit(3) * F.col("x1")
+            - F.lit(2) * F.col("x2")
+            + F.lit(7)
+            + (F.col("doc_id") % 5)
+            - F.lit(2)
+        ).cast("bigint"),
+    )
+
+
+def _qct_gram(feats: DataFrame) -> DataFrame:
+    dec = lambda c: c.cast("decimal(20,0)")  # noqa: E731
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    return feats.agg(
+        dec(F.sum(x1 * x1)).alias("s11"),
+        dec(F.sum(x1 * x2)).alias("s12"),
+        dec(F.sum(x1)).alias("s1"),
+        dec(F.sum(x2 * x2)).alias("s22"),
+        dec(F.sum(x2)).alias("s2"),
+        dec(F.count(F.lit(1))).alias("n"),
+        dec(F.sum(x1 * y)).alias("t1"),
+        dec(F.sum(x2 * y)).alias("t2"),
+        dec(F.sum(y)).alias("t0"),
+    )
+
+
+def _qct_weight_cols():
+    A = [[F.col(c) for c in row] for row in _QCT_A]
+    det = _det3_col(A)
+    nums = []
+    for j in range(3):
+        mat = [
+            [
+                (F.col(_QCT_B[r]) if c == j else F.col(_QCT_A[r][c]))
+                for c in range(3)
+            ]
+            for r in range(3)
+        ]
+        nums.append(_det3_col(mat))
+    return nums, det
+
+
+@query(
+    "quality_train_normal_equations",
+    oracle=f"""
+    WITH {_qct_sql_base()}
+    SELECT CAST({_det3(_qct_replace_col(0))} AS DECIMAL(38,0)) AS w1_num,
+           CAST({_det3(_qct_replace_col(1))} AS DECIMAL(38,0)) AS w2_num,
+           CAST({_det3(_qct_replace_col(2))} AS DECIMAL(38,0)) AS b_num,
+           CAST({_det3(_QCT_A)} AS DECIMAL(38,0)) AS det
+    FROM g
+    """,
+    doc="QUALITY-CLASSIFIER TRAINING — exact least squares by normal "
+    "equations: one partial-aggregable corpus pass accumulates the "
+    "Gram sums XᵀX / Xᵀy over features from the SHARED hashed-BOW "
+    "featurizer (even/odd FH_DIM-bucket token counts + intercept), "
+    "then Cramer's rule solves the 3x3 system in exact integer "
+    "arithmetic — weights reported as numerators over the common "
+    "denominator det(XᵀX), no division, no floats, bit-identical "
+    "cross-engine (triple products ~1e22: HUGEINT / decimal(38,0)). "
+    "100 TB: the corpus pays exactly one scan + one tiny-key shuffle; "
+    "the Gram matrix is dimension-bounded metadata.",
+)
+def quality_train_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _qct_gram(_qct_features(spark, sf_dir))
+    nums, det = _qct_weight_cols()
+    return g.select(
+        nums[0].cast("decimal(38,0)").alias("w1_num"),
+        nums[1].cast("decimal(38,0)").alias("w2_num"),
+        nums[2].cast("decimal(38,0)").alias("b_num"),
+        det.cast("decimal(38,0)").alias("det"),
+    )
+
+
+@query(
+    "quality_train_serve_scores",
+    oracle=f"""
+    WITH {_qct_sql_base()},
+    w AS (
+        SELECT {_det3(_qct_replace_col(0))} AS w1_num,
+               {_det3(_qct_replace_col(1))} AS w2_num,
+               {_det3(_qct_replace_col(2))} AS b_num,
+               {_det3(_QCT_A)} AS det
+        FROM g
+    )
+    SELECT l.doc_id,
+           CAST(l.x1 AS BIGINT) AS x1,
+           CAST(l.x2 AS BIGINT) AS x2,
+           CAST(l.y AS BIGINT) AS y,
+           CAST(l.x1 * w.w1_num + l.x2 * w.w2_num + w.b_num AS DECIMAL(38,0))
+               AS pred_num,
+           l.x1 * w.w1_num + l.x2 * w.w2_num + w.b_num >= {QCT_KEEP} * w.det
+               AS keep
+    FROM lab l, w
+    ORDER BY l.doc_id
+    """,
+    doc=f"SERVE the trained weights: per-doc prediction as the exact "
+    "numerator x·w_num (common denominator det), keep-gate "
+    f"pred >= {QCT_KEEP} compared cross-multiplied against det — "
+    "division-free, so train AND serve are bit-exact cross-engine. "
+    "The weight row broadcasts into the scoring projection (one "
+    "corpus scan); featurizer identical to training by construction.",
+)
+def quality_train_serve_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = managed_cache(_qct_features(spark, sf_dir))
+    nums, det = _qct_weight_cols()
+    w = _qct_gram(feats).select(
+        nums[0].alias("w1_num"), nums[1].alias("w2_num"),
+        nums[2].alias("b_num"), det.alias("det"),
+    )
+    pred = (
+        F.col("x1").cast("decimal(20,0)") * F.col("w1_num")
+        + F.col("x2").cast("decimal(20,0)") * F.col("w2_num")
+        + F.col("b_num")
+    )
+    return (
+        feats.crossJoin(F.broadcast(w))  # 1-row weight table
+        .select(
+            "doc_id",
+            "x1",
+            "x2",
+            "y",
+            pred.cast("decimal(38,0)").alias("pred_num"),
+            (pred >= F.lit(QCT_KEEP).cast("decimal(20,0)") * F.col("det")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

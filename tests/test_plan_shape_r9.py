@@ -118,3 +118,37 @@ def test_audio_apply_matches_group_structure(spark):
     assert all(r["canonical_doc"] == (r["dropped_doc"] // 4) * 4 for r in rows)
     n_docs = 500  # sf0.001 documents rows
     assert len(rows) == 3 * (n_docs // 4)
+
+
+def test_quality_train_normal_equation_invariants(spark):
+    """The learned weights are EXACT least squares: det(XᵀX) > 0, the
+    residual is orthogonal to every feature column (Σ res·x = 0 — the
+    normal equations themselves, exactly, in integers), and the learned
+    rationals sit near the planted rule y = 3x1 - 2x2 + 7."""
+    from fractions import Fraction
+
+    from python_btc_etl_spark.plans.pipeline import (
+        _qct_features,
+        quality_train_normal_equations,
+    )
+
+    w = quality_train_normal_equations(spark, SF_SMALL).collect()[0]
+    det = int(w["det"])
+    assert det > 0
+    w1, w2, b = (Fraction(int(w[k]), det) for k in ("w1_num", "w2_num", "b_num"))
+    assert abs(w1 - 3) < Fraction(1, 10), w1
+    assert abs(w2 + 2) < Fraction(1, 10), w2
+    assert abs(b - 7) < 3, b  # the ±2 planted noise folds into the bias
+    feats = _qct_features(spark, SF_SMALL).collect()
+    r_dot_x1 = sum((r["y"] * det - (r["x1"] * int(w["w1_num"]) + r["x2"] * int(w["w2_num"]) + int(w["b_num"]))) * r["x1"] for r in feats)
+    r_dot_x2 = sum((r["y"] * det - (r["x1"] * int(w["w1_num"]) + r["x2"] * int(w["w2_num"]) + int(w["b_num"]))) * r["x2"] for r in feats)
+    r_dot_1 = sum(r["y"] * det - (r["x1"] * int(w["w1_num"]) + r["x2"] * int(w["w2_num"]) + int(w["b_num"])) for r in feats)
+    assert r_dot_x1 == 0 and r_dot_x2 == 0 and r_dot_1 == 0
+
+
+def test_quality_train_serve_gate_nondegenerate(spark):
+    from python_btc_etl_spark.plans.pipeline import quality_train_serve_scores
+
+    rows = quality_train_serve_scores(spark, SF_SMALL).collect()
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows), kept
