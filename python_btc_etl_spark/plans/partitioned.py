@@ -793,3 +793,217 @@ def wap_publish_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slice bigint, n_rows bigint, total_value double, n_null_user bigint, "
         "audit_pass boolean, published boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized dedup-index maintenance (round 9)
+# ---------------------------------------------------------------------------
+
+# dedup_incremental_batch answers the daily question against an index it
+# recomputes per run; a STANDING 100 TB pipeline materializes that
+# hashed-shingle signature index as a versioned table and MAINTAINS it:
+#   v1  the corpus index, immutable commit units;
+#   v2  v1 + one APPEND unit — the arriving batch's signatures, but
+#       only the ACCEPTED docs (near-dups of the existing index never
+#       enter it, or the index would bloat with exactly the content it
+#       exists to reject);
+#   v3  COMPACTION: v2's small units rewritten into fewer, the manifest
+#       swaps old-for-new (pure metadata; data identical);
+#   vacuum  deletes units no live manifest references.
+# The acceptance check reads the index FROM ITS v1 UNITS (the
+# materialize-once discipline — the index is consumed, not recomputed)
+# with dedup_incremental_batch's exact asymmetric join: batch side
+# broadcast, index side streamed. The oracle recomputes all three
+# version aggregates from first principles, so the audit catches an
+# append that leaked a rejected doc, a compaction that dropped or
+# duplicated rows, or a reader that saw vacuumed files. File-level
+# facts SQL cannot see (unit counts shrink, superseded files are gone,
+# v3 reads only live units) are pinned in tests/test_index_maintenance.py.
+
+DIM_UNITS_V1 = 4  # corpus index commit units (doc_id % 4)
+DIM_UNITS_V3 = 2  # post-compaction units (doc_id % 2)
+
+
+def _dim_sig_aggs(df: DataFrame, version: int) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("hs")).cast("bigint").alias("n_sigs"),
+        F.sum(
+            F.aggregate("hs", F.lit(0).cast("bigint"), lambda a, x: a + x)
+        ).cast("bigint").alias("sig_sum"),
+        F.sum(F.col("doc_id") * F.size("hs")).cast("bigint").alias("docw_sum"),
+    ).select(F.lit(version).alias("version"), "*")
+
+
+def _dim_sql_version_agg(version: int, src: str) -> str:
+    return f"""
+    SELECT {version} AS version,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(hs)) AS BIGINT) AS n_sigs,
+           CAST(sum(list_sum(hs)) AS BIGINT) AS sig_sum,
+           CAST(sum(doc_id * len(hs)) AS BIGINT) AS docw_sum
+    FROM {src}"""
+
+
+def dedup_index_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
+    """Run the full lifecycle under ``base``; returns the manifests and
+    the pre-vacuum version aggregates (v1/v2 units are vacuumed away,
+    so their audits are taken while their snapshots are still live —
+    exactly when a real pipeline takes them)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import INC_EVERY, INC_T_DEN, INC_T_NUM, _hashed_shingles
+
+    h = _hashed_shingles(spark, sf_dir)
+    corpus = h.filter(F.col("doc_id") % INC_EVERY != 7)
+    batch = h.filter(F.col("doc_id") % INC_EVERY == 7)
+    units = {}
+    for k in range(DIM_UNITS_V1):
+        unit = os.path.join(base, f"files/c1_u{k}")
+        corpus.filter(F.col("doc_id") % DIM_UNITS_V1 == k).write.mode(
+            "overwrite"
+        ).parquet(unit)
+        units[f"c1_u{k}"] = unit
+    v1 = [units[f"c1_u{k}"] for k in range(DIM_UNITS_V1)]
+    # Acceptance gate: batch vs the INDEX AS MATERIALIZED (read from
+    # v1's units, not recomputed). Batch side broadcast; index streamed.
+    idx = spark.read.parquet(*v1)
+    binv = batch.select(
+        F.col("doc_id").alias("batch_id"), F.col("hs").alias("hs_b"),
+        F.explode("hs").alias("s"),
+    )
+    cinv = idx.select(
+        F.col("doc_id").alias("corpus_id"), F.col("hs").alias("hs_c"),
+        F.explode("hs").alias("s"),
+    )
+    shared = F.size(F.array_intersect("hs_b", "hs_c"))
+    dup_ids = (
+        F.broadcast(binv)
+        .join(cinv, "s")
+        .select("batch_id", "hs_b", "hs_c")
+        .distinct()
+        .filter(
+            shared * INC_T_DEN
+            >= (F.size("hs_b") + F.size("hs_c") - shared) * INC_T_NUM
+        )
+        .select("batch_id")
+        .distinct()
+    )
+    accepted = batch.join(
+        dup_ids, batch["doc_id"] == dup_ids["batch_id"], "left_anti"
+    )
+    append_unit = os.path.join(base, "files/c2_batch")
+    accepted.write.mode("overwrite").parquet(append_unit)
+    units["c2_batch"] = append_unit
+    v2 = v1 + [append_unit]
+    # Pre-vacuum audits of the snapshots that will lose their units.
+    agg1 = _dim_sig_aggs(spark.read.parquet(*v1), 1)
+    agg2 = _dim_sig_aggs(spark.read.parquet(*v2), 2)
+    pre = agg1.unionByName(agg2).collect()
+    # Compaction: v2 rewritten into DIM_UNITS_V3 units, manifest swap.
+    full = spark.read.parquet(*v2)
+    v3 = []
+    for k in range(DIM_UNITS_V3):
+        unit = os.path.join(base, f"files/c3_u{k}")
+        full.filter(F.col("doc_id") % DIM_UNITS_V3 == k).write.mode(
+            "overwrite"
+        ).parquet(unit)
+        units[f"c3_u{k}"] = unit
+        v3.append(unit)
+    # Vacuum: only v3 is retained; every unit no live manifest
+    # references is physically deleted.
+    import shutil as _sh
+
+    removed = []
+    for name, unit in units.items():
+        if unit not in v3:
+            _sh.rmtree(unit, ignore_errors=True)
+            removed.append(name)
+    return {
+        "v1": v1, "v2": v2, "v3": v3, "removed": removed,
+        "pre_rows": [tuple(r) for r in pre],
+    }
+
+
+def _dim_oracle_sql() -> str:
+    from ..functions import text as TX
+    from .dedup import (
+        INC_EVERY,
+        INC_T_DEN,
+        INC_T_NUM,
+        SQL_DOCS_TRUNC,
+        SQL_HASHED_SHINGLES,
+    )
+
+    return f"""
+    WITH aug AS ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    h AS MATERIALIZED ({SQL_HASHED_SHINGLES}),
+    corpus AS (SELECT doc_id, hs FROM h WHERE doc_id % {INC_EVERY} <> 7),
+    batch  AS (SELECT doc_id, hs FROM h WHERE doc_id % {INC_EVERY} = 7),
+    dup AS (
+        SELECT DISTINCT b.doc_id
+        FROM (SELECT doc_id, hs, unnest(hs) AS s FROM batch) b
+        JOIN (SELECT doc_id, hs, unnest(hs) AS s FROM corpus) c USING (s)
+        WHERE len(list_intersect(b.hs, c.hs)) * {INC_T_DEN}
+              >= (len(b.hs) + len(c.hs) - len(list_intersect(b.hs, c.hs)))
+                 * {INC_T_NUM}
+    ),
+    v2 AS (
+        SELECT doc_id, hs FROM corpus
+        UNION ALL
+        SELECT doc_id, hs FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    )
+    SELECT * FROM (
+        {_dim_sql_version_agg(1, 'corpus')}
+        UNION ALL
+        {_dim_sql_version_agg(2, 'v2')}
+        UNION ALL
+        {_dim_sql_version_agg(3, 'v2')}
+    ) ORDER BY version
+    """
+
+
+@query(
+    "dedup_index_maintenance",
+    oracle=_dim_oracle_sql(),
+    doc="MATERIALIZED DEDUP-INDEX MAINTENANCE — the versioned-table "
+    "lifecycle of the corpus shingle index: v1 = immutable corpus "
+    "units; v2 = v1 + an append unit holding ONLY the batch docs the "
+    "index itself accepted (dedup_incremental_batch's asymmetric "
+    "broadcast join, run against the index READ FROM ITS v1 UNITS — "
+    "materialize-once, never recomputed); v3 = compaction rewriting "
+    "the units with a manifest swap; vacuum then deletes superseded "
+    "units. Audit = exact per-version aggregates (docs, signatures, "
+    "signature sum, doc-weighted sum): the oracle recomputes them from "
+    "first principles, so v2 != v1 + accepted-batch, a lossy "
+    "compaction, or a reader touching vacuumed files all "
+    "hash-mismatch. v1/v2 are audited while live (their units are "
+    "gone post-vacuum); v3 is audited AFTER vacuum, proving the live "
+    "snapshot survives cleanup. File-level facts are pinned in "
+    "tests/test_index_maintenance.py.",
+)
+def dedup_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ensure_session_confs(spark)
+    base = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        life = dedup_index_lifecycle(spark, sf_dir, base)
+        post = [
+            tuple(r)
+            for r in _dim_sig_aggs(spark.read.parquet(*life["v3"]), 3).collect()
+        ]
+        rows = life["pre_rows"] + post
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_docs bigint, n_sigs bigint, sig_sum bigint, docw_sum bigint",
+    ).orderBy("version")
