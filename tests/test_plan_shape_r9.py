@@ -152,3 +152,25 @@ def test_quality_train_serve_gate_nondegenerate(spark):
     rows = quality_train_serve_scores(spark, SF_SMALL).collect()
     kept = sum(1 for r in rows if r["keep"])
     assert 0 < kept < len(rows), kept
+
+
+def test_semdedup_skew_guard(spark):
+    """The hot-cell abort: passes on the real corpus (skew <= 1.43x
+    measured), raises loudly on a degenerate single-cell assignment."""
+    import pytest
+
+    from python_btc_etl_spark.plans.dedup import (
+        SD_CELL_SKEW,
+        _sd_skew_guard,
+        semdedup_cluster_prune,
+    )
+
+    # Real corpus: guard silent, query still returns its SD_CELLS rows.
+    assert semdedup_cluster_prune(spark, SF_SMALL).count() > 0
+    # Degenerate codebook: everything in one cell -> ValueError.
+    bad = spark.range(200).selectExpr("id AS vec_id", "0 AS cell_id")
+    with pytest.raises(ValueError, match="degenerate codebook"):
+        _sd_skew_guard(bad)
+    # Uniform assignment at the same N: silent.
+    ok = spark.range(200).selectExpr("id AS vec_id", "id % 16 AS cell_id")
+    _sd_skew_guard(ok)
