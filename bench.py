@@ -94,12 +94,23 @@ def _data_fingerprint() -> dict | None:
             f"""SELECT (SELECT count(*) FROM '{SF_DIR}/documents.parquet'),
                        (SELECT round(avg(n_chars), 1)
                         FROM '{SF_DIR}/documents.parquet'),
-                       (SELECT count(*) FROM '{SF_DIR}/lineitem.parquet')"""
+                       (SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'),
+                       (SELECT count(*) FROM '{SF_DIR}/embeddings.parquet'),
+                       (SELECT max(len(embedding))
+                        FROM '{SF_DIR}/embeddings.parquet'),
+                       (SELECT count(*) FROM '{SF_DIR}/orders.parquet')"""
         ).fetchone()
+        # embeddings/orders added round 9: the four r8 quiet-run drift
+        # suspects (kmeans, decontam_embedding_knn, target_encoding_loo,
+        # split_leakage_audit) run over these tables, which the
+        # round-8 fingerprint could not see.
         return {
             "documents_rows": row[0],
             "documents_avg_chars": row[1],
             "lineitem_rows": row[2],
+            "embeddings_rows": row[3],
+            "embedding_dim": row[4],
+            "orders_rows": row[5],
         }
     except Exception:  # noqa: BLE001 — fingerprint must never kill bench
         return None

@@ -1312,17 +1312,37 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOM_EVERY = 10  # every 10th doc (doc_id % SOM_EVERY == 0) gains a copy
 SOM_OFFSET = 4_000_000
 
+SQL_DOCS_SRC = f"""
+    SELECT doc_id, source, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + {SOM_OFFSET}, 'src' || ((doc_id // {SOM_EVERY}) % 7),
+           lower(text)
+    FROM documents WHERE doc_id % {SOM_EVERY} = 0
+"""
+
+
+def docs_with_source_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, text): documents plus the SOM cross-source exact
+    copies — the corpus dedup_source_overlap_matrix audits and
+    dedup_corrected_mixing re-weights."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.lower("text").alias("text")
+    )
+    copies = d.filter(F.col("doc_id") % SOM_EVERY == 0).select(
+        (F.col("doc_id") + SOM_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("src"),
+            (F.expr(f"doc_id DIV {SOM_EVERY}") % 7).cast("string"),
+        ).alias("source"),
+        "text",
+    )
+    return d.unionByName(copies)
+
 
 @query(
     "dedup_source_overlap_matrix",
     oracle=f"""
-    WITH aug AS (
-        SELECT doc_id, source, lower(text) AS text FROM documents
-        UNION ALL
-        SELECT doc_id + {SOM_OFFSET}, 'src' || ((doc_id // {SOM_EVERY}) % 7),
-               lower(text)
-        FROM documents WHERE doc_id % {SOM_EVERY} = 0
-    ),
+    WITH aug AS ({SQL_DOCS_SRC}),
     h AS (SELECT doc_id, source, md5(text) AS ch FROM aug)
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1343,18 +1363,7 @@ SOM_OFFSET = 4_000_000
     "shuffle on the content hash, matrix is |sources|²-bounded.",
 )
 def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load(spark, sf_dir, "documents")).select(
-        "doc_id", "source", F.lower("text").alias("text")
-    )
-    copies = d.filter(F.col("doc_id") % SOM_EVERY == 0).select(
-        (F.col("doc_id") + SOM_OFFSET).alias("doc_id"),
-        F.concat(
-            F.lit("src"),
-            (F.expr(f"doc_id DIV {SOM_EVERY}") % 7).cast("string"),
-        ).alias("source"),
-        "text",
-    )
-    h = d.unionByName(copies).select(
+    h = docs_with_source_copies(spark, sf_dir).select(
         "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("ch")
     )
     a = h.select(

@@ -3383,3 +3383,148 @@ def quality_train_serve_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-corrected mixing weights (round 9)
+# --------------------------------------------------------------------------
+
+# dedup_source_overlap_matrix's doc states the stake: "double-counted
+# content silently doubles a source's effective weight". This query
+# CLOSES that loop — the mixing recipe consumes dedup's output instead
+# of raw sizes: every exact-content group is attributed to ONE canonical
+# source (the source of its min-doc_id member, dedup_exact's election),
+# effective sizes count canonical content only, and the temperature
+# allocation (α = 0.5 — sqrt is correctly rounded, the
+# temperature_mix_allocation argument) is computed over BOTH raw and
+# effective sizes side by side, so the output shows exactly how much
+# quota the duplicate mass was stealing. On the planted corpus src0-6
+# carry mirrored copies whose canonicals live elsewhere: their raw
+# quotas are inflated and their corrected quotas fall back to parity.
+# 100 TB: one content-hash shuffle (the dedup election), one
+# |sources|-row allocation — the corpus scan is the only data-sized
+# pass.
+
+DCM_BUDGET = 10_000  # documents in the mixed corpus
+
+from .dedup import SQL_DOCS_SRC as _SQL_DOCS_SRC  # noqa: E402
+
+
+@query(
+    "dedup_corrected_mixing",
+    oracle=f"""
+    WITH aug AS ({_SQL_DOCS_SRC}),
+    h AS (SELECT doc_id, source, md5(text) AS ch FROM aug),
+    canon AS (SELECT ch, arg_min(source, doc_id) AS csrc FROM h GROUP BY ch),
+    raw AS (SELECT source, count(*) AS n_raw FROM h GROUP BY source),
+    eff AS (SELECT csrc AS source, count(*) AS n_eff FROM canon GROUP BY csrc),
+    s AS (
+        SELECT r.source, r.n_raw, coalesce(e.n_eff, 0) AS n_eff
+        FROM raw r LEFT JOIN eff e USING (source)
+    ),
+    w AS (
+        SELECT source, n_raw, n_eff,
+               sqrt(CAST(n_raw AS DOUBLE)) AS wr,
+               sqrt(CAST(n_eff AS DOUBLE)) AS we
+        FROM s
+    ),
+    tot AS (SELECT {sql_dsum('wr', 18)} AS twr, {sql_dsum('we', 18)} AS twe FROM w),
+    alloc AS (
+        SELECT source, n_raw, n_eff,
+               CAST(floor({DCM_BUDGET} * (wr / t.twr)) AS BIGINT) AS base_r,
+               {DCM_BUDGET} * (wr / t.twr)
+                   - floor({DCM_BUDGET} * (wr / t.twr)) AS rem_r,
+               CAST(floor({DCM_BUDGET} * (we / t.twe)) AS BIGINT) AS base_e,
+               {DCM_BUDGET} * (we / t.twe)
+                   - floor({DCM_BUDGET} * (we / t.twe)) AS rem_e
+        FROM w, tot t
+    ),
+    fin AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem_r DESC, source) AS rk_r,
+               row_number() OVER (ORDER BY rem_e DESC, source) AS rk_e,
+               (SELECT {DCM_BUDGET} - sum(base_r) FROM alloc) AS left_r,
+               (SELECT {DCM_BUDGET} - sum(base_e) FROM alloc) AS left_e
+        FROM alloc
+    )
+    SELECT source,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_eff AS BIGINT) AS n_effective,
+           CAST(base_r + CASE WHEN rk_r <= left_r THEN 1 ELSE 0 END AS BIGINT)
+               AS quota_naive,
+           CAST(base_e + CASE WHEN rk_e <= left_e THEN 1 ELSE 0 END AS BIGINT)
+               AS quota_corrected
+    FROM fin
+    ORDER BY source
+    """,
+    doc="DEDUP-CORRECTED MIXING — the recipe that consumes the "
+    "cross-source duplication audit: every exact-content group is "
+    "attributed to its canonical source (min-doc_id election), "
+    "effective sizes count canonical content only, and the α=0.5 "
+    "temperature allocation runs over raw AND effective sizes side by "
+    "side — the quota a mirroring source loses is exactly the weight "
+    "its duplicate mass was stealing. Largest-remainder rounding: both "
+    "quota columns each sum EXACTLY to the budget. One content-hash "
+    "shuffle + a |sources|-row allocation.",
+)
+def dedup_corrected_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import docs_with_source_copies
+
+    h = managed_cache(
+        docs_with_source_copies(spark, sf_dir).select(
+            "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("ch")
+        )
+    )
+    canon = h.groupBy("ch").agg(F.min_by("source", "doc_id").alias("csrc"))
+    raw = h.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    eff = canon.groupBy(F.col("csrc").alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eff")
+    )
+    s = raw.join(eff, "source", "left").select(
+        "source", "n_raw", F.coalesce("n_eff", F.lit(0)).cast("bigint").alias("n_eff")
+    )
+    w = s.select(
+        "*",
+        F.sqrt(F.col("n_raw").cast("double")).alias("wr"),
+        F.sqrt(F.col("n_eff").cast("double")).alias("we"),
+    )
+    tot = w.agg(dsum("wr", 18).alias("twr"), dsum("we", 18).alias("twe"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_raw",
+        "n_eff",
+        F.floor(F.lit(DCM_BUDGET) * (F.col("wr") / F.col("twr")))
+        .cast("bigint")
+        .alias("base_r"),
+        (
+            F.lit(DCM_BUDGET) * (F.col("wr") / F.col("twr"))
+            - F.floor(F.lit(DCM_BUDGET) * (F.col("wr") / F.col("twr")))
+        ).alias("rem_r"),
+        F.floor(F.lit(DCM_BUDGET) * (F.col("we") / F.col("twe")))
+        .cast("bigint")
+        .alias("base_e"),
+        (
+            F.lit(DCM_BUDGET) * (F.col("we") / F.col("twe"))
+            - F.floor(F.lit(DCM_BUDGET) * (F.col("we") / F.col("twe")))
+        ).alias("rem_e"),
+    )
+    left = alloc.agg(
+        (F.lit(DCM_BUDGET) - F.sum("base_r")).alias("left_r"),
+        (F.lit(DCM_BUDGET) - F.sum("base_e")).alias("left_e"),
+    )
+    fin = (
+        alloc.crossJoin(F.broadcast(left))
+        .withColumn("rk_r", F.row_number().over(W.orderBy(F.desc("rem_r"), "source")))
+        .withColumn("rk_e", F.row_number().over(W.orderBy(F.desc("rem_e"), "source")))
+    )
+    return fin.select(
+        "source",
+        "n_raw",
+        F.col("n_eff").alias("n_effective"),
+        (F.col("base_r") + F.when(F.col("rk_r") <= F.col("left_r"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("quota_naive"),
+        (F.col("base_e") + F.when(F.col("rk_e") <= F.col("left_e"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("quota_corrected"),
+    ).orderBy("source")
