@@ -3528,3 +3528,121 @@ def dedup_corrected_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota_corrected"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Curriculum-ordered packing (round 9)
+# --------------------------------------------------------------------------
+
+# Sequence-length curriculum (train short→long, the warmup layout many
+# pretraining runs use): documents are ordered by (length bucket,
+# doc_id) and packed into context windows in THAT order, so early bins
+# hold short documents and difficulty rises monotonically through the
+# run. The global position comes from a THREE-level prefix sum — the
+# pack_documents_ctx two-phase trick with a bucket level on top:
+# in-block running sum (windows partitioned by (bucket, block) — fully
+# parallel) + per-block offsets within the bucket (tiny) + per-bucket
+# offsets (4 rows). No global single-partition window anywhere on the
+# Spark side; the oracle IS the single global window, so the
+# differential proves the decomposition equals it.
+
+CURR_BUCKETS = 4  # length buckets: n_tokens DIV 20, capped
+
+
+@query(
+    "curriculum_pack_order",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len({TX.sql_words('text')}) AS n_tokens,
+               least(len({TX.sql_words('text')}) // 20, {CURR_BUCKETS - 1})
+                   AS bucket
+        FROM documents
+    ),
+    cum AS (
+        SELECT *,
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY bucket, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tokens_before
+        FROM toks
+    )
+    SELECT CAST(tokens_before // {CTX_TOKENS} AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(min(bucket) AS BIGINT)   AS first_bucket,
+           CAST(max(bucket) AS BIGINT)   AS last_bucket,
+           CAST(min(tokens_before) AS BIGINT) AS bin_start
+    FROM cum
+    GROUP BY 1
+    ORDER BY bin_id
+    """,
+    doc="CURRICULUM-ORDERED PACKING — short→long sequence-length "
+    "curriculum: docs ordered by (length bucket, doc_id), virtually "
+    "concatenated, chunked into context windows; per-bin report shows "
+    "difficulty rising monotonically (first/last bucket). Global "
+    "positions via a three-level distributed prefix sum (in-block "
+    "window partitioned by (bucket, block), per-block offsets within "
+    "bucket, 4-row bucket offsets) — no global single-partition window "
+    "on the Spark side; the oracle is exactly that global window, so "
+    "the differential proves the decomposition. 100 TB: every level's "
+    "key space shrinks by PACK_BLOCK; the corpus is scanned once.",
+)
+def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    n_tok = F.size(TX.words(F.col("text"))).cast("bigint")
+    toks = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.least(n_tok / 20, F.lit(CURR_BUCKETS - 1)).cast("bigint").alias("bucket"),
+        (F.col("doc_id") / PACK_BLOCK).cast("bigint").alias("blk"),
+    )
+    in_blk = (
+        W.partitionBy("bucket", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    blk_tot = toks.groupBy("bucket", "blk").agg(F.sum("n_tokens").alias("blk_tokens"))
+    blk_off = blk_tot.withColumn(
+        "blk_offset",
+        F.coalesce(
+            F.sum("blk_tokens").over(
+                W.partitionBy("bucket").orderBy("blk")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "blk", "blk_offset")
+    bkt_tot = blk_tot.groupBy("bucket").agg(F.sum("blk_tokens").alias("bkt_tokens"))
+    bkt_off = bkt_tot.withColumn(
+        "bkt_offset",
+        F.coalesce(
+            F.sum("bkt_tokens").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "bkt_offset")
+    cum = (
+        toks.withColumn(
+            "in_blk_before", F.coalesce(F.sum("n_tokens").over(in_blk), F.lit(0))
+        )
+        .join(F.broadcast(blk_off), ["bucket", "blk"])
+        .join(F.broadcast(bkt_off), "bucket")
+        .withColumn(
+            "tokens_before",
+            F.col("bkt_offset") + F.col("blk_offset") + F.col("in_blk_before"),
+        )
+    )
+    return (
+        cum.groupBy(
+            (F.col("tokens_before") / CTX_TOKENS).cast("bigint").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("bucket").alias("first_bucket"),
+            F.max("bucket").alias("last_bucket"),
+            F.min("tokens_before").cast("bigint").alias("bin_start"),
+        )
+        .orderBy("bin_id")
+    )

@@ -174,3 +174,22 @@ def test_semdedup_skew_guard(spark):
     # Uniform assignment at the same N: silent.
     ok = spark.range(200).selectExpr("id AS vec_id", "id % 16 AS cell_id")
     _sd_skew_guard(ok)
+
+
+def test_curriculum_bins_monotone_difficulty(spark):
+    """Curriculum packing: bucket (difficulty) must be non-decreasing
+    across bins, and within a bin last >= first."""
+    from python_btc_etl_spark.plans.pipeline import curriculum_pack_order
+
+    rows = curriculum_pack_order(spark, SF_SMALL).collect()
+    assert len(rows) > 2
+    prev_last = None
+    for r in rows:
+        assert r["first_bucket"] <= r["last_bucket"]
+        # The global order is (bucket, doc_id), so every doc of bin i+1
+        # follows every doc of bin i: buckets can never step back.
+        if prev_last is not None:
+            assert r["first_bucket"] >= prev_last, rows
+        prev_last = r["last_bucket"]
+    # The curriculum genuinely spans multiple difficulty levels.
+    assert rows[0]["first_bucket"] < rows[-1]["last_bucket"]
