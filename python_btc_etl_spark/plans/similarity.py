@@ -1639,3 +1639,98 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("query_id", "sel_rank")
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (round 9)
+# --------------------------------------------------------------------------
+
+# The embedding-model training-data operator: for every (query,
+# positive) pair, mine the corpus for the HARDEST negatives — the
+# highest-cosine non-positive vectors — which is what contrastive /
+# triplet training actually consumes (random negatives are too easy to
+# teach anything). Queries are the planted 1.01x-scaled copies (their
+# positive is the original at query_id - VEC_OFFSET, cosine exactly
+# 1.0 since cosine is scale-invariant), so the margin column
+# pos_cosine - neg_cosine is a planted-truth audit: >= 0 always, == 0
+# only when the corpus holds an exact-duplicate vector of the
+# positive. Asymmetric brute-force shape (the decontam/knn discipline):
+# the query set broadcasts, the corpus is scanned once and never
+# shuffled except the per-query ranking window on a |Q|-bounded key.
+
+from .dedup import SQL_VECS_SCALED as _SQL_VECS_SCALED  # noqa: E402
+from .dedup import VEC_OFFSET as _VEC_OFFSET  # noqa: E402
+from .dedup import vecs_with_scaled_copies as _vecs_scaled  # noqa: E402
+
+HN_K = 5  # hardest negatives kept per query
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH aug AS ({_SQL_VECS_SCALED}),
+    train AS (SELECT vec_id, v FROM aug WHERE vec_id < {_VEC_OFFSET}),
+    q AS (
+        SELECT vec_id AS query_id, vec_id - {_VEC_OFFSET} AS pos_id, v AS qv
+        FROM aug WHERE vec_id >= {_VEC_OFFSET}
+    ),
+    pos AS (
+        SELECT q.query_id, {VX.sql_cosine('q.qv', 't.v')} AS pos_cosine
+        FROM q JOIN train t ON t.vec_id = q.pos_id
+    ),
+    scored AS (
+        SELECT q.query_id, t.vec_id AS neg_id,
+               {VX.sql_cosine('q.qv', 't.v')} AS neg_cosine,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {VX.sql_cosine('q.qv', 't.v')} DESC,
+                                           t.vec_id) AS rank
+        FROM q JOIN train t ON t.vec_id <> q.pos_id
+    )
+    SELECT s.query_id, s.rank, s.neg_id, s.neg_cosine,
+           p.pos_cosine, p.pos_cosine - s.neg_cosine AS margin
+    FROM scored s JOIN pos p USING (query_id)
+    WHERE s.rank <= {HN_K}
+    ORDER BY s.query_id, s.rank
+    """,
+    doc=f"HARD-NEGATIVE MINING for contrastive training: per (query, "
+    f"positive) pair, the top-{HN_K} highest-cosine corpus vectors "
+    "EXCLUDING the positive, with the triplet margin pos_cosine - "
+    "neg_cosine per row (planted positives sit at cosine exactly 1.0, "
+    "so margins are >= 0 by construction and == 0 flags exact-dup "
+    "vectors the miner must not serve as negatives). Asymmetric "
+    "brute-force: broadcast query set, one corpus scan, "
+    "order-deterministic cosine fold, per-query ranking window with "
+    "vec_id tie-break — the knn_bruteforce/decontam discipline. "
+    "100 TB: swap the scan side for the IVF/LSH candidate generators "
+    "in this module; the mining join shape is unchanged.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _vecs_scaled(spark, sf_dir)
+    train = aug.filter(F.col("vec_id") < _VEC_OFFSET).select("vec_id", "v")
+    q = aug.filter(F.col("vec_id") >= _VEC_OFFSET).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") - _VEC_OFFSET).alias("pos_id"),
+        F.col("v").alias("qv"),
+    )
+    cos = VX.cosine(F.col("qv"), F.col("v"))
+    pos = (
+        train.join(F.broadcast(q), F.col("vec_id") == F.col("pos_id"))
+        .select("query_id", cos.alias("pos_cosine"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("neg_cosine"), "neg_id")
+    return (
+        train.join(F.broadcast(q), F.col("vec_id") != F.col("pos_id"))
+        .select("query_id", F.col("vec_id").alias("neg_id"), cos.alias("neg_cosine"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= HN_K)
+        .join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "neg_id",
+            "neg_cosine",
+            "pos_cosine",
+            (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+        )
+        .orderBy("query_id", "rank")
+    )
