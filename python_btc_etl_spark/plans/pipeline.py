@@ -3646,3 +3646,136 @@ def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Contamination UNION report (round 9)
+# --------------------------------------------------------------------------
+
+# Production decontamination runs BOTH channels and removes the union:
+# verbatim leakage (the n-gram channel) and paraphrase leakage (the
+# embedding channel) have disjoint blind spots, and a doc is
+# contaminated if EITHER fires. This report joins the two standalone
+# queries' verdicts into one per-id row — the removal list a corpus
+# build actually consumes — with per-channel evidence columns so the
+# removal is auditable. Id spaces: the n-gram channel flags document
+# ids, the embedding channel flags vector ids (the train id of each
+# embedding row); entities without an embedding can only be flagged by
+# text, which the full-outer join preserves as NULL-evidence rows.
+
+DECON_UNION_COLS = (
+    "train_id, n_shared_ngrams, n_bench_ngram_docs, "
+    "n_bench_embedding_hits, max_cosine, flagged_ngram, "
+    "flagged_embedding, flagged_both"
+)
+
+
+@query(
+    "decontam_union_report",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {TX.sql_words('text')} AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, g
+        FROM w, unnest(CASE WHEN len(w.w) < {DECONTAM_N} THEN []::VARCHAR[]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w.w) - {DECONTAM_N} + 2),
+                                i -> {" || ' ' || ".join(f"w.w[i+{k}]" for k in range(DECONTAM_N))}))
+                       END) AS t(g)
+    ),
+    gb AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {BENCH_EVERY} = 0),
+    gt AS (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_EVERY} <> 0),
+    ng AS (
+        SELECT t.doc_id AS train_id,
+               count(DISTINCT t.g)        AS n_shared_ngrams,
+               count(DISTINCT b.bench_id) AS n_bench_ngram_docs
+        FROM gt t JOIN gb b ON t.g = b.g
+        GROUP BY t.doc_id
+    ),
+    aug AS ({_SQL_VECS_SCALED}),
+    bk AS (SELECT vec_id, v, {VX.sql_lsh_bucket('v')} AS bucket FROM aug),
+    etr AS (SELECT * FROM bk WHERE vec_id < {_VEC_OFFSET}),
+    ebn AS (SELECT * FROM bk WHERE vec_id >= {_VEC_OFFSET}),
+    emb AS (
+        SELECT t.vec_id AS train_id,
+               CAST(count(*) AS BIGINT) AS n_bench_embedding_hits,
+               max({VX.sql_cosine('t.v', 'b.v')}) AS max_cosine
+        FROM etr t JOIN ebn b ON t.bucket = b.bucket
+        WHERE {VX.sql_cosine('t.v', 'b.v')} >= {DECON_COS_T}
+        GROUP BY t.vec_id
+    )
+    SELECT coalesce(n.train_id, e.train_id) AS train_id,
+           CAST(coalesce(n.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+           CAST(coalesce(n.n_bench_ngram_docs, 0) AS BIGINT) AS n_bench_ngram_docs,
+           CAST(coalesce(e.n_bench_embedding_hits, 0) AS BIGINT)
+               AS n_bench_embedding_hits,
+           coalesce(e.max_cosine, 0.0) AS max_cosine,
+           n.train_id IS NOT NULL AS flagged_ngram,
+           e.train_id IS NOT NULL AS flagged_embedding,
+           n.train_id IS NOT NULL AND e.train_id IS NOT NULL AS flagged_both
+    FROM ng n FULL OUTER JOIN emb e ON n.train_id = e.train_id
+    ORDER BY train_id
+    """,
+    doc="CONTAMINATION UNION REPORT — the removal list production "
+    "decontamination consumes: one row per train id flagged by EITHER "
+    "channel (verbatim n-gram overlap OR embedding-space paraphrase), "
+    "with per-channel evidence (shared-gram + matched-benchmark "
+    "counts; hit count + max cosine) and the flag booleans. Full-outer "
+    "join of the two standalone verdict sets; each channel keeps its "
+    "own scale shape (broadcast benchmark gram index; broadcast "
+    "benchmark vectors into the LSH bucket join). The union is why "
+    "both channels exist: each one's blind spot is the other's "
+    "catch.",
+)
+def decontam_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    grams = managed_cache(
+        d.select(
+            "doc_id",
+            F.explode(TX.shingles(TX.words(F.col("text")), n=DECONTAM_N)).alias("g"),
+        )
+    )
+    gb = grams.filter(F.col("doc_id") % BENCH_EVERY == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    gt = grams.filter(F.col("doc_id") % BENCH_EVERY != 0)
+    ng = (
+        gt.join(F.broadcast(gb), "g")
+        .groupBy(F.col("doc_id").alias("train_id"))
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_ngram_docs"),
+        )
+    )
+    aug = _vecs_scaled(spark, sf_dir).withColumn("bucket", VX.lsh_bucket(F.col("v")))
+    etr = aug.filter(F.col("vec_id") < _VEC_OFFSET)
+    ebn = aug.filter(F.col("vec_id") >= _VEC_OFFSET).select(
+        F.col("v").alias("bv"), F.col("bucket").alias("bbucket")
+    )
+    cosv = VX.cosine(F.col("v"), F.col("bv"))
+    emb = (
+        etr.join(F.broadcast(ebn), F.col("bucket") == F.col("bbucket"))
+        .select(F.col("vec_id").alias("train_id"), cosv.alias("cosine"))
+        .filter(F.col("cosine") >= DECON_COS_T)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_embedding_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+    n, e = ng.alias("n"), emb.alias("e")
+    return (
+        n.join(e, F.col("n.train_id") == F.col("e.train_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("n.train_id"), F.col("e.train_id")).alias("train_id"),
+            F.coalesce("n.n_shared_ngrams", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+            F.coalesce("n.n_bench_ngram_docs", F.lit(0)).cast("bigint").alias("n_bench_ngram_docs"),
+            F.coalesce("e.n_bench_embedding_hits", F.lit(0)).cast("bigint").alias("n_bench_embedding_hits"),
+            F.coalesce("e.max_cosine", F.lit(0.0)).alias("max_cosine"),
+            F.col("n.train_id").isNotNull().alias("flagged_ngram"),
+            F.col("e.train_id").isNotNull().alias("flagged_embedding"),
+            (F.col("n.train_id").isNotNull() & F.col("e.train_id").isNotNull()).alias("flagged_both"),
+        )
+        .orderBy("train_id")
+    )
