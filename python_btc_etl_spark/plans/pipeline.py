@@ -3779,3 +3779,91 @@ def decontam_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer comparison: fertility under first-round vs iterative tables
+# --------------------------------------------------------------------------
+
+# The eval a tokenizer retrain ships with: per-language fertility under
+# the CURRENT (one-shot first-round) table vs the CANDIDATE (iterative)
+# table, side by side, with the delta in exact ppm — the evidence row a
+# "should we swap tokenizers" decision reads. One vocab projection
+# computes BOTH encodes (the dictionary trick twice over), one
+# broadcast join, one |languages|-row rollup.
+
+
+@query(
+    "bpe_fertility_compare",
+    oracle=f"""
+    WITH {_bpe_iter_sql_ctes()},
+    fm AS (
+        SELECT '|' || c1 || '||' || c2 || '|' AS pat,
+               '|' || c1 || c2 || '|'         AS rep,
+               row_number() OVER (ORDER BY n DESC, c1, c2) AS rnk
+        FROM (
+            SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2,
+                   count(*) AS n
+            FROM tw, unnest(range(1, length(word))) AS t(i)
+            WHERE length(word) >= 2
+            GROUP BY c1, c2
+        )
+        QUALIFY rnk <= {BPE_TOP}
+    ),
+    w AS (SELECT lang, unnest({TX.sql_words('text')}) AS word FROM documents),
+    vocab AS (SELECT DISTINCT word FROM w),
+    enc AS (
+        SELECT word,
+               (length(sf) - length(replace(sf, '|', ''))) // 2 AS n_first,
+               (length(si) - length(replace(si, '|', ''))) // 2 AS n_iter
+        FROM (SELECT word,
+                     {_bpe_sql_enc_expr_from('fm')} AS sf,
+                     {_bpe_iter_sql_enc_expr()} AS si
+              FROM vocab)
+    )
+    SELECT w.lang,
+           CAST(count(*) AS BIGINT)            AS n_words,
+           CAST(sum(e.n_first) AS BIGINT)      AS n_tokens_first,
+           CAST(sum(e.n_iter) AS BIGINT)       AS n_tokens_iter,
+           CAST(sum(e.n_first) * 1000000 // count(*) AS BIGINT)
+               AS fertility_first_ppm,
+           CAST(sum(e.n_iter) * 1000000 // count(*) AS BIGINT)
+               AS fertility_iter_ppm
+    FROM w JOIN enc e ON e.word = w.word
+    GROUP BY w.lang
+    ORDER BY w.lang
+    """,
+    doc="TOKENIZER COMPARISON — per-language fertility under the "
+    "one-shot first-round merge table vs the iterative table of the "
+    "same size, side by side in exact integer ppm: the eval artifact "
+    "a tokenizer swap decision reads (a language whose fertility "
+    "drops most is the one the recount served best). One vocab "
+    "projection computes both encodes, one broadcast join, "
+    "|languages|-row output.",
+)
+def bpe_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iter_merges = _bpe_iter_merges(spark, sf_dir)
+    first_merges = [(c1, c2, 0) for c1, c2 in _bpe_merges(spark, sf_dir)]
+    d = spread(load(spark, sf_dir, "documents"))
+    w = d.select("lang", F.explode(TX.words(F.col("text"))).alias("word"))
+    enc = w.select("word").distinct().select(
+        "word",
+        _bpe_sym_count(_bpe_apply_chain(first_merges, F.col("word"))).alias("n_first"),
+        _bpe_sym_count(_bpe_apply_chain(iter_merges, F.col("word"))).alias("n_iter"),
+    )
+    return (
+        w.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_first").cast("bigint").alias("n_tokens_first"),
+            F.sum("n_iter").cast("bigint").alias("n_tokens_iter"),
+            F.expr("sum(n_first) * 1000000 DIV count(*)")
+            .cast("bigint")
+            .alias("fertility_first_ppm"),
+            F.expr("sum(n_iter) * 1000000 DIV count(*)")
+            .cast("bigint")
+            .alias("fertility_iter_ppm"),
+        )
+        .orderBy("lang")
+    )
