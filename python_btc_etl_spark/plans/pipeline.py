@@ -3867,3 +3867,116 @@ def bpe_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Mid-band score pruning (round 9)
+# --------------------------------------------------------------------------
+
+# Data pruning by difficulty band (Sorscher et al. '22, "Beyond neural
+# scaling laws"): the best pruning policy keeps the MIDDLE of the
+# difficulty distribution — the lowest-scoring tail is noise, the
+# highest-scoring tail is redundant easy data. Score = the shared
+# hashed-BOW quality score (one featurizer, as everywhere); thresholds
+# are EXACT integer quantiles with percentile_disc semantics (the
+# smallest score whose cumulative count reaches ceil(q*N)) computed
+# from the score HISTOGRAM — the cumulative window runs over |distinct
+# scores| rows, bounded metadata however large the corpus, so the
+# "global" quantile needs no global sort of data rows.
+
+SBP_LO_NUM, SBP_HI_NUM, SBP_DEN = 1, 3, 4  # keep the p25..p75 band
+
+
+@query(
+    "score_band_pruning",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({TX.sql_words('text')})) AS tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               {QC_BIAS} + sum({_qc_weight_sql(f"{TX.sql_hash28('tok')} % {FH_DIM}")})
+                   AS score
+        FROM toks GROUP BY doc_id
+    ),
+    hist AS (SELECT score, count(*) AS c FROM scored GROUP BY score),
+    cum AS (
+        SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+               (SELECT count(*) FROM scored) AS n
+        FROM hist
+    ),
+    th AS (
+        SELECT min(CASE WHEN cum >= (n * {SBP_LO_NUM} + {SBP_DEN - 1}) // {SBP_DEN}
+                   THEN score END) AS t_lo,
+               min(CASE WHEN cum >= (n * {SBP_HI_NUM} + {SBP_DEN - 1}) // {SBP_DEN}
+                   THEN score END) AS t_hi
+        FROM cum
+    )
+    SELECT CASE WHEN s.score < t.t_lo THEN 'low'
+                WHEN s.score > t.t_hi THEN 'high'
+                ELSE 'keep' END AS band,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(min(s.score) AS BIGINT) AS min_score,
+           CAST(max(s.score) AS BIGINT) AS max_score,
+           CAST(max(t.t_lo) AS BIGINT)  AS t_lo,
+           CAST(max(t.t_hi) AS BIGINT)  AS t_hi
+    FROM scored s, th t
+    GROUP BY 1
+    ORDER BY band
+    """,
+    doc="MID-BAND DATA PRUNING (Sorscher et al. '22): keep documents "
+    "whose quality score sits in the exact p25..p75 band — the low "
+    "tail is noise, the high tail redundant. Thresholds use "
+    "percentile_disc semantics (smallest score whose cumulative count "
+    "reaches ceil(q*N)) over the SCORE HISTOGRAM, so the global "
+    "quantile costs one partial-aggregable count plus a window over "
+    "|distinct scores| rows of metadata — no global data sort. Score "
+    "is the shared hashed-BOW featurizer; everything is integer, "
+    "division-free, bit-identical cross-engine.",
+)
+def score_band_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    feat = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.words(F.col("text")))).alias("tok"),
+    ).select("doc_id", (TX.hash28(F.col("tok")) % FH_DIM).alias("bucket"))
+    weight = (F.col("bucket") * 37 + 11) % 21 - 10
+    scored = managed_cache(
+        feat.groupBy("doc_id").agg(
+            (F.lit(QC_BIAS) + F.sum(weight)).cast("bigint").alias("score")
+        )
+    )
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.crossJoin(F.broadcast(n_tot)).withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    lo_pos = (F.col("n") * SBP_LO_NUM + (SBP_DEN - 1)) / SBP_DEN
+    hi_pos = (F.col("n") * SBP_HI_NUM + (SBP_DEN - 1)) / SBP_DEN
+    th = cum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.floor(lo_pos), F.col("score"))
+        ).alias("t_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.floor(hi_pos), F.col("score"))
+        ).alias("t_hi"),
+    )
+    band = (
+        F.when(F.col("score") < F.col("t_lo"), "low")
+        .when(F.col("score") > F.col("t_hi"), "high")
+        .otherwise("keep")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.max("t_lo").cast("bigint").alias("t_lo"),
+            F.max("t_hi").cast("bigint").alias("t_hi"),
+        )
+        .orderBy("band")
+    )
