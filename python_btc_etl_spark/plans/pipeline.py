@@ -2117,9 +2117,30 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carries the symbol strings.
 
 
+# Trained merge tables memoized per corpus: five queries consume the
+# first-round table and four the iterative one, and re-training per
+# query repeats a corpus scan (first-round) or ten argmax rounds
+# (iterative) for a result that is 10 rows of metadata. The key
+# includes the documents parquet's mtime+size — the same
+# staleness-fingerprint discipline as materialize_versioned_events —
+# so a regenerated corpus retrains instead of serving a stale table.
+_BPE_TABLE_MEMO: dict = {}
+
+
+def _bpe_memo_key(sf_dir: str, tag: str):
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return (tag, sf_dir, st.st_mtime_ns, st.st_size)
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """Top-BPE_TOP first-round merge pairs in rank order (n DESC, c1, c2)
-    — the same ranking bpe_first_merges reports. Bounded 10-row collect."""
+    — the same ranking bpe_first_merges reports. Bounded 10-row collect;
+    memoized per corpus fingerprint (train once, apply many)."""
+    key = _bpe_memo_key(sf_dir, "first")
+    if key in _BPE_TABLE_MEMO:
+        return _BPE_TABLE_MEMO[key]
     d = spread(load(spark, sf_dir, "documents"))
     words = d.select(F.explode(TX.words(F.col("text"))).alias("word")).filter(
         F.length("word") >= 2
@@ -2138,7 +2159,8 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
         .limit(BPE_TOP)
         .collect()
     )
-    return [(r["c1"], r["c2"]) for r in rows]
+    _BPE_TABLE_MEMO[key] = [(r["c1"], r["c2"]) for r in rows]
+    return _BPE_TABLE_MEMO[key]
 
 
 def _bpe_encode_col(word) -> "F.Column":
@@ -2446,7 +2468,12 @@ def _bpe_iter_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, i
     replace, so this sync point is inherent to greedy BPE, not a
     shortcut. The corpus is scanned ONCE (the cached dictionary);
     every round reads dictionary rows only (plan-shape-pinned in
-    tests/test_plan_shape_r9.py)."""
+    tests/test_plan_shape_r9.py). Memoized per corpus fingerprint like
+    _bpe_merges — four queries consume this table (train once, apply
+    many)."""
+    key = _bpe_memo_key(sf_dir, "iter")
+    if key in _BPE_TABLE_MEMO:
+        return _BPE_TABLE_MEMO[key]
     d = spread(load(spark, sf_dir, "documents"))
     dic = managed_cache(
         d.select(F.explode(TX.words(F.col("text"))).alias("word"))
@@ -2470,6 +2497,7 @@ def _bpe_iter_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, i
         s1, s2 = top[0]["s1"], top[0]["s2"]
         merges.append((s1, s2, int(top[0]["n"])))
         sym = F.replace(sym, F.lit(f"|{s1}||{s2}|"), F.lit(f"|{s1}{s2}|"))
+    _BPE_TABLE_MEMO[key] = merges
     return merges
 
 
