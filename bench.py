@@ -184,7 +184,26 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001 — warm-up must never kill bench
         print(f"[bench] pyds warmup skipped: {exc}", file=sys.stderr, flush=True)
 
-    calibration_start = _calibrate(spark)
+    # SETTLE LOOP (round 9): both the r8 "quiet" run (calibration 0.131
+    # start vs 0.089 end) and the first r9 run (0.292 vs 0.099 — ~3x)
+    # started while the box was still digesting PRIOR load, inflating
+    # every early query and poisoning cross-round comparison. Rather
+    # than trusting loadavg alone, measure the canary repeatedly and
+    # refuse to start timing until two consecutive samples agree within
+    # 15% (bounded: ~3 min worst case, then proceed and let the stamps
+    # tell the story).
+    settle_history = [_calibrate(spark)]
+    for _ in range(8):
+        if settle_history[-1] <= 0.15:  # already at known-quiet speed
+            break
+        time.sleep(20)
+        settle_history.append(_calibrate(spark))
+        a, b = settle_history[-2], settle_history[-1]
+        if abs(a - b) / min(a, b) <= 0.15:
+            break
+    if len(settle_history) > 1:
+        print(f"[bench] settle loop: {settle_history}", file=sys.stderr, flush=True)
+    calibration_start = settle_history[-1]
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = only.split(",") if only else list(plans.REGISTRY)
@@ -283,7 +302,11 @@ def main() -> int:
         "speedup_order": "pre-suite",
         # Fixed-workload machine-speed canary (seconds; smaller = faster
         # box). Compare across rounds before comparing query totals.
-        "calibration_sec": {"start": calibration_start, "end": calibration_end},
+        "calibration_sec": {
+            "start": calibration_start,
+            "end": calibration_end,
+            "settle_history": settle_history,
+        },
         "data_fingerprint": _data_fingerprint(),
     }
     if load_warning:
