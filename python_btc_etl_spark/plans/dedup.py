@@ -748,7 +748,9 @@ CONTAIN_T = 0.9  # containment threshold: near-subset duplication
     "note (r7->r8 drift 3.6 -> ~5.4 s = the corpus's ~2x gram growth, "
     "see dedup_ngram_jaccard).",
 )
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, containment) at containment >= CONTAIN_T — the
+    shared detection leg of dedup_containment and dedup_pair_evidence."""
     h = _hashed_shingles(spark, sf_dir)
     inv = h.select("doc_id", F.explode("hs").alias("s"))
     rare = (
@@ -777,8 +779,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_maybe_broadcast(y), "doc_b")
         .select("doc_a", "doc_b", contain.alias("containment"))
         .filter(F.col("containment") >= CONTAIN_T)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _containment_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 CAL_BAND = 0.1  # calibration tolerance band for |est - exact|
@@ -1663,4 +1668,131 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matches").isNotNull().alias("is_dup"),
         )
         .orderBy("batch_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# 14. Pair EVIDENCE — the dedup auditability face (round 9)
+# --------------------------------------------------------------------------
+
+# Every detector above answers "which pairs"; a production removal
+# pipeline also has to answer "WHY was this pair flagged" — to a data
+# owner disputing a drop, or an engineer triaging a false positive.
+# This query attaches contiguous-run evidence to every containment-
+# flagged pair: the DSR_K-token spans (dedup_span_removal's positional
+# 60-bit gram table) the two documents share, summarized as shared-gram
+# count and the first/last matched positions on each side. Pairs whose
+# similarity is diffuse (3-gram overlap without any shared 8-token run)
+# come back with zero spans — itself evidence, distinguishing excerpt/
+# prefix duplication from bag-of-words similarity. Scale shape: the
+# flagged pair list is BOUNDED (it is the detector's output) and
+# broadcasts; the positional gram table is scanned once and pruned to
+# pair members by that broadcast before the hash equi-join.
+
+
+@query(
+    "dedup_pair_evidence",
+    oracle=f"""
+    WITH aug AS MATERIALIZED ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    h AS MATERIALIZED ({SQL_HASHED_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(hs) AS s FROM h),
+    rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {DF_MAX}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN rare r ON a.s = r.s
+    ),
+    pairs AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN h x ON x.doc_id = c.doc_a
+        JOIN h y ON y.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                  / least(len(x.hs), len(y.hs)) >= {CONTAIN_T}
+    ),
+    t AS (SELECT doc_id, {TX.sql_words('text')} AS w FROM aug),
+    gp AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos,
+               {TX.sql_hash60(f"array_to_string(w[i:i+{DSR_K}-1], ' ')")} AS gh
+        FROM t, unnest(range(1, len(w) - {DSR_K} + 2)) AS u(i)
+        WHERE len(w) >= {DSR_K}
+    ),
+    ev AS (
+        SELECT p.doc_a, p.doc_b,
+               count(DISTINCT ga.gh) AS n_shared_spans,
+               min(ga.pos) AS a_first, max(ga.pos) AS a_last,
+               min(gb.pos) AS b_first, max(gb.pos) AS b_last
+        FROM pairs p
+        JOIN gp ga ON ga.doc_id = p.doc_a
+        JOIN gp gb ON gb.doc_id = p.doc_b AND gb.gh = ga.gh
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(e.n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+           CAST(coalesce(e.a_first, -1) AS BIGINT) AS a_first,
+           CAST(coalesce(e.a_last, -1) AS BIGINT)  AS a_last,
+           CAST(coalesce(e.b_first, -1) AS BIGINT) AS b_first,
+           CAST(coalesce(e.b_last, -1) AS BIGINT)  AS b_last
+    FROM pairs p
+    LEFT JOIN ev e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    doc=f"DEDUP PAIR EVIDENCE — the auditability face: for every "
+    f"containment-flagged pair, the shared {DSR_K}-token contiguous "
+    "spans (positional 60-bit gram hashes, dedup_span_removal's "
+    "table), summarized as shared-span count + first/last matched "
+    "position per side; zero spans distinguishes diffuse bag-of-words "
+    "similarity from excerpt/prefix duplication. The bounded flagged-"
+    "pair list broadcasts and prunes the positional gram scan before "
+    "the hash equi-join — evidence costs one extra narrow pass over "
+    "the already-materialized gram table, never a corpus self-join.",
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = managed_cache(
+        _containment_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    aug = docs_with_truncated_copies(spark, sf_dir)
+    wdf = aug.select("doc_id", TX.words(F.col("text")).alias("w")).filter(
+        F.size("w") >= DSR_K
+    )
+    gp = (
+        wdf.mapInPandas(_span_gram_batches, "doc_id bigint, hs array<bigint>")
+        .select("doc_id", F.posexplode("hs").alias("pos", "gh"))
+    )
+    ga = gp.join(
+        F.broadcast(pairs), gp["doc_id"] == pairs["doc_a"]
+    ).select("doc_a", "doc_b", F.col("pos").alias("pos_a"), "gh")
+    gb = gp.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
+        F.col("gh").alias("gh_b"),
+    )
+    ev = (
+        ga.join(gb, (ga["doc_b"] == gb["doc_b"]) & (ga["gh"] == gb["gh_b"]))
+        .drop(gb["doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.countDistinct("gh").alias("n_shared_spans"),
+            F.min("pos_a").alias("a_first"),
+            F.max("pos_a").alias("a_last"),
+            F.min("pos_b").alias("b_first"),
+            F.max("pos_b").alias("b_last"),
+        )
+    )
+    return (
+        pairs.join(ev, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("n_shared_spans", F.lit(0)).cast("bigint").alias("n_shared_spans"),
+            F.coalesce("a_first", F.lit(-1)).cast("bigint").alias("a_first"),
+            F.coalesce("a_last", F.lit(-1)).cast("bigint").alias("a_last"),
+            F.coalesce("b_first", F.lit(-1)).cast("bigint").alias("b_first"),
+            F.coalesce("b_last", F.lit(-1)).cast("bigint").alias("b_last"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
