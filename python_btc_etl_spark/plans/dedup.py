@@ -1796,3 +1796,108 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# 15. Normalization-fold exact dedup (round 9)
+# --------------------------------------------------------------------------
+
+# The Gopher/Falcon-style first gate BEFORE content hashing: aggressive
+# text normalization (case-fold, strip punctuation, collapse
+# whitespace) so that trivially-reformatted mirrors hash identically.
+# Raw exact dedup (dedup_exact's lower(text) sha) misses a copy that
+# added punctuation or whitespace; the normalized hash catches it.
+# Planted corpus: every NRM_EVERY-th doc gains a "reformatted" copy —
+# leading spaces, each space doubled with an inserted comma, trailing
+# bangs — that normalizes back to the original text exactly. The audit
+# reports each normalized group that holds MORE THAN ONE distinct raw
+# hash: the catches normalization adds over raw exact dedup (the
+# natural corpus contributes none — punctuation-free by construction —
+# so every row is a planted group, count-verifiable). 100 TB: the
+# normalization is a codegen'd regexp chain in the same scan as the
+# hash; one content-hash shuffle, identical to dedup_exact.
+NRM_EVERY = 25  # docs with doc_id % 25 == 0 gain a reformatted copy
+NRM_OFFSET = 6_000_000
+
+SQL_NRM_NOISY = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {NRM_OFFSET},
+           '  ' || replace(text, ' ', ' , ') || ' !!'
+    FROM documents WHERE doc_id % {NRM_EVERY} = 0
+"""
+
+
+def _nrm_fold_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}),"
+        f" '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def _nrm_fold_col(col) -> "F.Column":
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle=f"""
+    WITH aug AS ({SQL_NRM_NOISY}),
+    h AS (
+        SELECT doc_id,
+               md5({_nrm_fold_sql('text')}) AS norm_sha,
+               md5(lower(text)) AS raw_sha
+        FROM aug
+    ),
+    g AS (
+        SELECT norm_sha,
+               CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT raw_sha) AS BIGINT) AS n_raw_variants
+        FROM h GROUP BY norm_sha
+    )
+    SELECT canonical_id, n_members, n_raw_variants
+    FROM g
+    WHERE n_raw_variants > 1
+    ORDER BY canonical_id
+    """,
+    doc="NORMALIZATION-FOLD EXACT DEDUP — the aggressive-normalization "
+    "gate run before content hashing (case-fold, strip punctuation, "
+    "collapse whitespace): reformatted mirrors that RAW exact dedup "
+    "misses hash identically after the fold. The audit emits every "
+    "normalized group holding >1 distinct raw hash — exactly the "
+    "catches normalization adds; the planted reformatted copies are "
+    "the only such groups in this corpus. The fold is a codegen'd "
+    "regexp chain in the hashing scan; one content-hash shuffle, the "
+    "dedup_exact shape.",
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    noisy = d.filter(F.col("doc_id") % NRM_EVERY == 0).select(
+        (F.col("doc_id") + NRM_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.replace(F.col("text"), F.lit(" "), F.lit(" , ")),
+            F.lit(" !!"),
+        ).alias("text"),
+    )
+    h = d.unionByName(noisy).select(
+        "doc_id",
+        F.md5(_nrm_fold_col(F.col("text")).cast("binary")).alias("norm_sha"),
+        F.md5(F.lower("text").cast("binary")).alias("raw_sha"),
+    )
+    return (
+        h.groupBy("norm_sha")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.countDistinct("raw_sha").cast("bigint").alias("n_raw_variants"),
+        )
+        .filter(F.col("n_raw_variants") > 1)
+        .select("canonical_id", "n_members", "n_raw_variants")
+        .orderBy("canonical_id")
+    )
