@@ -1901,3 +1901,46 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("canonical_id", "n_members", "n_raw_variants")
         .orderBy("canonical_id")
     )
+
+
+# --------------------------------------------------------------------------
+# 16. Cluster-size histogram (the dedup health dashboard, round 9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH aug AS ({SQL_DOCS_EXACT}),
+    g AS (
+        SELECT md5(text) AS ch, count(*) AS n FROM aug GROUP BY md5(text)
+    )
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(n - 1) AS BIGINT) AS n_removable
+    FROM g GROUP BY n ORDER BY cluster_size
+    """,
+    doc="DEDUP HEALTH DASHBOARD — the exact-content cluster-size "
+    "histogram: how many clusters of each size, docs covered, and the "
+    "removable-duplicate mass per size (size-1 clusters are the clean "
+    "corpus; a fat tail is the go-look signal before any removal "
+    "runs). One content-hash shuffle, then a |distinct sizes|-key "
+    "re-aggregation — the summary every dedup pass should publish "
+    "before its apply step mutates anything.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        docs_with_exact_copies(spark, sf_dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("ch"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        g.groupBy(F.col("n").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

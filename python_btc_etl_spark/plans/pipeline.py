@@ -4008,3 +4008,121 @@ def score_band_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust MAD outlier gate (round 9)
+# --------------------------------------------------------------------------
+
+# The robust length gate: flag documents whose word count sits more
+# than MAD_K median-absolute-deviations from the median — the outlier
+# rule that, unlike mean/stddev z-scores, a handful of monster
+# documents cannot drag (median and MAD have 50% breakdown points).
+# Both quantiles use percentile_disc semantics over HISTOGRAMS (the
+# score_band_pruning machinery): the median over the length histogram,
+# the MAD over the |len - median| histogram — two bounded-metadata
+# windows, no global data sort, all integers, the verdict compared
+# division-free (|len - med| > MAD_K * mad).
+#
+# Planted outliers (the natural corpus is uniform 10..100 words with
+# MAD 22, so a 3-MAD gate would never fire on it): every MAD_EVERY-th
+# doc gains a runaway copy with its text repeated MAD_REP times
+# (~8x median length, far outside the 3-MAD band) — which is ALSO the
+# robustness demonstration: the runaways barely move the median/MAD
+# the gate is built from, exactly why MAD beats mean/stddev here.
+
+MAD_K = 3
+MAD_EVERY = 40  # docs with doc_id % 40 == 0 gain a runaway copy
+MAD_REP = 8
+MAD_OFFSET = 7_000_000
+
+
+@query(
+    "robust_outlier_mad",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {MAD_OFFSET}, trim(repeat(text || ' ', {MAD_REP}))
+        FROM documents WHERE doc_id % {MAD_EVERY} = 0
+    ),
+    lens AS (
+        SELECT doc_id, len({TX.sql_words('text')}) AS l FROM aug
+    ),
+    h1 AS (SELECT l, count(*) AS c FROM lens GROUP BY l),
+    c1 AS (
+        SELECT l, sum(c) OVER (ORDER BY l) AS cum,
+               (SELECT count(*) FROM lens) AS n
+        FROM h1
+    ),
+    med AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN l END) AS m FROM c1),
+    dev AS (SELECT doc_id, l, abs(l - (SELECT m FROM med)) AS d FROM lens),
+    h2 AS (SELECT d, count(*) AS c FROM dev GROUP BY d),
+    c2 AS (
+        SELECT d, sum(c) OVER (ORDER BY d) AS cum,
+               (SELECT count(*) FROM lens) AS n
+        FROM h2
+    ),
+    mad AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS m FROM c2)
+    SELECT CASE WHEN dev.d > {MAD_K} * mad.m THEN 'outlier'
+                ELSE 'inlier' END AS band,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(min(dev.l) AS BIGINT) AS min_len,
+           CAST(max(dev.l) AS BIGINT) AS max_len,
+           CAST(max(med.m) AS BIGINT) AS median_len,
+           CAST(max(mad.m) AS BIGINT) AS mad
+    FROM dev, med, mad
+    GROUP BY 1
+    ORDER BY band
+    """,
+    doc=f"ROBUST OUTLIER GATE — |len − median| > {MAD_K}·MAD on word "
+    "counts: the length filter monster documents cannot drag (median "
+    "and MAD have 50% breakdown points, unlike mean/stddev z-scores). "
+    "Median AND MAD both use percentile_disc semantics over "
+    "HISTOGRAMS — two bounded-metadata cumulative windows, no global "
+    "data sort, all-integer and division-free, bit-identical "
+    "cross-engine. One corpus scan feeds both histograms.",
+)
+def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    runaway = d.filter(F.col("doc_id") % MAD_EVERY == 0).select(
+        (F.col("doc_id") + MAD_OFFSET).alias("doc_id"),
+        F.trim(F.repeat(F.concat(F.col("text"), F.lit(" ")), MAD_REP)).alias("text"),
+    )
+    lens = managed_cache(
+        d.unionByName(runaway).select(
+            "doc_id", F.size(TX.words(F.col("text"))).cast("bigint").alias("l")
+        )
+    )
+    n_tot = lens.agg(F.count(F.lit(1)).alias("n"))
+
+    def _disc_median(vals: DataFrame, col: str) -> DataFrame:
+        hist = vals.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = hist.crossJoin(F.broadcast(n_tot)).withColumn(
+            "cum",
+            F.sum("c").over(W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)),
+        )
+        pos = F.floor((F.col("n") + 1) / 2)
+        return cum.agg(
+            F.min(F.when(F.col("cum") >= pos, F.col(col))).alias("m")
+        )
+
+    med = _disc_median(lens, "l")
+    dev = lens.crossJoin(F.broadcast(med)).select(
+        "doc_id", "l", F.abs(F.col("l") - F.col("m")).alias("d")
+    )
+    mad = _disc_median(dev.select("d"), "d").select(F.col("m").alias("mm"))
+    band = F.when(F.col("d") > MAD_K * F.col("mm"), "outlier").otherwise("inlier")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(med))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("l").cast("bigint").alias("min_len"),
+            F.max("l").cast("bigint").alias("max_len"),
+            F.max("m").cast("bigint").alias("median_len"),
+            F.max("mm").cast("bigint").alias("mad"),
+        )
+        .orderBy("band")
+    )
