@@ -916,10 +916,13 @@ def image_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers the RIFF/WAVE encode/decode round-trip, framing, energy,
 # thresholding, packing, banding and verification. Within a group all
 # C(4,2) pairs sit at Hamming |t-s| <= 3. mix() stays exact int64 on
-# both engines: every intermediate is < 2^32 before a multiply whose
-# product is < 2^48 (40503 is a 16-bit multiplier for exactly this
-# reason); DuckDB bigint would ERROR on signed-int64 overflow, so the
-# bound is load-bearing, not cosmetic.
+# both engines AT ANY doc_id: the input is reduced mod 2^32 and the
+# first (32-bit-constant) multiply is SPLIT 16/16 — x = xh*2^16 + xl,
+# (x*M) mod 2^32 = ((xh*M mod 2^16)*2^16 + xl*M) mod 2^32 — so every
+# product stays < 2^49; the second multiplier 40503 is 16-bit, so its
+# product is < 2^48. DuckDB bigint ERRORs on signed-int64 overflow and
+# numpy wraps silently, so the bound is load-bearing, not cosmetic:
+# an unsplit first multiply silently diverges once doc_id > ~2.2e8.
 AFP_BITS = 60  # fingerprint width (bits 60..63 unused: signed bigint)
 AFP_FRAME = 4  # samples per fingerprint frame
 AFP_BANDS, AFP_BAND_BITS = 4, 15  # pigeonhole: Hamming <= 3 shares a band
@@ -927,8 +930,14 @@ AFP_HD_MAX = 3
 AFP_THRESH = AFP_FRAME * 128 * 128  # frame energy at the u >= 128 midpoint
 
 def _sql_afp_mix() -> str:
-    """DuckDB expression for mix((doc_id//4)*64 + i) % 256."""
-    v1 = "(((doc_id // 4) * 64 + i) * 2654435761) % 4294967296"
+    """DuckDB expression for mix((doc_id//4)*64 + i) % 256, with the
+    first multiply split 16/16 so no intermediate exceeds 2^49 (DuckDB
+    bigint errors on signed-int64 overflow; see the bound note above)."""
+    x = "(((doc_id // 4) * 64 + i) % 4294967296)"
+    v1 = (
+        f"(((({x}) // 65536) * 2654435761 % 65536) * 65536"
+        f" + (({x}) % 65536) * 2654435761) % 4294967296"
+    )
     v2 = f"xor({v1}, ({v1}) // 65536)"
     v3 = f"(({v2}) * 40503) % 4294967296"
     return f"xor({v3}, ({v3}) // 65536) % 256"
@@ -970,7 +979,10 @@ def _afp_batches(batches):
         for d in pdf["doc_id"]:
             d = int(d)
             g, t = d // 4, d % 4
-            v = (g * 64 + f_idx) * 2654435761 % 4294967296
+            x = (g * 64 + f_idx) % 4294967296
+            # split 16/16 multiply: every product < 2^49, no int64 wrap
+            v = ((x // 65536) * 2654435761 % 65536 * 65536
+                 + (x % 65536) * 2654435761) % 4294967296
             v = v ^ (v // 65536)
             v = v * 40503 % 4294967296
             u = (v ^ (v // 65536)) % 256

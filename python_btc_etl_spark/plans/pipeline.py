@@ -3310,9 +3310,29 @@ def _qct_gram(feats: DataFrame) -> DataFrame:
     )
 
 
+def _qct_overflow_guard(c: "F.Column", name: str) -> "F.Column":
+    """Spark caps the Cramer triple-product precision at decimal(38,0);
+    in non-ANSI mode a corpus big enough to push a determinant past 38
+    digits yields silent NULLs while the DuckDB HUGEINT oracle raises.
+    This guard makes Spark fail LOUDLY at the same boundary: the Gram
+    sums are never null (coalesced features over count(*) >= 1 input),
+    so a null determinant can only mean decimal overflow."""
+    return F.when(
+        c.isNotNull(), c
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"quality_train: {name} overflowed decimal(38,0) — corpus "
+                "too large for the exact Cramer path (det(XᵀX) must stay "
+                "under 10^38; shrink features or shard the fit)"
+            )
+        ).cast("decimal(38,0)")
+    )
+
+
 def _qct_weight_cols():
     A = [[F.col(c) for c in row] for row in _QCT_A]
-    det = _det3_col(A)
+    det = _qct_overflow_guard(_det3_col(A).cast("decimal(38,0)"), "det(XᵀX)")
     nums = []
     for j in range(3):
         mat = [
@@ -3322,7 +3342,9 @@ def _qct_weight_cols():
             ]
             for r in range(3)
         ]
-        nums.append(_det3_col(mat))
+        nums.append(
+            _qct_overflow_guard(_det3_col(mat).cast("decimal(38,0)"), f"w{j}_num")
+        )
     return nums, det
 
 
@@ -3343,7 +3365,10 @@ def _qct_weight_cols():
     "then Cramer's rule solves the 3x3 system in exact integer "
     "arithmetic — weights reported as numerators over the common "
     "denominator det(XᵀX), no division, no floats, bit-identical "
-    "cross-engine (triple products ~1e22: HUGEINT / decimal(38,0)). "
+    "cross-engine (triple products ~1e22: HUGEINT / decimal(38,0); "
+    "determinants past 10^38 raise LOUDLY on both engines — Spark via "
+    "the _qct_overflow_guard null-check, DuckDB via HUGEINT overflow — "
+    "never a silent NULL-weight divergence). "
     "100 TB: the corpus pays exactly one scan + one tiny-key shuffle; "
     "the Gram matrix is dimension-bounded metadata.",
 )

@@ -708,9 +708,12 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape per batch (the asymmetry that matters at 100 TB): the
 # BATCH's inverted index is broadcast; the persistent index — the side
 # that grows without bound — is streamed through the shingle equi-join
-# and never shuffles or broadcasts. Accepted signatures append as new
-# parquet units; nothing rewrites. The high-water mark is read from a
-# marker table bounded by the number of batches ever processed.
+# and never shuffles or broadcasts. Accepted signatures land as new
+# batch-keyed parquet units; nothing rewrites a committed unit. There
+# is no separate high-water dataset: the index unit's _SUCCESS is the
+# batch's commit marker (replay guard and commit are ONE write), so a
+# crash at any point between writes replays idempotently — both units
+# are overwrite-keyed by batch and uncommitted units are never read.
 
 # Batch count is 3 ON PURPOSE: the planted corpus's copies live at
 # doc_id + 1_000_000 (TRUNC_OFFSET), and 1e6 % 4 == 0 would put every
@@ -725,16 +728,42 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 NDG_BATCHES = 3  # stream slices: batch b = docs with doc_id % 3 == b
 
 
+def _ndg_committed(state: str) -> list[int]:
+    """Batches whose INDEX unit committed (its ``_SUCCESS`` marker is the
+    batch's COMMIT record — the index unit is the last write of a batch,
+    so its presence proves the decisions unit committed too). Partially
+    written units from a crashed attempt have no ``_SUCCESS`` and are
+    invisible to both the replay guard and the as-of index read."""
+    import os
+
+    idx_dir = os.path.join(state, "index")
+    if not os.path.isdir(idx_dir):
+        return []
+    return sorted(
+        int(u[1:])
+        for u in os.listdir(idx_dir)
+        if u.startswith("b")
+        and os.path.exists(os.path.join(idx_dir, u, "_SUCCESS"))
+    )
+
+
 def neardup_gate_batch(spark: SparkSession, state: str, batch_df: DataFrame, batch_id: int) -> None:
     """Gate ONE micro-batch of (doc_id, text) against the signature
     index under ``state`` (module-level so the replay guard is
     unit-testable outside the stream, like merge_upsert_batch).
 
-    Writes: decisions/ (one verdict row per batch doc), index/ (the
-    accepted docs' signatures, appended), hwm/ (the processed-batch
-    marker). The batch number is derived from CONTENT (doc_id %
-    NDG_BATCHES — every slice is pure by construction), so a replayed
-    batch is recognized even if the engine renumbers its attempts."""
+    Writes exactly TWO batch-keyed units, both mode=overwrite so a
+    replay of ANY partially-completed attempt is naturally idempotent:
+    decisions/b{b}/ (one verdict row per batch doc), then index/b{b}/
+    (the accepted docs' signatures). The index unit's ``_SUCCESS`` is
+    the batch's atomic commit marker — there is no separate high-water
+    dataset, so a crash between the two writes leaves the batch
+    uncommitted and the replay recomputes against the SAME as-of index
+    (uncommitted units are never read) and overwrites both units with
+    identical content. The batch number is derived from CONTENT
+    (doc_id % NDG_BATCHES — every slice is pure by construction), so a
+    replayed batch is recognized even if the engine renumbers its
+    attempts."""
     import os
 
     from pyspark.sql import functions as F
@@ -749,13 +778,10 @@ def neardup_gate_batch(spark: SparkSession, state: str, batch_df: DataFrame, bat
         return
     assert len(head) == 1, f"impure slice: {head}"
     b = int(head[0]["b"])
-    hwm_dir = os.path.join(state, "hwm")
     idx_dir = os.path.join(state, "index")
     dec_dir = os.path.join(state, "decisions")
-    done = set()
-    if os.path.isdir(hwm_dir) and os.listdir(hwm_dir):
-        done = {r["b"] for r in spark.read.parquet(hwm_dir).collect()}
-    if b in done:  # replay: a previous successful attempt covered b
+    done = _ndg_committed(state)
+    if b in done:  # replay: a previous COMMITTED attempt covered b
         return
     wdf = batch_df.select("doc_id", TX.words(F.col("text")).alias("w")).filter(
         F.size("w") >= TX.SHINGLE_N
@@ -764,11 +790,12 @@ def neardup_gate_batch(spark: SparkSession, state: str, batch_df: DataFrame, bat
         _shingle_hash_batches(TX.SHINGLE_HEX_DIGITS, dedup_hashes=True),
         "doc_id bigint, hs array<bigint>",
     ).localCheckpoint()  # the batch is small; pin it — it feeds 2 writes + a join
-    have_idx = os.path.isdir(idx_dir) and any(
-        f.endswith(".parquet") or f.startswith("part-") for f in os.listdir(idx_dir)
-    )
-    if have_idx:
-        idx = spark.read.parquet(idx_dir)
+    if done:
+        # As-of read: COMMITTED units only — a crashed attempt's partial
+        # unit (even this batch's own) never pollutes the join.
+        idx = spark.read.parquet(
+            *[os.path.join(idx_dir, f"b{i}") for i in done]
+        )
         binv = sig.select(
             F.col("doc_id").alias("batch_id"),
             F.col("hs").alias("hs_b"),
@@ -803,13 +830,13 @@ def neardup_gate_batch(spark: SparkSession, state: str, batch_df: DataFrame, bat
             F.col("first_match").isNull().alias("accepted"),
             F.coalesce(F.col("first_match"), F.lit(-1)).cast("bigint").alias("first_match"),
         )
-        .localCheckpoint()  # decide BEFORE the index append mutates state
+        .localCheckpoint()  # decide BEFORE the index write mutates state
     )
-    decisions.write.mode("append").parquet(dec_dir)
+    decisions.write.mode("overwrite").parquet(os.path.join(dec_dir, f"b{b}"))
+    # LAST write = the commit: this unit's _SUCCESS marks batch b done.
     sig.join(
         decisions.filter(F.col("accepted")).select("doc_id"), "doc_id"
-    ).write.mode("append").parquet(idx_dir)
-    spark.createDataFrame([(b,)], "b int").write.mode("append").parquet(hwm_dir)
+    ).write.mode("overwrite").parquet(os.path.join(idx_dir, f"b{b}"))
 
 
 def _ndg_oracle_sql() -> str:
@@ -876,8 +903,10 @@ def _ndg_oracle_sql() -> str:
     oracle=_ndg_oracle_sql(),
     doc="STREAMING NEAR-DUP GATE — micro-batches of documents checked "
     "against a MATERIALIZED signature index via foreachBatch, accepted "
-    "signatures appended to the index, replays no-op'd by a per-batch "
-    "high-water mark (stream_merge_upsert_sink's guard on "
+    "signatures landing as batch-keyed index units whose _SUCCESS IS "
+    "the commit marker: two overwrite-keyed writes per batch, replays "
+    "idempotent at every crash point, no separate high-water dataset "
+    "(stream_merge_upsert_sink's guard on "
     "dedup_incremental_batch's asymmetric join: batch side broadcast, "
     "the growing index side never shuffles). Each batch sees exactly "
     "the index its predecessors built — the oracle replays the "
@@ -927,7 +956,9 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         rows = [
             tuple(r)
-            for r in spark.read.parquet(f"{state}/decisions")
+            for r in spark.read.parquet(
+                *[f"{state}/decisions/b{i}" for i in _ndg_committed(state)]
+            )
             .orderBy("doc_id")
             .collect()
         ]

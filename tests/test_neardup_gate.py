@@ -11,7 +11,11 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from python_btc_etl_spark.plans.stream import NDG_BATCHES, neardup_gate_batch
+from python_btc_etl_spark.plans.stream import (
+    NDG_BATCHES,
+    _ndg_committed,
+    neardup_gate_batch,
+)
 
 
 def _mk_docs(spark, rows):
@@ -19,13 +23,18 @@ def _mk_docs(spark, rows):
 
 
 def _state_snapshot(spark, state):
+    done = _ndg_committed(state)
     dec = {
         tuple(r)
-        for r in spark.read.parquet(os.path.join(state, "decisions")).collect()
+        for r in spark.read.parquet(
+            *[os.path.join(state, "decisions", f"b{b}") for b in done]
+        ).collect()
     }
     idx = {
         (r["doc_id"], tuple(r["hs"]))
-        for r in spark.read.parquet(os.path.join(state, "index")).collect()
+        for r in spark.read.parquet(
+            *[os.path.join(state, "index", f"b{b}") for b in done]
+        ).collect()
     }
     return dec, idx
 
@@ -62,6 +71,44 @@ def test_gate_rejects_against_index_and_replay_noops(spark):
         dec2, _ = _state_snapshot(spark, state)
         by_doc2 = {d: (a, fm) for d, _, a, fm in dec2}
         assert by_doc2[2] == (False, 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_gate_replay_after_partial_crash_is_idempotent(spark):
+    """The ADVICE-flagged crash window: an attempt that wrote its
+    decisions unit but died before the index unit committed must be
+    invisible (uncommitted) and a replay must converge to exactly the
+    clean-run state — no duplicate decision/index rows, and the as-of
+    index the replay gates against excludes the partial attempt."""
+    base = tempfile.mkdtemp(prefix="ndg_crash_")
+    state = os.path.join(base, "state")
+    clean_state = os.path.join(base, "clean")
+    try:
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        near = "alpha beta gamma delta epsilon zeta"
+        b0 = _mk_docs(spark, [(0, text)])
+        b1 = _mk_docs(spark, [(1, near)])
+        for st in (state, clean_state):
+            neardup_gate_batch(spark, st, b0, 0)
+            neardup_gate_batch(spark, st, b1, 1)
+        # Crash simulation 1: batch 1's index unit never committed
+        # (decisions written, _SUCCESS missing) -> batch 1 is NOT done.
+        os.remove(os.path.join(state, "index", "b1", "_SUCCESS"))
+        assert _ndg_committed(state) == [0]
+        neardup_gate_batch(spark, state, b1, 9)  # replay, renumbered
+        assert _ndg_committed(state) == [0, 1]
+        assert _state_snapshot(spark, state) == _state_snapshot(spark, clean_state)
+        # Crash simulation 2: decisions unit half-written (stray part
+        # files, no commit) -> replay overwrites, identical end state.
+        shutil.rmtree(os.path.join(state, "index", "b1"))
+        os.remove(os.path.join(state, "decisions", "b1", "_SUCCESS"))
+        neardup_gate_batch(spark, state, b1, 11)
+        assert _state_snapshot(spark, state) == _state_snapshot(spark, clean_state)
+        # Committed replays still no-op.
+        snap = _state_snapshot(spark, state)
+        neardup_gate_batch(spark, state, b1, 13)
+        assert _state_snapshot(spark, state) == snap
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -154,6 +154,30 @@ def test_quality_train_serve_gate_nondegenerate(spark):
     assert 0 < kept < len(rows), kept
 
 
+def test_quality_train_overflow_guard_raises(spark):
+    """decimal(38,0) overflow in non-ANSI mode yields silent NULLs; the
+    guard must convert that into a LOUD error (the ADVICE-flagged silent
+    cross-engine divergence: DuckDB HUGEINT raises, Spark must too)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_btc_etl_spark.plans.pipeline import _qct_overflow_guard
+
+    one = spark.range(1)
+    # Non-null value passes through untouched.
+    ok = one.select(
+        _qct_overflow_guard(F.lit(7).cast("decimal(38,0)"), "det").alias("d")
+    ).collect()
+    assert int(ok[0]["d"]) == 7
+    # A null determinant (what a >38-digit overflow produces) raises.
+    with pytest.raises(Exception, match="overflowed decimal"):
+        one.select(
+            _qct_overflow_guard(
+                F.lit(None).cast("decimal(38,0)"), "det"
+            ).alias("d")
+        ).collect()
+
+
 def test_semdedup_skew_guard(spark):
     """The hot-cell abort: passes on the real corpus (skew <= 1.43x
     measured), raises loudly on a degenerate single-cell assignment."""
