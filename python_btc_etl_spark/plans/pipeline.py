@@ -4151,3 +4151,373 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity quality gate (round 10) — the CCNet filtering face
+# --------------------------------------------------------------------------
+
+# The one quality face the repo lacked: language-model scoring (CCNet /
+# Wenzek et al. '19 — every production pretraining pipeline gates raw
+# text on LM perplexity before training). Model = bigram counts with
+# add-one smoothing: p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Scoring and
+# gating are DIVISION-FREE and float-free so both engines agree
+# bit-for-bit (the quality_train_serve_scores discipline):
+#
+# - log2 is computed as an EXACT fixed-point integer function L(x) ≈
+#   2^LM_B * log2(x): normalize x to mantissa m ∈ [2^LM_S, 2^{LM_S+1}),
+#   then LM_B rounds of "square the mantissa, renormalize, emit one
+#   fractional bit" — the classical shift-and-square binary-logarithm
+#   algorithm, every intermediate < 2^{2*LM_S+2} = 2^62 so the whole
+#   thing is exact int64 on Spark and exact BIGINT in DuckDB (verified
+#   identical round-by-round; monotone in x; |L(x)/2^B - log2 x| <
+#   2e-5 measured). L is evaluated ONCE per distinct COUNT VALUE — the
+#   dictionary is bounded by the number of distinct frequencies, not by
+#   vocabulary — then broadcast back onto the count tables.
+# - per-doc negative log2-likelihood nll_fp = Σ_bigrams (L(c1+V) −
+#   L(c12+1)) is an exact integer (≥ 0 since c12+1 ≤ c1+V and L is
+#   monotone); the per-token rate is quantized division-free as
+#   q = (nll_fp << LM_RATE_Q) div n — floor, both engines.
+# - the gate is CCNet's head/middle/tail TERCILE banding, computed over
+#   the bounded histogram of q (never a global sort): cut_k = min q
+#   with 3*cum >= k*N, cross-multiplied — no ceil(), no floats. Tercile
+#   banding (not an absolute threshold) keeps the gate meaningful when
+#   the driver regenerates the corpus each round.
+#
+# 100 TB: one corpus tokenize pass (cached bigram table) feeds counts,
+# vocabulary and scoring; counts are partial-aggregable shuffles on the
+# (w1,w2) key; the unigram/model tables broadcast into the scoring join
+# (the bigram-count side shuffles once on its natural key — stopword
+# bigrams are hot keys, AQE skew split applies, see
+# skew_join_salted_mitigation); the log dictionary and the tercile
+# histogram are metadata-sized. No floats anywhere, so results are
+# reproducible across cluster sizes and reruns.
+
+LM_B = 16  # fractional bits of the fixed-point log2
+LM_S = 30  # mantissa scale: m*m < 2^62, exact signed-int64
+LM_MIN_C = 3  # train-query model slice: bigrams with count >= 3
+LM_RATE_Q = 10  # nll-rate quantization: q = (nll_fp << 10) div n_bigrams
+
+
+def _lm_log_sql() -> str:
+    """DuckDB mirror of :func:`_fp_log2_dict`: CTEs lg0..lg{LM_B} unroll
+    the shift-and-square rounds over the (bounded) dictionary `xs`, each
+    MATERIALIZED — each round references the previous once, but
+    materializing pins linear evaluation regardless of inlining."""
+    parts = [
+        f""",
+    lg0 AS MATERIALIZED (
+        SELECT x, length(ltrim(bin(x), '0')) - 1 AS e,
+               CASE WHEN length(ltrim(bin(x), '0')) - 1 <= {LM_S}
+                    THEN x << ({LM_S} - (length(ltrim(bin(x), '0')) - 1))
+                    ELSE x >> ((length(ltrim(bin(x), '0')) - 1) - {LM_S})
+               END AS m,
+               CAST(0 AS BIGINT) AS frac
+        FROM xs
+    )"""
+    ]
+    for k in range(1, LM_B + 1):
+        parts.append(
+            f""",
+    lg{k} AS MATERIALIZED (
+        SELECT x, e,
+               CASE WHEN (m*m) >> {LM_S} >= {1 << (LM_S + 1)}
+                    THEN (m*m) >> {LM_S + 1} ELSE (m*m) >> {LM_S}
+               END AS m,
+               frac * 2 + CASE WHEN (m*m) >> {LM_S} >= {1 << (LM_S + 1)}
+                               THEN 1 ELSE 0 END AS frac
+        FROM lg{k - 1}
+    )"""
+        )
+    parts.append(
+        f""",
+    lg AS MATERIALIZED (SELECT x, e * {1 << LM_B} + frac AS lgv FROM lg{LM_B})"""
+    )
+    return "".join(parts)
+
+
+def _lm_sql_base() -> str:
+    """Shared oracle CTEs: bigram table (with multiplicity), counts,
+    vocabulary, the log dictionary, and the L-annotated model tables."""
+    w = TX.sql_words("text")
+    return f"""
+    bg AS MATERIALIZED (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, {w} AS w FROM documents) t,
+             unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    c12 AS MATERIALIZED (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    c1 AS MATERIALIZED (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+    voc AS MATERIALIZED (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)
+    ),
+    xs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT c12 + 1 AS x FROM c12
+            UNION
+            SELECT c1 + (SELECT v FROM voc) AS x FROM c1
+        )
+    ){_lm_log_sql()},
+    c12l AS MATERIALIZED (
+        SELECT c12.w1, c12.w2, c12.c12, lg.lgv AS l12
+        FROM c12 JOIN lg ON lg.x = c12.c12 + 1
+    ),
+    c1l AS MATERIALIZED (
+        SELECT c1.w1, c1.c1 + (SELECT v FROM voc) AS c1v, lg.lgv AS l1
+        FROM c1 JOIN lg ON lg.x = c1.c1 + (SELECT v FROM voc)
+    )"""
+
+
+_LM_SQL_SCORE = f""",
+    sc AS MATERIALIZED (
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               sum(c1l.l1 - c12l.l12) AS nll_fp
+        FROM bg
+        JOIN c12l ON bg.w1 = c12l.w1 AND bg.w2 = c12l.w2
+        JOIN c1l ON bg.w1 = c1l.w1
+        GROUP BY bg.doc_id
+    ),
+    scq AS MATERIALIZED (
+        SELECT doc_id, n_bigrams, nll_fp,
+               (nll_fp << {LM_RATE_Q}) // n_bigrams AS nll_rate_q
+        FROM sc
+    )"""
+
+
+def _fp_log2_dict(xs: DataFrame) -> DataFrame:
+    """(x bigint >= 1) -> (x, lgv): lgv = exact fixed-point log2 with
+    LM_B fractional bits by LM_B shift-and-square rounds (see the block
+    comment above; DuckDB mirror: :func:`_lm_log_sql`). The dictionary
+    is bounded (distinct count VALUES), so the 17-projection plan is
+    pinned with localCheckpoint and broadcast into the model joins."""
+    e0 = F.length(F.bin(F.col("x"))) - 1
+    df = xs.select(
+        "x",
+        e0.cast("int").alias("e"),
+        F.when(
+            e0 <= LM_S,
+            F.col("x")
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), {LM_S} - (length(bin(x)) - 1))"),
+        )
+        .otherwise(F.expr(f"shiftright(x, (length(bin(x)) - 1) - {LM_S})"))
+        .cast("bigint")
+        .alias("m"),
+        F.lit(0).cast("bigint").alias("frac"),
+    )
+    for _ in range(LM_B):
+        msq = F.expr(f"shiftright(m * m, {LM_S})")
+        bit = msq >= F.lit(1 << (LM_S + 1))
+        df = df.select(
+            "x",
+            "e",
+            F.when(bit, F.expr(f"shiftright(m * m, {LM_S + 1})"))
+            .otherwise(msq)
+            .alias("m"),
+            (F.col("frac") * 2 + F.when(bit, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("frac"),
+        )
+    return df.select(
+        "x", (F.col("e").cast("bigint") * (1 << LM_B) + F.col("frac")).alias("lgv")
+    ).localCheckpoint()  # bounded: one row per distinct count value
+
+
+def _lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) bigram tokens WITH multiplicity — the one corpus
+    pass everything else (counts, vocabulary, scoring) derives from."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return managed_cache(
+        d.select("doc_id", TX.words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+
+
+def _lm_model(bg: DataFrame):
+    """(c12l, c1l): the L-annotated bigram / unigram count tables.
+    c1 derives from c12 (partial-aggregable rollup, no second corpus
+    shuffle); V = distinct words over bigram positions (deterministic,
+    derived from the same cached pass)."""
+    c12 = managed_cache(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    voc = (
+        bg.select(F.col("w1").alias("w"))
+        .unionAll(bg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("bigint").alias("v"))
+    )
+    c1v = c1.crossJoin(F.broadcast(voc)).select(
+        "w1", (F.col("c1") + F.col("v")).cast("bigint").alias("c1v")
+    )
+    xs = (
+        c12.select((F.col("c12") + 1).cast("bigint").alias("x"))
+        .union(c1v.select(F.col("c1v").alias("x")))
+        .distinct()
+    )
+    lg = _fp_log2_dict(xs)
+    c12l = (
+        c12.withColumn("x", (F.col("c12") + 1).cast("bigint"))
+        .join(F.broadcast(lg), "x")
+        .select("w1", "w2", "c12", F.col("lgv").alias("l12"))
+    )
+    c1l = (
+        c1v.withColumn("x", F.col("c1v"))
+        .join(F.broadcast(lg), "x")
+        .select("w1", "c1v", F.col("lgv").alias("l1"))
+    )
+    return c12l, c1l
+
+
+def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _lm_bigrams(spark, sf_dir)
+    c12l, c1l = _lm_model(bg)
+    return (
+        bg.join(c12l, ["w1", "w2"])
+        .join(F.broadcast(c1l), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("l1") - F.col("l12")).cast("bigint").alias("nll_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_fp",
+            F.expr(f"shiftleft(nll_fp, {LM_RATE_Q}) div n_bigrams").alias(
+                "nll_rate_q"
+            ),
+        )
+    )
+
+
+@query(
+    "lm_bigram_train",
+    oracle=f"""
+    WITH {_lm_sql_base()}
+    SELECT c12l.w1, c12l.w2, c12l.c12, c1l.c1v,
+           c1l.l1 - c12l.l12 AS nll_fp
+    FROM c12l JOIN c1l USING (w1)
+    WHERE c12l.c12 >= {LM_MIN_C}
+    ORDER BY w1, w2
+    """,
+    doc="BIGRAM-LM TRAINING (the CCNet quality-gate model): one corpus "
+    "pass accumulates bigram/unigram counts; add-one smoothing over the "
+    "corpus vocabulary V; each surviving bigram (count >= "
+    f"{LM_MIN_C}) is emitted with its EXACT fixed-point negative "
+    "log2-probability nll_fp = L(c1+V) - L(c12+1), L the integer "
+    "shift-and-square log2 — no floats, bit-identical cross-engine. "
+    "100 TB: counts are partial-aggregable; L is evaluated once per "
+    "distinct count value (bounded dictionary, broadcast back).",
+)
+def lm_bigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _lm_bigrams(spark, sf_dir)
+    c12l, c1l = _lm_model(bg)
+    return (
+        c12l.filter(F.col("c12") >= LM_MIN_C)
+        .join(F.broadcast(c1l), "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1v",
+            (F.col("l1") - F.col("l12")).cast("bigint").alias("nll_fp"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+@query(
+    "lm_perplexity_score",
+    oracle=f"""
+    WITH {_lm_sql_base()}{_LM_SQL_SCORE}
+    SELECT doc_id, n_bigrams, nll_fp, nll_rate_q
+    FROM scq ORDER BY doc_id
+    """,
+    doc="LM PERPLEXITY SCORING: every document's exact integer negative "
+    "log2-likelihood under the corpus bigram model (sum over bigram "
+    "TOKENS of L(c1+V) - L(c12+1)) plus the division-free per-token "
+    f"rate q = (nll_fp << {LM_RATE_Q}) div n_bigrams (perplexity = "
+    "2^(q/2^{qshift}) conceptually — never computed as a float). "
+    "100 TB: the corpus-sized bigram table shuffles once onto the "
+    "model key; unigram model broadcasts; scores are one doc_id "
+    "aggregation.".replace("{qshift}", str(LM_RATE_Q + LM_B)),
+)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lm_scores(spark, sf_dir).orderBy("doc_id")
+
+
+@query(
+    "lm_perplexity_gate",
+    oracle=f"""
+    WITH {_lm_sql_base()}{_LM_SQL_SCORE},
+    h AS (SELECT nll_rate_q AS q, count(*) AS c FROM scq GROUP BY nll_rate_q),
+    cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cum FROM h),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= (SELECT count(*) FROM scq) THEN q END)
+                   AS cut1,
+               min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq) THEN q END)
+                   AS cut2
+        FROM cum
+    )
+    SELECT scq.doc_id, scq.nll_rate_q,
+           CASE WHEN scq.nll_rate_q <= cuts.cut1 THEN 'head'
+                WHEN scq.nll_rate_q <= cuts.cut2 THEN 'middle'
+                ELSE 'tail' END AS band,
+           scq.nll_rate_q <= cuts.cut2 AS keep
+    FROM scq, cuts ORDER BY scq.doc_id
+    """,
+    doc="LM PERPLEXITY GATE (CCNet head/middle/tail): documents banded "
+    "by TERCILES of the quantized per-token nll rate — cut_k = min q "
+    "with 3*cum(q) >= k*N over the bounded rate histogram, "
+    "cross-multiplied (no division, no percentile floats); keep = not "
+    "tail. Terciles, not absolute thresholds, so the gate stays "
+    "calibrated when the corpus is regenerated. 100 TB: the histogram "
+    "and cuts are metadata-sized broadcasts; the corpus never sorts.",
+)
+def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = managed_cache(_lm_scores(spark, sf_dir).select("doc_id", "nll_rate_q"))
+    n_tot = sc.agg(F.count(F.lit(1)).alias("n"))
+    hist = sc.groupBy("nll_rate_q").agg(F.count(F.lit(1)).alias("c"))
+    # window over the bounded RATE HISTOGRAM (metadata), not the corpus
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("nll_rate_q").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    cuts = cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut2"),
+    )
+    band = (
+        F.when(F.col("nll_rate_q") <= F.col("cut1"), "head")
+        .when(F.col("nll_rate_q") <= F.col("cut2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        sc.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "nll_rate_q",
+            band.alias("band"),
+            (F.col("nll_rate_q") <= F.col("cut2")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,95 @@
+"""Round-10 invariants and plan-shape pins.
+
+1. Fixed-point log2 (plans/pipeline._fp_log2_dict): exact-deterministic
+   integer shift-and-square — accuracy within 2^-LM_B of math.log2,
+   monotone, and int64-safe at large inputs (the oracle mirrors it
+   round-for-round, so this pins the SHARED algorithm).
+2. LM scoring invariants: nll_fp >= 0 (L monotone + c12+1 <= c1+V),
+   n_bigrams = len(words)-1 per doc, tercile gate nondegenerate.
+3. Plan shape: the unigram/model broadcast into the scoring join, and
+   the bigram pass is cached (InMemoryTableScan), not re-scanned.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fp_log2_exactness_and_monotonicity(spark):
+    from python_btc_etl_spark.plans.pipeline import LM_B, _fp_log2_dict
+
+    xs = (
+        list(range(1, 600))
+        + [2**k for k in range(1, 55)]
+        + [2**k - 1 for k in range(2, 55)]
+        + [123_456_789_012_345]
+    )
+    rows = _fp_log2_dict(
+        spark.createDataFrame([(x,) for x in xs], "x bigint")
+    ).collect()
+    got = {r["x"]: r["lgv"] for r in rows}
+    prev = None
+    for x in sorted(xs):
+        approx = got[x] / (1 << LM_B)
+        assert abs(approx - math.log2(x)) < 2.0 / (1 << LM_B), (x, approx)
+        if prev is not None:
+            assert got[x] >= prev  # monotone
+        prev = got[x]
+    assert got[1] == 0 and got[2] == (1 << LM_B)  # exact at powers of two
+
+
+def test_lm_score_invariants(spark):
+    from python_btc_etl_spark.functions import text as TX
+    from python_btc_etl_spark.catalog import load
+    from python_btc_etl_spark.plans.pipeline import lm_perplexity_score
+
+    rows = lm_perplexity_score(spark, SF_SMALL).collect()
+    assert all(r["nll_fp"] >= 0 for r in rows)
+    assert all(r["nll_rate_q"] >= 0 for r in rows)
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, SF_SMALL, "documents")
+        .select("doc_id", F.size(TX.words(F.col("text"))).alias("n"))
+        .collect()
+    }
+    for r in rows[:50]:
+        assert r["n_bigrams"] == n_words[r["doc_id"]] - 1
+
+
+def test_lm_gate_terciles_nondegenerate(spark):
+    from python_btc_etl_spark.plans.pipeline import lm_perplexity_gate
+
+    rows = lm_perplexity_gate(spark, SF_SMALL).collect()
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(r)
+    assert set(by_band) == {"head", "middle", "tail"}
+    n = len(rows)
+    # each tercile within a loose band of N/3 (ties can shift mass)
+    for b, rs in by_band.items():
+        assert n / 10 <= len(rs) <= 2 * n / 3, (b, len(rs))
+    # keep = head + middle; tail rejected
+    assert all(r["keep"] == (r["band"] != "tail") for r in rows)
+    # band boundaries respect the rate ordering
+    assert max(r["nll_rate_q"] for r in by_band["head"]) <= min(
+        r["nll_rate_q"] for r in by_band["middle"]
+    )
+    assert max(r["nll_rate_q"] for r in by_band["middle"]) <= min(
+        r["nll_rate_q"] for r in by_band["tail"]
+    )
+
+
+def test_lm_scoring_plan_broadcasts_model(spark):
+    from python_btc_etl_spark.plans.pipeline import _lm_scores
+
+    plan = _executed_plan(_lm_scores(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan  # unigram/log-dictionary side
+    assert "InMemoryTableScan" in plan  # cached bigram pass, not a rescan
