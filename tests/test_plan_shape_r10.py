@@ -93,3 +93,70 @@ def test_lm_scoring_plan_broadcasts_model(spark):
     plan = _executed_plan(_lm_scores(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan  # unigram/log-dictionary side
     assert "InMemoryTableScan" in plan  # cached bigram pass, not a rescan
+
+
+def test_skew_mitigation_audit_values(spark):
+    from python_btc_etl_spark.plans.scale import skew_join_salted_mitigation
+
+    rows = {
+        r["strategy"]: r
+        for r in skew_join_salted_mitigation(spark, SF_SMALL).collect()
+    }
+    u, s = rows["unsalted"], rows["salted"]
+    # result equality: both strategies' executed joins agree
+    assert (u["n_rows"], u["checksum"]) == (s["n_rows"], s["checksum"])
+    # the planted hot key concentrates >= 75% of rows on one reducer...
+    assert u["max_share_bp"] >= 7000, u
+    # ...and the salt demonstrably rebalances (>= 2x drop, ~4x measured)
+    assert s["max_share_bp"] * 2 < u["max_share_bp"], (s, u)
+
+
+def test_skew_mitigation_real_partition_balance(spark):
+    """The REAL physical evidence the SQL oracle cannot see: actual
+    spark_partition_id() row counts after hash-repartitioning on the
+    plain vs salted key — the salted max partition must shrink."""
+    from python_btc_etl_spark.catalog import load
+    from python_btc_etl_spark.functions import text as TX
+    from python_btc_etl_spark.plans.scale import N_SALT
+
+    e = load(spark, SF_SMALL, "events")
+    fact = e.select(
+        "event_id",
+        F.when(F.col("user_id") % 4 != 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("k"),
+    ).withColumn("salt", TX.hash28(F.col("event_id").cast("string")) % N_SALT)
+
+    def max_part(df, *cols):
+        counts = (
+            df.repartition(32, *cols)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return max(r["c"] for r in counts)
+
+    unsalted = max_part(fact, "k")
+    salted = max_part(fact, "k", "salt")
+    total = fact.count()
+    # hot key (~72-75% of rows: user_id % 4 != 0) -> ONE real partition
+    assert unsalted >= total * 7 // 10
+    assert salted * 2 < unsalted, (salted, unsalted)
+
+
+def test_skew_mitigation_single_fact_scan(spark):
+    """Both strategies and both partition models must read the ONE
+    cached fact pass — no events.parquet scan outside the cached
+    relation. Every InMemoryTableScan re-prints its cached child plan
+    (one FileScan each), so a plan with an EXTRA direct scan would show
+    strictly more events.parquet mentions than InMemoryTableScans."""
+    from python_btc_etl_spark.plans.scale import skew_join_salted_mitigation
+
+    df = skew_join_salted_mitigation(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan"), (
+        plan.count("events.parquet"),
+        plan.count("InMemoryTableScan"),
+    )
