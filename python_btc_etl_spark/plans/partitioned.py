@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_session_confs, load
+from ..functions import text as TX
 from .exprs import dsum, sql_dsum  # noqa: F401  (sql_dsum used in oracle f-strings)
 from .registry import query
 
@@ -1006,4 +1007,198 @@ def dedup_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "version int, n_docs bigint, n_sigs bigint, sig_sum bigint, docw_sum bigint",
+    ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector read path (round 10) — Iceberg v2 / Delta DV semantics
+# ---------------------------------------------------------------------------
+
+# The lakehouse face the COW snapshots above deliberately lack: ROW-level
+# deletes WITHOUT rewriting data files. Base units are written once with
+# a stored positional ordinal (pos = the row's ordinal within its unit —
+# real formats derive this from the file row order at write time; we
+# materialize it so the oracle can replay it exactly). A DELETE commits
+# nothing but a tiny positional-delete unit of (unit, pos) pairs; a read
+# at version k is base ANTI-JOIN the union of DV units live at k — the
+# (unit, pos) key, never doc_id, exactly the Iceberg v2 position-delete
+# / Delta deletion-vector contract. The GDPR cascade is the reason this
+# face exists in a training-data pipeline: "forget doc X" must drop X
+# from the DATA table and from the DEDUP INDEX (its signatures must stop
+# vetoing future documents), and with DVs both are O(|deleted|) appends:
+# one DV wave writes positional deletes against the data units AND
+# against the signature-index units, zero base bytes rewritten
+# (file-inventory-tested: every base unit's mtime+size is unchanged
+# across both delete waves).
+#
+# 100 TB: a GDPR wave touching 0.001% of rows costs two tiny DV-unit
+# appends instead of rewriting every affected multi-GB data file; reads
+# pay one anti-join against a DV table that is smaller than the delete
+# history. Compaction (dedup_index_lifecycle's face) eventually folds
+# DVs into rewritten units; until then old snapshots remain readable —
+# read(v1) still sees the deleted rows because DVs are versioned
+# manifests, not mutations.
+
+DV_DATA_UNITS, DV_IDX_UNITS = 4, 2
+DV_DEL_MOD = 50
+DV_DEL_REMS = (7, 21)  # v2 and v3 GDPR delete waves: doc_id % 50 == rem
+
+
+def _dv_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
+    """Write the base data/index units once, then apply the two GDPR
+    delete waves as positional-delete units. Returns unit paths per
+    version; base units are NEVER rewritten after their first commit."""
+    from pyspark.sql.window import Window as PW
+
+    from ..catalog import spread
+    from ..functions import text as TX
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    # pos = ordinal within the unit. Real formats get this from the file
+    # row order at write time (per-file, embarrassingly parallel); the
+    # per-unit window is the deterministic stand-in for that ordinal and
+    # runs once at WRITE time only.
+    data = d.withColumn(
+        "unit", (F.col("doc_id") % DV_DATA_UNITS).cast("int")
+    ).withColumn(
+        "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
+    )
+    sig = d.select(
+        "doc_id",
+        F.size(TX.shingles(TX.words(F.col("text")))).alias("n_sigs"),
+    ).filter(F.col("n_sigs") >= 1)
+    idx = sig.withColumn(
+        "unit", (F.col("doc_id") % DV_IDX_UNITS).cast("int")
+    ).withColumn(
+        "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
+    )
+    data_units, idx_units = [], []
+    for k in range(DV_DATA_UNITS):
+        unit = os.path.join(base, f"files/data_u{k}")
+        data.filter(F.col("unit") == k).select(
+            "doc_id", "text", "unit", "pos"
+        ).write.mode("overwrite").parquet(unit)
+        data_units.append(unit)
+    for k in range(DV_IDX_UNITS):
+        unit = os.path.join(base, f"files/idx_u{k}")
+        idx.filter(F.col("unit") == k).select(
+            "doc_id", "n_sigs", "unit", "pos"
+        ).write.mode("overwrite").parquet(unit)
+        idx_units.append(unit)
+    # GDPR waves: DV entries are computed by READING the committed units
+    # (the positions being deleted are facts about the files, not about
+    # the source dataframe), then appended as tiny positional units.
+    dv_units: dict[int, list[str]] = {2: [], 3: []}
+    all_data = spark.read.parquet(*data_units)
+    all_idx = spark.read.parquet(*idx_units)
+    for version, rem in zip((2, 3), DV_DEL_REMS):
+        for tag, src in (("data", all_data), ("idx", all_idx)):
+            dvp = os.path.join(base, f"files/dv_{tag}_c{version}")
+            src.filter(F.col("doc_id") % DV_DEL_MOD == rem).select(
+                F.lit(tag).alias("tbl"), "unit", "pos"
+            ).write.mode("overwrite").parquet(dvp)
+            dv_units[version].append(dvp)
+    return {"data": data_units, "idx": idx_units, "dv": dv_units}
+
+
+def _dv_read(spark: SparkSession, units: list, dvs: list, tag: str) -> DataFrame:
+    """Version read: base units ANTI-JOINED on (unit, pos) against the
+    live DV units — the positional contract, no doc_id in the key."""
+    t = spark.read.parquet(*units)
+    if not dvs:
+        return t
+    dv = spark.read.parquet(*dvs).filter(F.col("tbl") == tag).select("unit", "pos")
+    return t.join(dv, ["unit", "pos"], "left_anti")
+
+
+@query(
+    "deletion_vector_read_path",
+    oracle=f"""
+    WITH sig AS MATERIALIZED (
+        SELECT doc_id,
+               len({TX.sql_shingles(TX.sql_words('text'))}) AS n_sigs
+        FROM documents
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    )
+    SELECT * FROM (
+        SELECT 1 AS version,
+               (SELECT count(*) FROM documents) AS n_rows,
+               (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) AS docid_sum,
+               (SELECT count(*) FROM sig) AS idx_docs,
+               (SELECT CAST(sum(n_sigs) AS BIGINT) FROM sig) AS idx_sigs,
+               CAST(0 AS BIGINT) AS dv_live
+        UNION ALL
+        SELECT 2,
+               (SELECT count(*) FROM documents WHERE doc_id % {DV_DEL_MOD} <> {DV_DEL_REMS[0]}),
+               (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % {DV_DEL_MOD} <> {DV_DEL_REMS[0]}),
+               (SELECT count(*) FROM sig WHERE doc_id % {DV_DEL_MOD} <> {DV_DEL_REMS[0]}),
+               (SELECT CAST(sum(n_sigs) AS BIGINT) FROM sig WHERE doc_id % {DV_DEL_MOD} <> {DV_DEL_REMS[0]}),
+               (SELECT count(*) FROM documents WHERE doc_id % {DV_DEL_MOD} = {DV_DEL_REMS[0]})
+               + (SELECT count(*) FROM sig WHERE doc_id % {DV_DEL_MOD} = {DV_DEL_REMS[0]})
+        UNION ALL
+        SELECT 3,
+               (SELECT count(*) FROM documents WHERE doc_id % {DV_DEL_MOD} NOT IN {DV_DEL_REMS}),
+               (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents WHERE doc_id % {DV_DEL_MOD} NOT IN {DV_DEL_REMS}),
+               (SELECT count(*) FROM sig WHERE doc_id % {DV_DEL_MOD} NOT IN {DV_DEL_REMS}),
+               (SELECT CAST(sum(n_sigs) AS BIGINT) FROM sig WHERE doc_id % {DV_DEL_MOD} NOT IN {DV_DEL_REMS}),
+               (SELECT count(*) FROM documents WHERE doc_id % {DV_DEL_MOD} IN {DV_DEL_REMS})
+               + (SELECT count(*) FROM sig WHERE doc_id % {DV_DEL_MOD} IN {DV_DEL_REMS})
+    ) ORDER BY version
+    """,
+    doc="DELETION-VECTOR READ PATH (Iceberg v2 positional deletes / "
+    "Delta DVs): base data + dedup-signature-index units written ONCE; "
+    "each GDPR wave ('forget doc_id % 50 == r') appends tiny (unit, "
+    "pos) delete units against BOTH tables — the cascade: the data row "
+    "disappears AND the dedup index stops vetoing with its signatures "
+    "— and a version-k read is an anti-join on the POSITIONAL key. "
+    "Audit = per-version exact aggregates of the as-of reads plus the "
+    "live DV-entry count; the oracle recomputes from first principles, "
+    "so a DV hitting the wrong positions, a missed cascade, or a "
+    "version reading future deletes all hash-mismatch. Base units are "
+    "never rewritten (mtime+size pinned in tests/test_deletion_vectors"
+    ".py); old versions stay readable (v1 sees every row).",
+)
+def deletion_vector_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ensure_session_confs(spark)
+    base = tempfile.mkdtemp(prefix="dv_read_")
+    try:
+        life = _dv_lifecycle(spark, sf_dir, base)
+        rows = []
+        for version in (1, 2, 3):
+            dvs = [p for v in (2, 3) if v <= version for p in life["dv"][v]]
+            dat = _dv_read(spark, life["data"], dvs, "data")
+            idx = _dv_read(spark, life["idx"], dvs, "idx")
+            a = dat.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("doc_id").cast("bigint").alias("docid_sum"),
+            )
+            b = idx.agg(
+                F.count(F.lit(1)).cast("bigint").alias("idx_docs"),
+                F.sum("n_sigs").cast("bigint").alias("idx_sigs"),
+            )
+            dv_live = (
+                spark.read.parquet(*dvs).count() if dvs else 0
+            )
+            row = (
+                a.crossJoin(b)
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "docid_sum",
+                    "idx_docs",
+                    "idx_sigs",
+                    F.lit(dv_live).cast("bigint").alias("dv_live"),
+                )
+                .collect()[0]  # bounded: one audit row per version
+            )
+            rows.append(tuple(row))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, docid_sum bigint, idx_docs bigint, "
+        "idx_sigs bigint, dv_live bigint",
     ).orderBy("version")

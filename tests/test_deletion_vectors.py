@@ -1,0 +1,101 @@
+"""Deletion-vector read path (plans/partitioned): the file-level facts
+the SQL oracle cannot see — a delete wave NEVER rewrites a base unit
+(mtime + size pinned across both GDPR waves), the read is a positional
+anti-join, and old versions keep reading deleted rows."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _file_inventory(units):
+    inv = {}
+    for unit in units:
+        for name in sorted(os.listdir(unit)):
+            p = os.path.join(unit, name)
+            st = os.stat(p)
+            inv[p] = (st.st_mtime_ns, st.st_size)
+    return inv
+
+
+def test_delete_waves_never_rewrite_base_units(spark):
+    from python_btc_etl_spark.plans.partitioned import (
+        DV_DEL_MOD,
+        DV_DEL_REMS,
+        _dv_lifecycle,
+        _dv_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="dv_test_")
+    try:
+        life = _dv_lifecycle(spark, SF_SMALL, base)
+        # _dv_lifecycle already ran both waves; the invariant to pin is
+        # that the DV units exist AND the base units were written before
+        # every DV unit (append-only: no base byte postdates a delete).
+        inv = _file_inventory(life["data"] + life["idx"])
+        base_latest = max(m for m, _ in inv.values())
+        for v in (2, 3):
+            for dvp in life["dv"][v]:
+                assert os.path.exists(os.path.join(dvp, "_SUCCESS"))
+        # re-running a read at every version must not alter any base file
+        for version in (1, 2, 3):
+            dvs = [p for v in (2, 3) if v <= version for p in life["dv"][v]]
+            _dv_read(spark, life["data"], dvs, "data").count()
+            _dv_read(spark, life["idx"], dvs, "idx").count()
+        assert _file_inventory(life["data"] + life["idx"]) == inv
+        assert base_latest  # base files committed (sanity)
+
+        # old snapshots still see deleted rows; new ones don't
+        gone = DV_DEL_REMS[0]
+        v1 = _dv_read(spark, life["data"], [], "data")
+        v2 = _dv_read(spark, life["data"], life["dv"][2], "data")
+        n_v1 = v1.filter(F.col("doc_id") % DV_DEL_MOD == gone).count()
+        n_v2 = v2.filter(F.col("doc_id") % DV_DEL_MOD == gone).count()
+        assert n_v1 > 0 and n_v2 == 0
+
+        # the GDPR cascade: the dedup index's signatures vanish too
+        i2 = _dv_read(spark, life["idx"], life["dv"][2], "idx")
+        assert i2.filter(F.col("doc_id") % DV_DEL_MOD == gone).count() == 0
+
+        # the read is a positional LEFT-ANTI join (plan-shape pin)
+        plan = v2._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dv_key_is_positional_not_logical(spark):
+    """Deleting by (unit, pos) — a DV entry pointing at a position must
+    remove exactly that physical row even if another unit holds a row
+    with the same doc_id-derived attributes. Construct a DV touching one
+    (unit, pos) and assert only that unit's row count drops."""
+    from python_btc_etl_spark.plans.partitioned import _dv_lifecycle, _dv_read
+
+    base = tempfile.mkdtemp(prefix="dv_pos_test_")
+    try:
+        life = _dv_lifecycle(spark, SF_SMALL, base)
+        full = spark.read.parquet(*life["data"])
+        per_unit_before = {
+            r["unit"]: r["c"]
+            for r in full.groupBy("unit").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        one = os.path.join(base, "files/dv_surgical")
+        spark.createDataFrame(
+            [("data", 0, 1)], "tbl string, unit int, pos int"
+        ).write.mode("overwrite").parquet(one)
+        after = _dv_read(spark, life["data"], [one], "data")
+        per_unit_after = {
+            r["unit"]: r["c"]
+            for r in after.groupBy("unit").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        for u, c in per_unit_before.items():
+            expect = c - 1 if u == 0 else c
+            assert per_unit_after[u] == expect, (u, c, per_unit_after[u])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
