@@ -40,10 +40,15 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _previous_timings() -> dict[str, float]:
-    """Per-query timings from the last FULL run's BENCH_DETAIL.json —
-    the reference points for the 2.5x regression-suspect re-time rule.
-    Missing/corrupt file (first run, fresh clone) → no suspects."""
+def _previous_timings() -> tuple[dict[str, float], float | None]:
+    """Per-query timings AND the calibration midpoint from the last FULL
+    run's BENCH_DETAIL.json — the reference points for the regression-
+    suspect re-time rule. The calibration lets the trigger compare
+    CANARY-NORMALIZED values (time ÷ machine speed), so the box's ~1.3x
+    speed windows stop reading as per-query regressions (they cost two
+    rounds of manual attribution on the target_encoding_loo/kmeans
+    family). Missing/corrupt file (first run, fresh clone) → no
+    suspects."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -59,10 +64,18 @@ def _previous_timings() -> dict[str, float]:
         except (TypeError, ValueError):
             same = str(d.get("sf")) == sf
         if not same:  # different scale: ratios meaningless
-            return {}
-        return {k: float(v) for k, v in d.get("queries", {}).items()}
+            return {}, None
+        cal = d.get("calibration_sec") or {}
+        prev_cal = None
+        try:
+            vals = [float(cal["start"]), float(cal["end"])]
+            if all(v > 0 for v in vals):
+                prev_cal = sum(vals) / 2
+        except (KeyError, TypeError, ValueError):
+            prev_cal = None
+        return {k: float(v) for k, v in d.get("queries", {}).items()}, prev_cal
     except Exception:  # noqa: BLE001 — absent baseline is not an error
-        return {}
+        return {}, None
 
 
 def _calibrate(spark) -> float:
@@ -238,16 +251,26 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_BENCH_RETIME", "1") != "0" and timings:
         n_retime = max(1, len(timings) // 10)
         slowest = sorted(timings, key=timings.get, reverse=True)[:n_retime]
-        prev = _previous_timings()
+        prev, prev_cal = _previous_timings()
         # Threshold 2.5 -> 2.0 (round 8): multimodal_feature_extract read
         # 2.87 s in r7 vs 1.31 s in r6 (2.19x -- under the old trigger,
         # outside the decile) purely from new registry predecessors'
         # teardown churn; quiet-box steady state is 1.1-1.6 s. 2.0x still
         # ignores sub-noise wobble but catches the churn band.
+        # NORMALIZED trigger (round 10): when both runs carry a canary,
+        # compare time ÷ calibration instead of raw time — a round run on
+        # a 1.3x-slower box otherwise flags a third of the suite. The
+        # settle loop guarantees calibration_start is representative of
+        # the first-pass samples.
+        cal_scale = (
+            calibration_start / prev_cal
+            if prev_cal and calibration_start > 0
+            else 1.0
+        )
         suspects = [
             name
             for name, t in timings.items()
-            if name in prev and prev[name] > 0 and t > 2.0 * prev[name]
+            if name in prev and prev[name] > 0 and t > 2.0 * prev[name] * cal_scale
         ]
         for name in dict.fromkeys([*slowest, *suspects]):
             # TWO back-to-back samples, keep the min. Measured (round 7,
@@ -279,6 +302,19 @@ def main() -> int:
                 _cleanup(spark)
 
     calibration_end = _calibrate(spark)
+    # Canary-normalized per-query column (round 10, closes the recurring
+    # manual-attribution loop): time ÷ the run's calibration midpoint.
+    # Cross-round comparisons should use THESE — two runs of identical
+    # code on differently-loaded boxes agree in normalized units (the
+    # r8/r9 target_encoding_loo "regressions" were canary-correlated).
+    cal_mid = (
+        (calibration_start + calibration_end) / 2
+        if calibration_start > 0 and calibration_end > 0
+        else None
+    )
+    queries_normalized = (
+        {k: round(v / cal_mid, 2) for k, v in timings.items()} if cal_mid else None
+    )
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # 1/5/15-min load averages at snapshot time: a loaded box (driver
@@ -305,8 +341,12 @@ def main() -> int:
         "calibration_sec": {
             "start": calibration_start,
             "end": calibration_end,
+            "mid": round(cal_mid, 4) if cal_mid else None,
             "settle_history": settle_history,
         },
+        # time ÷ calibration_mid per query (dimensionless machine-speed-
+        # corrected units): the column PERF_NOTES comparisons should cite.
+        "queries_normalized": queries_normalized,
         "data_fingerprint": _data_fingerprint(),
     }
     if load_warning:
