@@ -4199,39 +4199,41 @@ LM_MIN_C = 3  # train-query model slice: bigrams with count >= 3
 LM_RATE_Q = 10  # nll-rate quantization: q = (nll_fp << 10) div n_bigrams
 
 
-def _lm_log_sql() -> str:
-    """DuckDB mirror of :func:`_fp_log2_dict`: CTEs lg0..lg{LM_B} unroll
-    the shift-and-square rounds over the (bounded) dictionary `xs`, each
-    MATERIALIZED — each round references the previous once, but
-    materializing pins linear evaluation regardless of inlining."""
+def _lm_log_sql(sfx: str = "", src: str = "xs") -> str:
+    """DuckDB mirror of :func:`_fp_log2_dict`: CTEs lg0{sfx}..lg{LM_B}{sfx}
+    unroll the shift-and-square rounds over the (bounded) dictionary
+    ``src``, each MATERIALIZED — each round references the previous once,
+    but materializing pins linear evaluation regardless of inlining.
+    ``sfx`` namespaces the chain so multiple dictionaries can coexist in
+    one oracle (the unigram trainer needs one per EM round)."""
     parts = [
         f""",
-    lg0 AS MATERIALIZED (
+    lg0{sfx} AS MATERIALIZED (
         SELECT x, length(ltrim(bin(x), '0')) - 1 AS e,
                CASE WHEN length(ltrim(bin(x), '0')) - 1 <= {LM_S}
                     THEN x << ({LM_S} - (length(ltrim(bin(x), '0')) - 1))
                     ELSE x >> ((length(ltrim(bin(x), '0')) - 1) - {LM_S})
                END AS m,
                CAST(0 AS BIGINT) AS frac
-        FROM xs
+        FROM {src}
     )"""
     ]
     for k in range(1, LM_B + 1):
         parts.append(
             f""",
-    lg{k} AS MATERIALIZED (
+    lg{k}{sfx} AS MATERIALIZED (
         SELECT x, e,
                CASE WHEN (m*m) >> {LM_S} >= {1 << (LM_S + 1)}
                     THEN (m*m) >> {LM_S + 1} ELSE (m*m) >> {LM_S}
                END AS m,
                frac * 2 + CASE WHEN (m*m) >> {LM_S} >= {1 << (LM_S + 1)}
                                THEN 1 ELSE 0 END AS frac
-        FROM lg{k - 1}
+        FROM lg{k - 1}{sfx}
     )"""
         )
     parts.append(
         f""",
-    lg AS MATERIALIZED (SELECT x, e * {1 << LM_B} + frac AS lgv FROM lg{LM_B})"""
+    lg{sfx} AS MATERIALIZED (SELECT x, e * {1 << LM_B} + frac AS lgv FROM lg{LM_B}{sfx})"""
     )
     return "".join(parts)
 
@@ -4521,3 +4523,384 @@ def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (round 10) — SentencePiece-style hard-EM
+# --------------------------------------------------------------------------
+
+# The tokenizer family's second real algorithm beside the iterative BPE
+# rack above (Kudo '18's unigram LM is what SentencePiece trains by
+# default; BPE and unigram are THE two production subword algorithms).
+# Exact-arithmetic hard-EM, UNIG_ROUNDS rounds:
+#
+#   seed:   piece candidates = every substring of length 1..UNIG_MAXP of
+#           every dictionary word; seed counts = occurrence counts
+#           weighted by word multiplicity.
+#   E-step: VITERBI-segment every dictionary word under the current
+#           piece scores — maximize Σ v(piece) with v = L(c+1) − L(Ctot)
+#           (L = the exact fixed-point log2 the LM perplexity gate
+#           introduced, so the objective is a scaled integer
+#           log-likelihood with add-one smoothing; the −L(Ctot) per
+#           piece is the compression pressure that favors fewer, longer
+#           pieces). The DP is an O(n·UNIG_MAXP) integer forward fold
+#           per word (best score + chosen length per position; ties
+#           prefer the LONGEST piece) and an O(n) backward extraction —
+#           both built-in array folds (F.aggregate), JVM-side, no UDF.
+#   M-step: usage counts from the chosen segmentations become the next
+#           round's scores (hard-EM count re-estimation).
+#
+# Same discipline the iterative BPE pinned: the corpus is scanned ONCE
+# (cached distinct-word dictionary); every round's joins touch
+# dictionary/piece tables only, with counts and the log dictionary
+# BROADCAST back; no per-word collect anywhere (the DP lives inside a
+# projection). The oracle replays every round as unrolled MATERIALIZED
+# CTEs, with the two sequential passes as RECURSIVE CTEs carrying the
+# DP state lists — verified bit-identical to the Spark folds. 100 TB:
+# training cost ∝ vocabulary, not corpus; serving is one broadcast
+# joins chain, exactly like bpe_iterative_encode_counts.
+
+UNIG_MAXP = 3  # max piece length; the DP below is unrolled for it
+UNIG_ROUNDS = 2  # hard-EM rounds after the seed count
+UNIG_MIN_USES = 5  # vocab query prune threshold
+UNIG_NEG = -(1 << 50)  # invalid-candidate sentinel (dominates any real score)
+UNIG_FILL = -(1 << 40)  # alignment filler for l > i slots (never read)
+
+
+def _unig_sql_round(r: int) -> str:
+    """One EM round as DuckDB CTEs: scores from c_{r-1}, Viterbi forward
+    (RECURSIVE, state = best[] + chosen-length[] lists), backward piece
+    extraction (RECURSIVE), usage recount into c_{r}."""
+    c3 = f"(CASE WHEN i + 1 >= 3 THEN b[i - 1] + v[i * 3 + 3] ELSE {UNIG_NEG} END)"
+    c2 = f"(CASE WHEN i + 1 >= 2 THEN b[i] + v[i * 3 + 2] ELSE {UNIG_NEG} END)"
+    c1 = "(b[i + 1] + v[i * 3 + 1])"
+    return f""",
+    ct_{r} AS (SELECT CAST(sum(c) + 1 AS BIGINT) AS ct FROM c_{r - 1}),
+    xs_{r} AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT c + 1 AS x FROM c_{r - 1}
+            UNION SELECT ct FROM ct_{r}
+            UNION SELECT 1
+        )
+    ){_lm_log_sql(f"_{r}", f"xs_{r}")},
+    ltot_{r} AS (SELECT lg_{r}.lgv AS lt FROM lg_{r}, ct_{r}
+                 WHERE lg_{r}.x = ct_{r}.ct),
+    vf_{r} AS MATERIALIZED (
+        SELECT p.word, any_value(p.cnt) AS cnt,
+               CAST(length(p.word) AS INT) AS n,
+               list(CASE WHEN p.piece IS NULL THEN CAST({UNIG_FILL} AS BIGINT)
+                         ELSE lgp.lgv - (SELECT lt FROM ltot_{r}) END
+                    ORDER BY p.i, p.l) AS v
+        FROM pieces p
+        LEFT JOIN c_{r - 1} cc ON cc.piece = p.piece
+        LEFT JOIN lg_{r} lgp ON lgp.x = coalesce(cc.c, 0) + 1
+        GROUP BY p.word, n
+    ),
+    fwd_{r} AS (
+        SELECT word, cnt, n, v, 0 AS i,
+               [CAST(0 AS BIGINT)] AS b, []::INT[] AS bl
+        FROM vf_{r}
+        UNION ALL
+        SELECT word, cnt, n, v, i + 1,
+            list_append(b, CASE WHEN {c3} >= {c2} AND {c3} >= {c1} THEN {c3}
+                                WHEN {c2} >= {c1} THEN {c2} ELSE {c1} END),
+            list_append(bl, CASE WHEN {c3} >= {c2} AND {c3} >= {c1} THEN 3
+                                 WHEN {c2} >= {c1} THEN 2 ELSE 1 END)
+        FROM fwd_{r} WHERE i < n
+    ),
+    fin_{r} AS MATERIALIZED (
+        SELECT word, cnt, n, b[n + 1] AS obj, bl FROM fwd_{r} WHERE i = n
+    ),
+    bwd_{r} AS (
+        SELECT word, cnt, bl, CAST(n AS INT) AS pos, []::VARCHAR[] AS ps
+        FROM fin_{r}
+        UNION ALL
+        SELECT word, cnt, bl, pos - bl[pos],
+               list_append(ps, substr(word, pos - bl[pos] + 1, bl[pos]))
+        FROM bwd_{r} WHERE pos > 0
+    ),
+    seg_{r} AS MATERIALIZED (
+        SELECT s.word, s.cnt, s.ps, f.obj
+        FROM (SELECT word, cnt, ps FROM bwd_{r} WHERE pos = 0) s
+        JOIN fin_{r} f USING (word)
+    ),
+    c_{r} AS MATERIALIZED (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, unnest(ps) AS piece FROM seg_{r})
+        GROUP BY piece
+    )"""
+
+
+def _unig_sql_base() -> str:
+    return f"""dic AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({TX.sql_words('text')}) AS word FROM documents)
+        WHERE length(word) >= 1
+        GROUP BY word
+    ),
+    pieces AS MATERIALIZED (
+        SELECT word, cnt, CAST(i AS INT) AS i, CAST(l AS INT) AS l,
+               CASE WHEN l <= i
+                    THEN substr(word, CAST(i - l + 1 AS INT), CAST(l AS INT))
+               END AS piece
+        FROM dic, unnest(range(1, length(word) + 1)) AS t(i),
+             unnest([1, 2, 3]) AS u(l)
+    ),
+    c_0 AS MATERIALIZED (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+        FROM pieces WHERE piece IS NOT NULL GROUP BY piece
+    ){"".join(_unig_sql_round(r) for r in range(1, UNIG_ROUNDS + 1))}"""
+
+
+def _unig_dic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    return managed_cache(
+        d.select(F.explode(TX.words(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _unig_pieces(dic: DataFrame) -> DataFrame:
+    """(word, cnt, i, l, piece): every (position, length) slot, l slots
+    with l > i kept as NULL pieces so the per-word score list aligns to
+    index (i-1)*UNIG_MAXP + l."""
+    return (
+        dic.select(
+            "word", "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word", "cnt", "i",
+            F.explode(
+                F.array(*[F.lit(l) for l in range(1, UNIG_MAXP + 1)])
+            ).alias("l"),
+        )
+        .select(
+            "word", "cnt",
+            F.col("i").cast("int").alias("i"),
+            F.col("l").cast("int").alias("l"),
+            F.when(
+                F.col("l") <= F.col("i"),
+                F.col("word").substr(F.col("i") - F.col("l") + 1, F.col("l")),
+            ).alias("piece"),
+        )
+    )
+
+
+def _unig_seed_counts(pieces: DataFrame) -> DataFrame:
+    return (
+        pieces.filter(F.col("piece").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+
+
+def _unig_vflat(pieces: DataFrame, counts: DataFrame) -> DataFrame:
+    """(word, cnt, n, v): per word the flat score list v[(i-1)*3 + l] =
+    L(c(piece)+1) - L(Ctot), filler for invalid slots. Counts and the
+    log dictionary broadcast; one shuffle on the piece key."""
+    ctot = counts.agg((F.sum("c") + 1).cast("bigint").alias("ct"))
+    xs = (
+        counts.select((F.col("c") + 1).cast("bigint").alias("x"))
+        .union(ctot.select(F.col("ct").alias("x")))
+        .union(pieces.sparkSession.range(1, 2).select(F.col("id").alias("x")))
+        .distinct()
+    )
+    lg = _fp_log2_dict(xs)
+    ltot = ctot.join(F.broadcast(lg), ctot["ct"] == lg["x"]).select(
+        F.col("lgv").alias("lt")
+    )
+    scored = (
+        pieces.join(F.broadcast(counts), "piece", "left")
+        .withColumn("x", (F.coalesce("c", F.lit(0)) + 1).cast("bigint"))
+        .join(F.broadcast(lg), "x", "left")
+        .crossJoin(F.broadcast(ltot))
+        .select(
+            "word", "cnt", "i", "l",
+            F.when(
+                F.col("piece").isNull(), F.lit(UNIG_FILL).cast("bigint")
+            )
+            .otherwise(F.col("lgv") - F.col("lt"))
+            .alias("v"),
+        )
+    )
+    return (
+        scored.groupBy("word", "cnt")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "l", "v"))),
+                lambda s: s["v"],
+            ).alias("v")
+        )
+        .withColumn("n", F.length("word").cast("int"))
+    )
+
+
+def _unig_segment(vflat: DataFrame) -> DataFrame:
+    """Viterbi E-step: (word, cnt, n, ps, obj) — forward DP fold (best
+    score + chosen length per position, ties prefer the longest piece)
+    then backward extraction fold. Pure built-in HOFs inside one
+    projection; the DuckDB oracle replays both passes as RECURSIVE CTEs
+    (fwd_{{r}}/bwd_{{r}}), verified bit-identical."""
+    neg = F.lit(UNIG_NEG).cast("bigint")
+
+    def cand(acc, i, l):
+        return F.when(
+            i >= l,
+            F.element_at(acc["b"], i - F.lit(l) + 1)
+            + F.element_at(F.col("v"), (i - 1) * 3 + F.lit(l)),
+        ).otherwise(neg)
+
+    def step(acc, i):
+        c1, c2, c3 = cand(acc, i, 1), cand(acc, i, 2), cand(acc, i, 3)
+        bestv = (
+            F.when((c3 >= c2) & (c3 >= c1), c3).when(c2 >= c1, c2).otherwise(c1)
+        )
+        bestl = (
+            F.when((c3 >= c2) & (c3 >= c1), F.lit(3))
+            .when(c2 >= c1, F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            F.concat(acc["b"], F.array(bestv)).alias("b"),
+            F.concat(acc["bl"], F.array(bestl.cast("int"))).alias("bl"),
+        )
+
+    init = F.struct(
+        F.array(F.lit(0).cast("bigint")).alias("b"),
+        F.array().cast("array<int>").alias("bl"),
+    )
+    fwd = vflat.withColumn(
+        "acc", F.aggregate(F.sequence(F.lit(1), F.col("n")), init, step)
+    ).select(
+        "word", "cnt", "n",
+        F.col("acc.bl").alias("bl"),
+        F.element_at(F.col("acc.b"), F.col("n") + 1).alias("obj"),
+    )
+
+    def bstep(acc, _):
+        ln = F.element_at(F.col("bl"), acc["pos"])
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (acc["pos"] - ln).cast("int").alias("pos"),
+                F.concat(
+                    acc["ps"],
+                    F.array(F.col("word").substr(acc["pos"] - ln + 1, ln)),
+                ).alias("ps"),
+            ),
+        ).otherwise(acc)
+
+    binit = F.struct(
+        F.col("n").cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("ps"),
+    )
+    return fwd.withColumn(
+        "seg",
+        F.aggregate(
+            F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1))), binit, bstep
+        ),
+    ).select("word", "cnt", "n", F.col("seg.ps").alias("ps"), "obj")
+
+
+def _unig_usage(seg: DataFrame) -> DataFrame:
+    return (
+        seg.select("cnt", F.explode("ps").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+
+
+def _unig_em(spark: SparkSession, sf_dir: str):
+    """Run the seed + UNIG_ROUNDS hard-EM rounds; returns the per-round
+    segmentations and the final usage counts (all lazy/cached — no
+    driver collect anywhere in the loop)."""
+    dic = _unig_dic(spark, sf_dir)
+    pieces = managed_cache(_unig_pieces(dic))
+    counts = _unig_seed_counts(pieces)
+    segs = []
+    for _ in range(UNIG_ROUNDS):
+        seg = managed_cache(_unig_segment(_unig_vflat(pieces, counts)))
+        counts = _unig_usage(seg)
+        segs.append(seg)
+    return segs, counts
+
+
+@query(
+    "unigram_lm_vocab",
+    oracle=f"""
+    WITH RECURSIVE {_unig_sql_base()}
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len, c AS n_uses
+    FROM c_{UNIG_ROUNDS}
+    WHERE c >= {UNIG_MIN_USES}
+    ORDER BY piece
+    """,
+    doc=f"UNIGRAM-LM TOKENIZER VOCABULARY (SentencePiece-style hard-EM, "
+    f"{UNIG_ROUNDS} rounds): substring seed counts -> per-round exact "
+    "integer Viterbi segmentation of the cached distinct-word "
+    "dictionary under fixed-point log-likelihood scores -> usage "
+    f"recount; final pieces with >= {UNIG_MIN_USES} weighted uses. "
+    "Corpus scanned once; DP is an in-projection array fold (no UDF, "
+    "no per-word collect); counts + log dictionary broadcast. Oracle "
+    "replays every round as MATERIALIZED CTEs with RECURSIVE "
+    "forward/backward DP passes.",
+)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, counts = _unig_em(spark, sf_dir)
+    return (
+        counts.filter(F.col("c") >= UNIG_MIN_USES)
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            F.col("c").alias("n_uses"),
+        )
+        .orderBy("piece")
+    )
+
+
+@query(
+    "unigram_lm_em_stats",
+    oracle=f"""
+    WITH RECURSIVE {_unig_sql_base()}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f'''SELECT {r} AS round,
+               CAST(sum(cnt * len(ps)) AS BIGINT) AS n_tokens,
+               (SELECT count(*) FROM c_{r}) AS n_pieces,
+               CAST(sum(cnt * obj) AS BIGINT) AS objective_fp
+        FROM seg_{r}'''
+            for r in range(1, UNIG_ROUNDS + 1)
+        )}
+    ) ORDER BY round
+    """,
+    doc="UNIGRAM-EM ROUND AUDIT: per round the corpus token count under "
+    "that round's Viterbi segmentation, the live piece count, and the "
+    "exact integer objective Σ cnt·best(word) — the numbers a real "
+    "SentencePiece run logs per iteration (token count falling / "
+    "objective rising = the EM doing its job; reported, not assumed). "
+    "All three are dictionary-weighted aggregates; no corpus rescan.",
+)
+def unigram_lm_em_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs, _ = _unig_em(spark, sf_dir)
+    out = None
+    for r, seg in enumerate(segs, start=1):
+        pieces_n = _unig_usage(seg).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pieces")
+        )
+        row = (
+            seg.agg(
+                F.sum(F.col("cnt") * F.size("ps")).cast("bigint").alias("n_tokens"),
+                F.sum(F.col("cnt") * F.col("obj")).cast("bigint").alias("objective_fp"),
+            )
+            .crossJoin(F.broadcast(pieces_n))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "n_tokens",
+                "n_pieces",
+                "objective_fp",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

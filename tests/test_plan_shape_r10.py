@@ -160,3 +160,61 @@ def test_skew_mitigation_single_fact_scan(spark):
         plan.count("events.parquet"),
         plan.count("InMemoryTableScan"),
     )
+
+
+def test_unigram_segmentation_tiles_words(spark):
+    """The Viterbi E-step's hardest invariant: every word's chosen
+    pieces concatenate back to EXACTLY the word (positions/lengths from
+    the DP backtrace are a perfect tiling, pieces in order after the
+    backward fold is reversed — here order-insensitively via rebuild)."""
+    from python_btc_etl_spark.plans.pipeline import UNIG_MAXP, _unig_em
+
+    segs, _ = _unig_em(spark, SF_SMALL)
+    for seg in segs:
+        bad = seg.filter(
+            F.concat_ws("", F.reverse(F.col("ps"))) != F.col("word")
+        ).count()
+        assert bad == 0
+        # piece lengths respect the cap
+        too_long = seg.filter(
+            F.exists("ps", lambda p: F.length(p) > UNIG_MAXP)
+        ).count()
+        assert too_long == 0
+
+
+def test_unigram_em_stats_sane(spark):
+    from python_btc_etl_spark.plans.pipeline import (
+        UNIG_ROUNDS,
+        unigram_lm_em_stats,
+        unigram_lm_vocab,
+    )
+
+    rows = unigram_lm_em_stats(spark, SF_SMALL).collect()
+    assert [r["round"] for r in rows] == list(range(1, UNIG_ROUNDS + 1))
+    for r in rows:
+        assert r["n_tokens"] > 0 and r["n_pieces"] > 0
+        assert r["objective_fp"] < 0  # log-likelihoods, scaled integers
+    vocab = unigram_lm_vocab(spark, SF_SMALL).collect()
+    assert len(vocab) > 0
+    # the trainer must actually discover multi-char pieces
+    assert any(r["piece_len"] > 1 for r in vocab)
+
+
+def test_unigram_segment_plan_is_udf_free_and_cached(spark):
+    """The DP must live inside JVM projections (array folds), not a
+    Python UDF, and the EM rounds must read the cached piece table."""
+    from python_btc_etl_spark.plans.pipeline import (
+        _unig_dic,
+        _unig_pieces,
+        _unig_seed_counts,
+        _unig_segment,
+        _unig_vflat,
+    )
+    from python_btc_etl_spark.catalog import managed_cache
+
+    pieces = managed_cache(_unig_pieces(_unig_dic(spark, SF_SMALL)))
+    seg = _unig_segment(_unig_vflat(pieces, _unig_seed_counts(pieces)))
+    plan = _executed_plan(seg)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan  # counts + log dictionary sides
