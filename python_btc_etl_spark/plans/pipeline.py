@@ -4904,3 +4904,242 @@ def unigram_lm_em_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Trigram stupid-backoff scoring on a held-out split (round 10)
+# --------------------------------------------------------------------------
+
+# The bigram gate above scores the corpus under its own counts — every
+# n-gram is seen, so no backoff path ever executes. This query makes
+# the backoff REAL: the model trains on docs with doc_id % TGB_SPLIT
+# != 0 and scores the HELD-OUT docs, where unseen trigrams (and some
+# unseen bigrams) genuinely occur. Stupid backoff (Brants et al.,
+# EMNLP'07 — the web-scale LM scheme that skips normalization exactly
+# because at corpus scale you cannot afford Katz/KN bookkeeping) with
+# alpha = 0.5, chosen because log2(0.5) = -1 is EXACT in the
+# fixed-point L domain (one bit = 2^LM_B), keeping the whole score an
+# exact integer:
+#
+#   level 3 (c123 >= 1):  nll = L(c12)  - L(c123)
+#   level 2 (c23  >= 1):  nll = 2^B + L(c2) - L(c23)
+#   level 1 (else, add-one unigram): nll = 2*2^B + L(C1 + V) - L(c3+1)
+#
+# Per held-out doc: total nll plus HOW OFTEN each backoff level fired —
+# the audit face a real eval run logs (high backoff rates = domain
+# shift). 100 TB: counts are partial-aggregable; every model table
+# carries its L values via the broadcast log dictionary; the eval side
+# shuffles once onto the trigram key.
+
+TGB_SPLIT = 5  # doc_id % 5 == 0 -> held-out eval docs
+
+
+def _tgb_sql() -> str:
+    w = TX.sql_words("text")
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {w} AS w, doc_id % {TGB_SPLIT} = 0 AS heldout
+        FROM documents
+    ),
+    tg AS MATERIALIZED (
+        SELECT doc_id, heldout, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+        WHERE len(w) >= 3
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, heldout, w[i] AS w2, w[i + 1] AS w3
+        FROM toks, unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    ug AS MATERIALIZED (
+        SELECT doc_id, heldout, unnest(w) AS w3 FROM toks
+    ),
+    c123 AS MATERIALIZED (
+        SELECT w1, w2, w3, count(*) AS c FROM tg WHERE NOT heldout
+        GROUP BY w1, w2, w3
+    ),
+    c12 AS MATERIALIZED (
+        SELECT w1, w2, sum(c) AS c FROM c123 GROUP BY w1, w2
+    ),
+    c23 AS MATERIALIZED (
+        SELECT w2, w3, count(*) AS c FROM bg WHERE NOT heldout GROUP BY w2, w3
+    ),
+    c2 AS MATERIALIZED (SELECT w2, sum(c) AS c FROM c23 GROUP BY w2),
+    c3 AS MATERIALIZED (
+        SELECT w3, count(*) AS c FROM ug WHERE NOT heldout GROUP BY w3
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM ug WHERE NOT heldout)
+               + (SELECT count(DISTINCT w3) FROM ug WHERE NOT heldout) AS cv
+    ),
+    xs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT c AS x FROM c123 UNION SELECT c FROM c12
+            UNION SELECT c FROM c23 UNION SELECT c FROM c2
+            UNION SELECT c + 1 FROM c3
+            UNION SELECT cv FROM tot UNION SELECT 1
+        )
+    ){_lm_log_sql()},
+    scored AS MATERIALIZED (
+        SELECT e.doc_id,
+               CASE WHEN t3.c IS NOT NULL THEN 3
+                    WHEN b2.c IS NOT NULL THEN 2 ELSE 1 END AS level,
+               CASE WHEN t3.c IS NOT NULL THEN l12.lgv - l123.lgv
+                    WHEN b2.c IS NOT NULL
+                         THEN {1 << LM_B} + l2.lgv - l23.lgv
+                    ELSE {2 << LM_B} + ltot.lgv - coalesce(l3.lgv, 0)
+               END AS nll
+        FROM (SELECT * FROM tg WHERE heldout) e
+        LEFT JOIN c123 t3 ON t3.w1 = e.w1 AND t3.w2 = e.w2 AND t3.w3 = e.w3
+        LEFT JOIN c12 p12 ON p12.w1 = e.w1 AND p12.w2 = e.w2
+        LEFT JOIN c23 b2 ON b2.w2 = e.w2 AND b2.w3 = e.w3
+        LEFT JOIN c2 p2 ON p2.w2 = e.w2
+        LEFT JOIN c3 u3 ON u3.w3 = e.w3
+        LEFT JOIN lg l123 ON l123.x = t3.c
+        LEFT JOIN lg l12 ON l12.x = p12.c
+        LEFT JOIN lg l23 ON l23.x = b2.c
+        LEFT JOIN lg l2 ON l2.x = p2.c
+        LEFT JOIN lg l3 ON l3.x = coalesce(u3.c, 0) + 1
+        JOIN lg ltot ON ltot.x = (SELECT cv FROM tot)
+    )
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           CAST(sum(nll) AS BIGINT) AS nll_fp,
+           CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff2,
+           CAST(sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff1
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "lm_trigram_backoff_score",
+    oracle=_tgb_sql(),
+    doc=f"TRIGRAM STUPID-BACKOFF SCORING on a held-out split (model: "
+    f"doc_id % {TGB_SPLIT} != 0, eval: the rest — unseen n-grams "
+    "genuinely occur, so the backoff path executes): level-3 trigram "
+    "ratio, else 0.5x the bigram ratio, else 0.5^2 x add-one unigram — "
+    "alpha = 0.5 makes every backoff step an EXACT +2^LM_B in the "
+    "fixed-point log domain, so the whole score stays an exact integer "
+    "(Brants et al.'s web-scale scheme, which drops normalization "
+    "precisely because counting is all that scales). Emits per-doc NLL "
+    "plus how often each backoff level fired — the domain-shift audit. "
+    "One tokenize pass; counts partial-aggregable; the log dictionary "
+    "and model tables broadcast into the eval join.",
+)
+def lm_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = managed_cache(
+        d.select(
+            "doc_id",
+            TX.words(F.col("text")).alias("w"),
+            (F.col("doc_id") % TGB_SPLIT == 0).alias("heldout"),
+        )
+    )
+    tg = toks.filter(F.size("w") >= 3).select(
+        "doc_id",
+        "heldout",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), i -> "
+                "struct(w[i - 1] AS w1, w[i] AS w2, w[i + 1] AS w3))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "heldout", "t.w1", "t.w2", "t.w3")
+    bg = toks.filter(F.size("w") >= 2).select(
+        "heldout",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> "
+                "struct(w[i - 1] AS w2, w[i] AS w3))"
+            )
+        ).alias("b"),
+    ).select("heldout", "b.w2", "b.w3")
+    ug = toks.select("heldout", F.explode("w").alias("w3"))
+
+    train_tg = tg.filter(~F.col("heldout"))
+    c123 = train_tg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("c"))
+    c23 = (
+        bg.filter(~F.col("heldout"))
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("c").cast("bigint").alias("c"))
+    ug_train = ug.filter(~F.col("heldout"))
+    c3 = ug_train.groupBy("w3").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = ug_train.agg(
+        (F.count(F.lit(1)) + F.countDistinct("w3")).cast("bigint").alias("cv")
+    )
+    xs = (
+        c123.select(F.col("c").alias("x"))
+        .union(c12.select("c"))
+        .union(c23.select("c"))
+        .union(c2.select("c"))
+        .union(c3.select((F.col("c") + 1).alias("c")))
+        .union(tot.select(F.col("cv")))
+        .union(toks.sparkSession.range(1, 2).select(F.col("id")))
+        .distinct()
+        .select(F.col("x").cast("bigint").alias("x"))
+    )
+    lg = _fp_log2_dict(xs)
+
+    def with_l(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.withColumn("x", F.col("c").cast("bigint"))
+            .join(F.broadcast(lg), "x")
+            .drop("x")
+            .withColumnRenamed("lgv", name)
+        )
+
+    t3 = with_l(c123, "l123")
+    p12 = with_l(c12, "l12")
+    b2 = with_l(c23, "l23")
+    p2 = with_l(c2, "l2")
+    u3 = with_l(c3.withColumn("c", F.col("c") + 1), "l3").withColumnRenamed(
+        "c", "c3p"
+    )
+    ltot = tot.join(F.broadcast(lg), tot["cv"] == lg["x"]).select(
+        F.col("lgv").alias("ltot")
+    )
+
+    ev = tg.filter(F.col("heldout"))
+    level = (
+        F.when(F.col("l123").isNotNull(), F.lit(3))
+        .when(F.col("l23").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    nll = (
+        F.when(F.col("l123").isNotNull(), F.col("l12") - F.col("l123"))
+        .when(
+            F.col("l23").isNotNull(),
+            F.lit(1 << LM_B) + F.col("l2") - F.col("l23"),
+        )
+        .otherwise(
+            F.lit(2 << LM_B) + F.col("ltot") - F.coalesce(F.col("l3"), F.lit(0))
+        )
+    )
+    return (
+        ev.join(F.broadcast(t3.select("w1", "w2", "w3", F.col("c").alias("ct3"), "l123")), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(p12.select("w1", "w2", "l12")), ["w1", "w2"], "left")
+        .join(F.broadcast(b2.select("w2", "w3", "l23")), ["w2", "w3"], "left")
+        .join(F.broadcast(p2.select("w2", "l2")), ["w2"], "left")
+        .join(F.broadcast(u3.select("w3", "l3")), ["w3"], "left")
+        .crossJoin(F.broadcast(ltot))
+        .select("doc_id", level.alias("level"), nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("nll").cast("bigint").alias("nll_fp"),
+            F.sum(F.when(F.col("level") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_backoff2"),
+            F.sum(F.when(F.col("level") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_backoff1"),
+        )
+        .orderBy("doc_id")
+    )

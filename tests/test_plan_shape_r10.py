@@ -218,3 +218,20 @@ def test_unigram_segment_plan_is_udf_free_and_cached(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan  # counts + log dictionary sides
+
+
+def test_trigram_backoff_fires_and_is_nonnegative(spark):
+    from python_btc_etl_spark.plans.pipeline import (
+        TGB_SPLIT,
+        lm_trigram_backoff_score,
+    )
+
+    rows = lm_trigram_backoff_score(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    assert all(r["doc_id"] % TGB_SPLIT == 0 for r in rows)  # held-out only
+    assert all(r["nll_fp"] >= 0 for r in rows)
+    assert all(
+        r["n_backoff2"] + r["n_backoff1"] <= r["n_trigrams"] for r in rows
+    )
+    # the held-out split must make the backoff path REAL
+    assert sum(r["n_backoff2"] + r["n_backoff1"] for r in rows) > 0
