@@ -4238,14 +4238,16 @@ def _lm_log_sql(sfx: str = "", src: str = "xs") -> str:
     return "".join(parts)
 
 
-def _lm_sql_base() -> str:
+def _lm_sql_base(src: str = "documents") -> str:
     """Shared oracle CTEs: bigram table (with multiplicity), counts,
-    vocabulary, the log dictionary, and the L-annotated model tables."""
+    vocabulary, the log dictionary, and the L-annotated model tables.
+    ``src`` is any relation exposing (doc_id, text) — the e2e_v3
+    composition feeds the post-funnel corpus instead of raw documents."""
     w = TX.sql_words("text")
     return f"""
     bg AS MATERIALIZED (
         SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-        FROM (SELECT doc_id, {w} AS w FROM documents) t,
+        FROM (SELECT doc_id, {w} AS w FROM {src}) t,
              unnest(range(1, len(w))) AS r(i)
         WHERE len(w) >= 2
     ),
@@ -4333,6 +4335,11 @@ def _lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w1, w2) bigram tokens WITH multiplicity — the one corpus
     pass everything else (counts, vocabulary, scoring) derives from."""
     d = spread(load(spark, sf_dir, "documents"))
+    return _lm_bigrams_from(d)
+
+
+def _lm_bigrams_from(d: DataFrame) -> DataFrame:
+    """Bigram pass over any (doc_id, text) relation (cached)."""
     return managed_cache(
         d.select("doc_id", TX.words(F.col("text")).alias("w"))
         .filter(F.size("w") >= 2)
@@ -4386,7 +4393,10 @@ def _lm_model(bg: DataFrame):
 
 
 def _lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bg = _lm_bigrams(spark, sf_dir)
+    return _lm_scores_from(_lm_bigrams(spark, sf_dir))
+
+
+def _lm_scores_from(bg: DataFrame) -> DataFrame:
     c12l, c1l = _lm_model(bg)
     return (
         bg.join(c12l, ["w1", "w2"])
@@ -5142,4 +5152,139 @@ def lm_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_backoff1"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# e2e corpus build v3 (round 10): the funnel composed with the LM gate
+# --------------------------------------------------------------------------
+
+# CCNet's actual stage order: cheap structural gates and exact dedup
+# FIRST (so the LM never trains on boilerplate duplicates), THEN the
+# LM perplexity gate on the surviving corpus, THEN the split. The v3
+# composition proof locks that interaction: the bigram model is trained
+# on the POST-funnel corpus (different counts than lm_bigram_train's
+# whole-corpus model — the differential catches a v3 that lazily reuses
+# the standalone model), the tercile cuts are computed over the kept
+# docs only, the tail third is dropped, and the md5 split reports
+# per-split docs / word tokens / summed exact NLL. One documents scan
+# feeds everything; the LM stages reuse _lm_bigrams_from/_lm_scores_from
+# verbatim, so constants, hashing and fixed-point log are shared with
+# the standalone queries by construction.
+
+
+@query(
+    "e2e_corpus_build_v3",
+    oracle=f"""
+    WITH kept AS MATERIALIZED (
+        SELECT doc_id, text, lang, len({TX.sql_words('text')}) AS n_tok
+        FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM documents
+        )
+        WHERE len({TX.sql_words('text')}) >= {FUNNEL_MIN_WORDS}
+          AND lang IN {FUNNEL_LANGS!r}
+          AND keeper = doc_id
+    ),
+    {_lm_sql_base('kept')}{_LM_SQL_SCORE},
+    h AS (SELECT nll_rate_q AS q, count(*) AS c FROM scq GROUP BY nll_rate_q),
+    cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cum FROM h),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq) THEN q END)
+                   AS cut2
+        FROM cum
+    ),
+    gated AS (
+        SELECT k.doc_id, k.lang, k.n_tok, s.nll_fp
+        FROM kept k JOIN scq s USING (doc_id), cuts
+        WHERE s.nll_rate_q <= cuts.cut2
+    ),
+    tagged AS (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_TRAIN!r} THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_VAL!r} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang, n_tok, nll_fp
+        FROM gated
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)    AS n_tokens,
+           CAST(sum(nll_fp) AS BIGINT)   AS nll_sum,
+           count(DISTINCT lang)          AS n_langs
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="E2E CORPUS BUILD v3 — the CCNet stage order composed in one "
+    "plan: structural funnel (length + language + exact dedup) -> "
+    "bigram LM trained ON THE SURVIVORS (not the raw corpus — the "
+    "differential locks this interaction) -> tercile perplexity gate "
+    "dropping the tail third -> md5 split -> per-split report of docs, "
+    "word tokens, summed exact NLL and language coverage. One "
+    "documents scan; the LM stages are the standalone queries' "
+    "functions applied to the funnel output, so the composition shares "
+    "every constant and the fixed-point log by construction.",
+)
+def e2e_corpus_build_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    keeper = F.min("doc_id").over(
+        PW.partitionBy(F.md5(F.lower(F.col("text")).cast("binary")))
+    )
+    kept = managed_cache(
+        d.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(TX.words(F.col("text"))).alias("n_tok"),
+        )
+        .withColumn("keeper", keeper)
+        .filter(
+            (F.col("n_tok") >= FUNNEL_MIN_WORDS)
+            & F.col("lang").isin(*FUNNEL_LANGS)
+            & (F.col("keeper") == F.col("doc_id"))
+        )
+        .select("doc_id", "text", "lang", "n_tok")
+    )
+    scores = managed_cache(
+        _lm_scores_from(_lm_bigrams_from(kept)).select("doc_id", "nll_fp", "nll_rate_q")
+    )
+    n_tot = scores.agg(F.count(F.lit(1)).alias("n"))
+    hist = scores.groupBy("nll_rate_q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("nll_rate_q").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    cuts = cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut2")
+    )
+    gated = (
+        kept.join(scores, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .filter(F.col("nll_rate_q") <= F.col("cut2"))
+    )
+    first_hex = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    split = (
+        F.when(first_hex.isin(*SPLIT_TRAIN), "train")
+        .when(first_hex.isin(*SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+    return (
+        gated.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("nll_fp").cast("bigint").alias("nll_sum"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
     )
