@@ -2028,3 +2028,242 @@ def ann_recall_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "query_id bigint, hits_incremental bigint, hits_rebuild bigint, same_topk boolean",
     ).orderBy("query_id")
+
+
+# --------------------------------------------------------------------------
+# GDPR deletion-vector cascade over the IVF index (round 10)
+# --------------------------------------------------------------------------
+
+# The embedding-index face of the deletion-vector read path
+# (plans/partitioned.py deletion_vector_read_path) and the twin of the
+# dedup-index GDPR cascade: a right-to-be-forgotten request against a
+# SERVING ANN index must (a) never require rewriting the cell-keyed
+# base units (at 100 TB a single user's deletes would otherwise rewrite
+# the whole index layout), and (b) guarantee the deleted vectors are
+# never served again — by ANY read path, including the recall-critical
+# top-k. Mechanics: the base index is written once as cell-keyed units;
+# a delete lands as a TOMBSTONE unit (vec_id list — the DV); every read
+# is units ⟕̸ tombstones (broadcast anti-join: the DV is metadata-sized
+# relative to the index, so the mask costs no shuffle of the index
+# side). ann_recall_after_delete then proves the masked read serves
+# queries EXACTLY like an index rebuilt from the filtered corpus — so
+# deletes never trigger a rebuild or a recall re-qualification.
+
+ANN_DEL_MOD, ANN_DEL_REM = 9, 4  # GDPR delete set: vec_id % 9 == 4
+ANN_DEL_UNITS = 2  # cell-keyed base units (never rewritten by deletes)
+
+
+def _ann_dv_setup(spark: SparkSession, sf_dir: str, base: str):
+    """Write the cell-keyed base units once, then the tombstone unit for
+    the GDPR delete set (derived FROM THE INDEX READ BACK, like a real
+    erasure request resolved against serving state). Returns
+    (unit paths, dv path)."""
+    import os
+
+    e = _vecs(spark, sf_dir)
+    cents = _ivf_cents(e)
+    assigned = _ivf_assign(e, cents)
+    units = []
+    for k in range(ANN_DEL_UNITS):
+        unit = os.path.join(base, f"files/u{k}")
+        assigned.filter(F.col("cell_id") % ANN_DEL_UNITS == k).write.mode(
+            "overwrite"
+        ).parquet(unit)
+        units.append(unit)
+    dv = os.path.join(base, "dv/d1")
+    spark.read.parquet(*units).filter(
+        F.col("vec_id") % ANN_DEL_MOD == ANN_DEL_REM
+    ).select("vec_id").write.mode("overwrite").parquet(dv)
+    return units, dv
+
+
+def _ann_dv_read(spark: SparkSession, units: list, dv: str) -> DataFrame:
+    """The masked read: base units anti-joined against the broadcast DV.
+    The index side never shuffles; the tombstone side is tiny."""
+    tomb = spark.read.parquet(dv).select("vec_id")
+    return spark.read.parquet(*units).join(F.broadcast(tomb), "vec_id", "left_anti")
+
+
+@query(
+    "ann_gdpr_delete_audit",
+    oracle=f"""
+    WITH {_SQL_IVF_BASE}
+    SELECT * FROM (
+        SELECT 1 AS version, count(*) AS n_vecs,
+               count(DISTINCT cell_id) AS n_cells,
+               CAST(sum(vec_id) AS BIGINT) AS vid_sum,
+               CAST(sum(vec_id * cell_id) AS BIGINT) AS cellw_sum
+        FROM assigned
+        UNION ALL
+        SELECT 2, count(*), count(DISTINCT cell_id),
+               CAST(sum(vec_id) AS BIGINT), CAST(sum(vec_id * cell_id) AS BIGINT)
+        FROM assigned WHERE vec_id % {ANN_DEL_MOD} <> {ANN_DEL_REM}
+    ) ORDER BY version
+    """,
+    doc="GDPR DELETE ON THE SERVING ANN INDEX — deletion-vector "
+    "semantics (Delta DV / Iceberg positional deletes) applied to the "
+    "IVF index: version 1 = the cell-keyed base units as written; "
+    "version 2 = the SAME units read through the tombstone anti-join "
+    "(no base unit is rewritten — pinned by file inventory + mtimes in "
+    "tests/test_ann_delete.py). Audit = exact per-version aggregates; "
+    "the oracle recomputes both versions from first principles, so a "
+    "leaked deleted vector, an over-deleted survivor, or a mask that "
+    "dropped a cell all hash-mismatch. 100 TB: erasure cost is one "
+    "metadata-sized tombstone write; reads pay a broadcast anti-join, "
+    "never an index rewrite.",
+)
+def ann_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ann_gdpr_")
+    try:
+        units, dv = _ann_dv_setup(spark, sf_dir, base)
+        rows = [
+            tuple(r)
+            for r in _ann_aggs(spark.read.parquet(*units), 1)
+            .unionByName(_ann_aggs(_ann_dv_read(spark, units, dv), 2))
+            .collect()  # bounded: exactly 2 audit rows
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_vecs bigint, n_cells bigint, vid_sum bigint, cellw_sum bigint",
+    ).orderBy("version")
+
+
+@query(
+    "ann_recall_after_delete",
+    oracle=f"""
+    WITH {_SQL_IVF_BASE},
+    live AS (SELECT * FROM assigned
+             WHERE vec_id % {ANN_DEL_MOD} <> {ANN_DEL_REM}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, qv, cell_id AS pcell FROM (
+            SELECT q.query_id, q.qv, c.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {VX.sql_cosine('c.cv', 'q.qv')} DESC, c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= {N_PROBE}
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                                      ORDER BY {VX.sql_cosine('p.qv', 'a.v')} DESC, a.vec_id) AS rank
+            FROM probes p JOIN live a ON a.cell_id = p.pcell
+                                     AND a.vec_id <> p.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {VX.sql_cosine('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+            FROM q JOIN e ON e.vec_id <> q.query_id
+                         AND e.vec_id % {ANN_DEL_MOD} <> {ANN_DEL_REM}
+        ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+        SELECT i.query_id, count(*) AS h
+        FROM ivf i JOIN gt g USING (query_id, neighbor_id)
+        GROUP BY i.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hits_masked,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hits_rebuild,
+           true AS same_topk,
+           CAST(0 AS BIGINT) AS served_deleted
+    FROM q LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+    """,
+    doc="RECALL PARITY AFTER GDPR DELETE — the acceptance test for "
+    "ann_gdpr_delete_audit: IVF top-k served through the DV-masked "
+    "read must equal a FRESH index rebuilt from the filtered corpus "
+    "(same_topk: sorted neighbor-set equality, both sides computed "
+    "genuinely on the engine), both must hit the filtered-corpus "
+    "brute-force ground truth identically, and served_deleted counts "
+    "any tombstoned vec_id appearing in the served top-k — the erasure "
+    "guarantee itself, which the oracle pins to 0. Ground truth "
+    "excludes deleted vectors BY CONSTRUCTION (they are gone from the "
+    "corpus), so a mask leak shows up twice: same_topk false and "
+    "served_deleted > 0. 100 TB: proves erasure requests cost one "
+    "tombstone append — no rebuild, no recall re-qualification.",
+)
+def ann_recall_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ann_gdpr_recall_")
+    try:
+        units, dv = _ann_dv_setup(spark, sf_dir, base)
+        e = _vecs(spark, sf_dir)
+        cents = _ivf_cents(e)
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        probes = _ivf_probes(q, cents)
+        masked = _ivf_topk(_ann_dv_read(spark, units, dv), probes)
+        reb = _ivf_topk(
+            _ivf_assign(
+                e.filter(F.col("vec_id") % ANN_DEL_MOD != ANN_DEL_REM), cents
+            ),
+            probes,
+        )
+        gt_win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        gt = (
+            e.filter(F.col("vec_id") % ANN_DEL_MOD != ANN_DEL_REM)
+            .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                VX.cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(gt_win))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+        def _hits(topk: DataFrame, name: str) -> DataFrame:
+            return (
+                topk.join(gt, ["query_id", "neighbor_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+            )
+
+        def _set(topk: DataFrame, name: str) -> DataFrame:
+            return topk.groupBy("query_id").agg(
+                F.sort_array(F.collect_list("neighbor_id")).alias(name)
+            )
+
+        leaked = (
+            masked.filter(F.col("neighbor_id") % ANN_DEL_MOD == ANN_DEL_REM)
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("leak"))
+        )
+        out = (
+            q.select("query_id")
+            .join(_hits(masked, "hm"), "query_id", "left")
+            .join(_hits(reb, "hr"), "query_id", "left")
+            .join(_set(masked, "m_set"), "query_id", "left")
+            .join(_set(reb, "r_set"), "query_id", "left")
+            .join(leaked, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("hm", F.lit(0)).cast("bigint").alias("hits_masked"),
+                F.coalesce("hr", F.lit(0)).cast("bigint").alias("hits_rebuild"),
+                (F.col("m_set") == F.col("r_set")).alias("same_topk"),
+                F.coalesce("leak", F.lit(0)).cast("bigint").alias("served_deleted"),
+            )
+            .orderBy("query_id")
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id bigint, hits_masked bigint, hits_rebuild bigint, "
+        "same_topk boolean, served_deleted bigint",
+    ).orderBy("query_id")
