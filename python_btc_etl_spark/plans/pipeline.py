@@ -5288,3 +5288,262 @@ def e2e_corpus_build_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (round 10)
+# --------------------------------------------------------------------------
+
+# Xie et al., "Data Selection for Language Models via Importance
+# Resampling" (NeurIPS '23): select pretraining documents from a raw
+# pool by how much they look like a TARGET domain, measured in a hashed
+# n-gram feature space. Two bag-of-features models with add-one
+# smoothing over B hash buckets — p (target) and q (raw pool) — give
+# each candidate document the importance log-weight
+#
+#   log w(d) = Σ_b c_db · (log p_b − log q_b)
+#            = Σ_b c_db · (L(t_b+1) − L(r_b+1)) + n_d · (L(R+B) − L(T+B))
+#
+# with c_db the doc's bucket counts, n_d = Σ_b c_db, t/r the global
+# bucket counts, T/R their totals, and L the exact fixed-point log2 the
+# LM perplexity gate introduced (_fp_log2_dict) — so the weight is an
+# exact BIGINT and both engines agree bit-for-bit. Here the target is
+# the English slice of `documents` (the paper's target is e.g.
+# Wikipedia) and the candidate pool is everything else; the paper's
+# Gumbel-noise resampling is replaced by deterministic top-K on
+# (w_fp, doc_id) so the selection is reproducible and oracle-checkable.
+#
+# 100 TB: featurization is one narrow pass per corpus slice (SHA-256 +
+# mod — no vocabulary, the feature space is B buckets by construction);
+# bucket counts are partial-aggregable shuffles whose key space is B
+# (bounded, skew-free); the model (B rows), the log dictionary and the
+# totals all BROADCAST back into the per-doc scoring join, so the only
+# corpus-sized shuffle is the groupBy(doc_id, bucket). Top-K selection
+# compiles to TakeOrderedAndProject (per-partition heaps + driver merge
+# of K) — no global sort, no single-reducer ranking window.
+
+DSIR_B = 256  # hashed feature buckets (unigrams + bigrams share the space)
+DSIR_K = 60  # deterministic top-K selection size
+DSIR_TARGET_LANG = "en"  # the target-domain slice
+
+
+def _dsir_sql_feats(pred: str) -> str:
+    """Hashed unigram+bigram features of the docs satisfying ``pred``."""
+    return f"""(
+        SELECT doc_id, ({TX.sql_hash28('w[i]')}) % {DSIR_B} AS bucket
+        FROM docs, unnest(range(1, len(w) + 1)) AS r(i) WHERE {pred}
+        UNION ALL
+        SELECT doc_id, ({TX.sql_hash28("w[i] || ' ' || w[i + 1]")}) % {DSIR_B}
+        FROM docs, unnest(range(1, len(w))) AS r(i) WHERE {pred}
+    )"""
+
+
+_DSIR_SQL_BASE = f"""
+    docs AS MATERIALIZED (
+        SELECT doc_id, lang, {TX.sql_words('text')} AS w FROM documents
+    ),
+    tfe AS MATERIALIZED (
+        SELECT * FROM {_dsir_sql_feats(f"lang = '{DSIR_TARGET_LANG}'")}
+    ),
+    cfe AS MATERIALIZED (
+        SELECT * FROM {_dsir_sql_feats(f"lang <> '{DSIR_TARGET_LANG}'")}
+    ),
+    tb AS MATERIALIZED (SELECT bucket, count(*) AS t FROM tfe GROUP BY bucket),
+    rb AS MATERIALIZED (SELECT bucket, count(*) AS r FROM cfe GROUP BY bucket),
+    tot AS MATERIALIZED (
+        SELECT (SELECT count(*) FROM tfe) AS tt,
+               (SELECT count(*) FROM cfe) AS rr
+    ),
+    xs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT t + 1 AS x FROM tb
+            UNION SELECT r + 1 FROM rb
+            UNION SELECT CAST(1 AS BIGINT)
+            UNION SELECT tt + {DSIR_B} FROM tot
+            UNION SELECT rr + {DSIR_B} FROM tot
+        )
+    ){_lm_log_sql()},
+    model AS MATERIALIZED (
+        SELECT rb.bucket, lt.lgv AS ltv, lr.lgv AS lrv
+        FROM rb LEFT JOIN tb USING (bucket)
+        JOIN lg lt ON lt.x = coalesce(tb.t, 0) + 1
+        JOIN lg lr ON lr.x = rb.r + 1
+    ),
+    cst AS MATERIALIZED (
+        SELECT lr.lgv - lt.lgv AS adj
+        FROM tot JOIN lg lt ON lt.x = tot.tt + {DSIR_B}
+                 JOIN lg lr ON lr.x = tot.rr + {DSIR_B}
+    ),
+    dbc AS MATERIALIZED (
+        SELECT doc_id, bucket, count(*) AS c FROM cfe GROUP BY doc_id, bucket
+    ),
+    wts AS MATERIALIZED (
+        SELECT dbc.doc_id,
+               CAST(sum(dbc.c) AS BIGINT) AS n_feats,
+               CAST(sum(dbc.c * (m.ltv - m.lrv))
+                    + sum(dbc.c) * (SELECT adj FROM cst) AS BIGINT) AS w_fp
+        FROM dbc JOIN model m USING (bucket)
+        GROUP BY dbc.doc_id
+    )"""
+
+
+def _dsir_feats(d: DataFrame) -> DataFrame:
+    """(doc_id, bucket) hashed unigram+bigram features WITH multiplicity
+    over a (doc_id, w: array<string>) relation."""
+    uni = d.select("doc_id", F.explode("w").alias("tok"))
+    bi = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            ).alias("tok"),
+        )
+    )
+    return uni.unionAll(bi).select(
+        "doc_id", (TX.hash28(F.col("tok")) % DSIR_B).cast("bigint").alias("bucket")
+    )
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, w_fp) for every candidate (non-target) doc."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", TX.words(F.col("text")).alias("w")
+    )
+    tfe = _dsir_feats(d.filter(F.col("lang") == DSIR_TARGET_LANG))
+    cfe = managed_cache(_dsir_feats(d.filter(F.col("lang") != DSIR_TARGET_LANG)))
+    tb = tfe.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    rb = cfe.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    tot = (
+        tb.agg(F.sum("t").cast("bigint").alias("tt"))
+        .crossJoin(rb.agg(F.sum("r").cast("bigint").alias("rr")))
+    )
+    xs = (
+        tb.select((F.col("t") + 1).cast("bigint").alias("x"))
+        .union(rb.select((F.col("r") + 1).cast("bigint").alias("x")))
+        .union(spark.range(1, 2).select(F.col("id").alias("x")))
+        .union(tot.select((F.col("tt") + DSIR_B).cast("bigint").alias("x")))
+        .union(tot.select((F.col("rr") + DSIR_B).cast("bigint").alias("x")))
+        .distinct()
+    )
+    lg = _fp_log2_dict(xs)
+    lt = lg.select(F.col("x").alias("xt"), F.col("lgv").alias("ltv"))
+    lr = lg.select(F.col("x").alias("xr"), F.col("lgv").alias("lrv"))
+    model = (
+        rb.join(tb, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("t"), F.lit(0)) + 1).cast("bigint").alias("xt"),
+            (F.col("r") + 1).cast("bigint").alias("xr"),
+        )
+        .join(F.broadcast(lt), "xt")
+        .join(F.broadcast(lr), "xr")
+        .select("bucket", "ltv", "lrv")
+    )
+    cst = (
+        tot.select(
+            (F.col("tt") + DSIR_B).cast("bigint").alias("xt"),
+            (F.col("rr") + DSIR_B).cast("bigint").alias("xr"),
+        )
+        .join(F.broadcast(lt), "xt")
+        .join(F.broadcast(lr), "xr")
+        .select((F.col("lrv") - F.col("ltv")).alias("adj"))
+    )
+    dbc = cfe.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        dbc.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * (F.col("ltv") - F.col("lrv")))
+            .cast("bigint")
+            .alias("part"),
+        )
+        .crossJoin(F.broadcast(cst))
+        .select(
+            "doc_id",
+            "n_feats",
+            (F.col("part") + F.col("n_feats") * F.col("adj"))
+            .cast("bigint")
+            .alias("w_fp"),
+        )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_SQL_BASE}
+    SELECT doc_id, n_feats, w_fp FROM wts ORDER BY doc_id
+    """,
+    doc="DSIR IMPORTANCE WEIGHTS (Xie et al. NeurIPS '23): every "
+    "candidate (non-English) document scored by how target-like (how "
+    "English-like) its hashed unigram+bigram feature counts are, as an "
+    "EXACT fixed-point integer log-ratio under two add-one-smoothed "
+    "bag-of-features models — see the block comment. No vocabulary, no "
+    "floats, no UDF: SHA-256 bucket hashing, bounded-key count "
+    "shuffles, broadcast model/log-dictionary joins. The oracle "
+    "replays the arithmetic from first principles.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights(spark, sf_dir).orderBy("doc_id")
+
+
+@query(
+    "dsir_topk_selection",
+    oracle=f"""
+    WITH {_DSIR_SQL_BASE},
+    ranked AS (
+        SELECT w.doc_id, d.lang, w.n_feats, w.w_fp,
+               row_number() OVER (ORDER BY w.w_fp DESC, w.doc_id) AS rn
+        FROM wts w JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(n_feats) AS BIGINT) AS feat_sum,
+           CAST(sum(w_fp) AS BIGINT) AS w_sum
+    FROM ranked WHERE rn <= {DSIR_K}
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="DSIR TOP-K SELECTION — the deterministic stand-in for the "
+    "paper's Gumbel resampling: the K most target-like candidates by "
+    "(w_fp DESC, doc_id), reported as per-language composition so the "
+    "distribution shift toward the target domain is the checked "
+    "artifact. Engine side selects WITHOUT a global ranking window: "
+    "orderBy+limit compiles to TakeOrderedAndProject (per-partition "
+    "top-K heaps + driver merge), then the K-th (w_fp, doc_id) pair "
+    "broadcasts back as a threshold filter — at 100 TB the corpus "
+    "never single-partition-sorts. The oracle's ranking window is the "
+    "same relation computed the naive way.",
+)
+def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = managed_cache(_dsir_weights(spark, sf_dir))
+    # K-th largest (w_fp, doc_id) via TakeOrderedAndProject, then a
+    # broadcast threshold filter — no global ranking window.
+    cut = (
+        w.orderBy(F.desc("w_fp"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .orderBy(F.asc("w_fp"), F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("w_fp").alias("cw"), F.col("doc_id").alias("cd"))
+    )
+    sel = w.crossJoin(F.broadcast(cut)).filter(
+        (F.col("w_fp") > F.col("cw"))
+        | ((F.col("w_fp") == F.col("cw")) & (F.col("doc_id") <= F.col("cd")))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        d.join(F.broadcast(sel), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_feats").cast("bigint").alias("feat_sum"),
+            F.sum("w_fp").cast("bigint").alias("w_sum"),
+        )
+        .orderBy("lang")
+    )
