@@ -5547,3 +5547,106 @@ def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Word-entropy quality score (round 10) — the diversity face
+# --------------------------------------------------------------------------
+
+# Shannon entropy of a document's unigram distribution — the classic
+# lexical-diversity quality signal (low entropy = keyword stuffing,
+# boilerplate, generated spam; complements the repetition and Gini
+# signals that look at other shapes of degeneracy). Exact arithmetic:
+# for token counts c_w with n = Σ c_w,
+#
+#   n·H(d) = n·log2 n − Σ_w c_w·log2 c_w
+#
+# so nh_fp = n·L(n) − Σ_w c_w·L(c_w) is an exact non-negative BIGINT
+# under the shared fixed-point log2 L (_fp_log2_dict), and the
+# per-token rate quantizes division-free as (nh_fp << LM_RATE_Q) div n
+# — the same discipline as the LM perplexity score, so both engines
+# agree bit-for-bit. 100 TB: one tokenize pass; the (doc_id, token)
+# count shuffle is the only corpus-sized exchange; the log dictionary
+# is bounded by distinct count values and broadcasts back.
+
+
+@query(
+    "word_entropy_quality",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, w[i] AS tok
+        FROM (SELECT doc_id, {TX.sql_words('text')} AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS r(i)
+    ),
+    wc AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    dn AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM wc GROUP BY doc_id
+    ),
+    xs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT c AS x FROM wc UNION SELECT n FROM dn
+        )
+    ){_lm_log_sql()},
+    sumc AS MATERIALIZED (
+        SELECT wc.doc_id, CAST(sum(wc.c * lg.lgv) AS BIGINT) AS s
+        FROM wc JOIN lg ON lg.x = wc.c GROUP BY wc.doc_id
+    )
+    SELECT dn.doc_id, dn.n AS n_tokens, dn.n_distinct,
+           CAST(dn.n * lgn.lgv - sumc.s AS BIGINT) AS nh_fp,
+           CAST(((dn.n * lgn.lgv - sumc.s) << {LM_RATE_Q}) // dn.n AS BIGINT)
+               AS h_rate_q
+    FROM dn JOIN lg lgn ON lgn.x = dn.n
+            JOIN sumc USING (doc_id)
+    ORDER BY dn.doc_id
+    """,
+    doc="WORD-ENTROPY QUALITY SCORE: per-document Shannon entropy of "
+    "the unigram distribution as an EXACT scaled integer — nh_fp = "
+    "n·L(n) − Σ c·L(c) with the shared fixed-point log2, plus the "
+    "division-free per-token rate. Low values flag keyword stuffing "
+    "and template spam that length/repetition heuristics miss. No "
+    "floats, no UDF; the oracle replays the arithmetic exactly.",
+)
+def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", TX.words(F.col("text")).alias("w")
+    )
+    wc = managed_cache(
+        d.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dn = managed_cache(
+        wc.groupBy("doc_id").agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+    )
+    xs = (
+        wc.select(F.col("c").alias("x"))
+        .union(dn.select(F.col("n").alias("x")))
+        .distinct()
+    )
+    lg = _fp_log2_dict(xs)
+    sumc = (
+        wc.join(F.broadcast(lg), wc["c"] == lg["x"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lgv")).cast("bigint").alias("s"))
+    )
+    lgn = lg.select(F.col("x").alias("n"), F.col("lgv").alias("ln"))
+    nh = (F.col("n") * F.col("ln") - F.col("s")).cast("bigint")
+    return (
+        dn.join(F.broadcast(lgn), "n")
+        .join(sumc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_distinct",
+            nh.alias("nh_fp"),
+            F.expr(f"shiftleft(n * ln - s, {LM_RATE_Q}) div n").alias("h_rate_q"),
+        )
+        .orderBy("doc_id")
+    )
