@@ -5650,3 +5650,114 @@ def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Perplexity-stratified sampling (round 10) — CCNet's band-rate policy
+# --------------------------------------------------------------------------
+
+# CCNet (Wenzek et al. '19) does not gate binary on perplexity: the
+# HEAD band is kept whole, the MIDDLE is kept whole (or downsampled),
+# and the TAIL is retained at a reduced rate so rare registers are not
+# erased from the corpus. This composes the tercile bands of
+# lm_perplexity_gate with the repo's deterministic md5 Bernoulli
+# sampling (split_train_val_test's mechanism): tail docs survive iff
+# the first hex digit of md5(doc_id) lands in a fixed 4/16 alphabet —
+# reproducible, engine-agnostic, and stable under corpus regeneration.
+# Output is the per-band funnel report (candidates, selected, kept
+# bigram mass), the artifact a mixing/budget stage consumes.
+#
+# 100 TB: everything reuses the gate's machinery — one corpus tokenize
+# pass, bounded rate-histogram cuts broadcast back; the sampling adds
+# one md5 per doc (no shuffle) and the report is a bounded groupBy.
+
+PPL_TAIL_KEEP_HEX = tuple("0123")  # tail survives at 4/16 = 1/4
+
+
+@query(
+    "ppl_stratified_sampling",
+    oracle=f"""
+    WITH {_lm_sql_base()}{_LM_SQL_SCORE},
+    h AS (SELECT nll_rate_q AS q, count(*) AS c FROM scq GROUP BY nll_rate_q),
+    cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cum FROM h),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= (SELECT count(*) FROM scq) THEN q END)
+                   AS cut1,
+               min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq) THEN q END)
+                   AS cut2
+        FROM cum
+    ),
+    banded AS (
+        SELECT scq.doc_id, scq.n_bigrams,
+               CASE WHEN scq.nll_rate_q <= cuts.cut1 THEN 'head'
+                    WHEN scq.nll_rate_q <= cuts.cut2 THEN 'middle'
+                    ELSE 'tail' END AS band
+        FROM scq, cuts
+    ),
+    sel AS (
+        SELECT *,
+               band <> 'tail'
+               OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN {PPL_TAIL_KEEP_HEX!r} AS selected
+        FROM banded
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           CAST(sum(CASE WHEN selected THEN n_bigrams ELSE 0 END) AS BIGINT)
+               AS bigrams_selected
+    FROM sel GROUP BY band ORDER BY band
+    """,
+    doc="PERPLEXITY-STRATIFIED SAMPLING — CCNet's actual retention "
+    "policy composed from lm_perplexity_gate's tercile bands: head "
+    "and middle kept whole, tail retained at a deterministic 1/4 via "
+    "the md5 first-hex-digit Bernoulli the split stage already uses "
+    "(no RNG, reproducible across engines and reruns). Per-band "
+    "funnel report: candidates, survivors, surviving bigram mass. "
+    "100 TB: the gate's bounded histogram cuts broadcast back; the "
+    "sample adds one md5 per doc, shuffle-free.",
+)
+def ppl_stratified_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = managed_cache(
+        _lm_scores(spark, sf_dir).select("doc_id", "n_bigrams", "nll_rate_q")
+    )
+    n_tot = sc.agg(F.count(F.lit(1)).alias("n"))
+    hist = sc.groupBy("nll_rate_q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("nll_rate_q").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    cuts = cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut2"),
+    )
+    band = (
+        F.when(F.col("nll_rate_q") <= F.col("cut1"), "head")
+        .when(F.col("nll_rate_q") <= F.col("cut2"), "middle")
+        .otherwise("tail")
+    )
+    first_hex = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    selected = (F.col("band") != "tail") | first_hex.isin(*PPL_TAIL_KEEP_HEX)
+    return (
+        sc.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "n_bigrams", band.alias("band"))
+        .withColumn("selected", selected)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("selected"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum(F.when(F.col("selected"), F.col("n_bigrams")).otherwise(0))
+            .cast("bigint")
+            .alias("bigrams_selected"),
+        )
+        .orderBy("band")
+    )
