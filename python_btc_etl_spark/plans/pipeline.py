@@ -5761,3 +5761,71 @@ def ppl_stratified_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-tokenizer fertility by language (round 10) — the serve face
+# --------------------------------------------------------------------------
+
+# bpe_fertility_by_lang gives the BPE rack its serving/eval metric;
+# this is the twin for the unigram-LM tokenizer: per language, tokens
+# emitted per word under the FINAL EM round's Viterbi segmentation.
+# Together they let the two production tokenizer families be compared
+# on the same corpus with the same metric (fertility in exact integer
+# ppm). Serving is dictionary-shaped, exactly like the BPE encode: the
+# corpus contributes only (lang, word) multiplicities; the trained
+# segmentation (word -> piece count) is a dictionary-sized broadcast.
+
+
+@query(
+    "unigram_fertility_by_lang",
+    oracle=f"""
+    WITH RECURSIVE {_unig_sql_base()},
+    dl AS (
+        SELECT lang, word, count(*) AS cl
+        FROM (SELECT lang, unnest({TX.sql_words('text')}) AS word
+              FROM documents)
+        WHERE length(word) >= 1
+        GROUP BY lang, word
+    )
+    SELECT dl.lang,
+           CAST(sum(dl.cl) AS BIGINT)               AS n_words,
+           CAST(sum(dl.cl * len(s.ps)) AS BIGINT)   AS n_pieces,
+           CAST(sum(dl.cl * len(s.ps)) * 1000000 // sum(dl.cl) AS BIGINT)
+               AS fertility_ppm
+    FROM dl JOIN seg_{UNIG_ROUNDS} s USING (word)
+    GROUP BY dl.lang
+    ORDER BY dl.lang
+    """,
+    doc="UNIGRAM-TOKENIZER FERTILITY by language — the serve/eval face "
+    "of unigram_lm_vocab and the twin of bpe_fertility_by_lang: "
+    "tokens-per-word (exact integer ppm) under the final EM round's "
+    "Viterbi segmentation, per language. The corpus contributes only "
+    "(lang, word) multiplicities (one tokenize pass, one bounded-key "
+    "shuffle); the trained word->pieces segmentation broadcasts back, "
+    "so serving cost ∝ vocabulary exactly like the BPE encode path. "
+    "Oracle replays the full EM as RECURSIVE CTEs and joins the same "
+    "final segmentation.",
+)
+def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs, _ = _unig_em(spark, sf_dir)
+    seg = segs[-1].select("word", F.size("ps").cast("bigint").alias("np"))
+    d = spread(load(spark, sf_dir, "documents"))
+    dl = (
+        d.select("lang", F.explode(TX.words(F.col("text"))).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cl"))
+    )
+    return (
+        dl.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cl").cast("bigint").alias("n_words"),
+            F.sum(F.col("cl") * F.col("np")).cast("bigint").alias("n_pieces"),
+            F.expr("sum(cl * np) * 1000000 div sum(cl)")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
