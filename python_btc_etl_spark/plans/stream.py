@@ -967,3 +967,386 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id bigint, batch int, accepted boolean, first_match bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming LM quality gate (round 10) — the CCNet gate as a stream
+# --------------------------------------------------------------------------
+
+# stream_neardup_gate gives the standing ingest pipeline its dedup
+# stage; this is the QUALITY stage beside it: a bigram LM and an
+# acceptance threshold are trained ONCE on a base corpus slice (CCNet
+# trains its reference model on Wikipedia), FROZEN, and then document
+# micro-batches are scored and gated as they arrive. Because the model
+# is frozen, batches are independent — no batch's verdict depends on
+# another's — which is exactly what makes the gate horizontally
+# scalable: the model tables are vocabulary-sized broadcasts and a
+# batch's scoring plan touches only that batch.
+#
+# Scoring must handle UNSEEN n-grams (the in-corpus perplexity gate
+# never sees one; a stream always does): 2-level stupid backoff
+# (Brants et al. EMNLP'07) with alpha = 0.5, exact in the fixed-point
+# L domain because log2(0.5) = -1 costs exactly one integer bit:
+#
+#   bigram seen:  nll = L(c1(w1)) - L(c12(w1,w2))
+#   else:         nll = 2^LM_B + L(U + V) - L(cu(w2) + 1)
+#
+# with cu the base unigram counts, U = Σ cu, V = |vocab|, L the shared
+# fixed-point log2. The acceptance cut is the TERCILE cut2 of the
+# base slice's own in-sample rates (lm_perplexity_gate's banding,
+# computed once at train time, shipped with the model). Batch commits
+# follow the neardup gate's discipline: one overwrite-keyed decisions
+# unit per batch whose _SUCCESS is the commit marker; replays of any
+# partially-completed attempt are naturally idempotent.
+
+SQG_BASE_MOD = 5  # doc_id % 5 == 0 -> the frozen training slice
+SQG_BATCHES = 3  # stream slices: batch b = remaining docs with doc_id % 3 == b
+
+
+def _sqg_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) bigrams WITH multiplicity of a (doc_id, text)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TX
+
+    return (
+        d.select("doc_id", TX.words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+
+
+def _sqg_model(spark: SparkSession, sf_dir: str):
+    """Train the frozen gate: returns (m12, cul, kuv, cut) — the seen-
+    bigram nll table, the unigram-backoff log table, the one-row
+    (2^LM_B + L(U+V)) backoff constant, and the one-row tercile cut.
+    All four are localCheckpoint-pinned so the stream's batches reuse
+    them without recomputation (the model is genuinely frozen)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..catalog import load, spread
+    from ..functions import text as TX
+    from .pipeline import LM_B, LM_RATE_Q, _fp_log2_dict
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % SQG_BASE_MOD == 0)
+    bbg = _sqg_bigrams(base).localCheckpoint()  # feeds model AND in-sample cut
+    c12 = bbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    cu = (
+        base.select(F.explode(TX.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    uv = cu.agg(
+        F.sum("cu").cast("bigint").alias("u"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    xs = (
+        c12.select(F.col("c12").alias("x"))
+        .union(c1.select(F.col("c1").alias("x")))
+        .union(cu.select((F.col("cu") + 1).cast("bigint").alias("x")))
+        .union(spark.range(1, 2).select(F.col("id").alias("x")))
+        .union(uv.select((F.col("u") + F.col("v")).cast("bigint").alias("x")))
+        .distinct()
+    )
+    lg = _fp_log2_dict(xs)
+    l12 = lg.select(F.col("x").alias("c12"), F.col("lgv").alias("l12"))
+    l1 = lg.select(F.col("x").alias("c1"), F.col("lgv").alias("l1"))
+    m12 = (
+        c12.join(c1, "w1")
+        .join(F.broadcast(l12), "c12")
+        .join(F.broadcast(l1), "c1")
+        .select("w1", "w2", (F.col("l1") - F.col("l12")).alias("nll"))
+        .localCheckpoint()
+    )
+    cul = (
+        cu.withColumn("x", (F.col("cu") + 1).cast("bigint"))
+        .join(F.broadcast(lg), "x")
+        .select("word", F.col("lgv").alias("lgc"))
+        .localCheckpoint()
+    )
+    kuv = (
+        uv.withColumn("x", (F.col("u") + F.col("v")).cast("bigint"))
+        .join(F.broadcast(lg), "x")
+        .select((F.lit(1 << LM_B) + F.col("lgv")).cast("bigint").alias("kuv"))
+        .localCheckpoint()
+    )
+    # In-sample rates of the base slice -> tercile cut2 over the bounded
+    # rate histogram (the lm_perplexity_gate banding, frozen at train time).
+    bsc = (
+        bbg.join(F.broadcast(m12), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("nll").cast("bigint").alias("s"),
+        )
+        .select(F.expr(f"shiftleft(s, {LM_RATE_Q}) div n").alias("q"))
+    )
+    n_tot = bsc.agg(F.count(F.lit(1)).alias("nb"))
+    hist = bsc.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("q").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    cut = (
+        cum.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("nb"), F.col("q"))
+            ).alias("cut2")
+        )
+        .localCheckpoint()
+    )
+    return m12, cul, kuv, cut
+
+
+def _sqg_committed(state: str) -> list[int]:
+    """Batches whose decisions unit committed (_SUCCESS present)."""
+    import os
+
+    dec_dir = os.path.join(state, "decisions")
+    if not os.path.isdir(dec_dir):
+        return []
+    return sorted(
+        int(u[1:])
+        for u in os.listdir(dec_dir)
+        if u.startswith("b")
+        and os.path.exists(os.path.join(dec_dir, u, "_SUCCESS"))
+    )
+
+
+def quality_gate_batch(
+    spark: SparkSession, state: str, model, batch_df: DataFrame
+) -> None:
+    """Score and gate ONE micro-batch against the frozen model
+    (module-level so the replay guard is unit-testable outside the
+    stream). One overwrite-keyed write per batch: decisions/b{b}, its
+    _SUCCESS the commit marker; the batch number derives from CONTENT
+    (doc_id % SQG_BATCHES), so replays are recognized even if the
+    engine renumbers attempts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .pipeline import LM_RATE_Q
+
+    m12, cul, kuv, cut = model
+    head = batch_df.select(
+        (F.col("doc_id") % SQG_BATCHES).alias("b")
+    ).distinct().collect()  # bounded: slices are pure, <= SQG_BATCHES rows
+    if not head:
+        return
+    assert len(head) == 1, f"impure slice: {head}"
+    b = int(head[0]["b"])
+    if b in _sqg_committed(state):  # replay of a committed batch: no-op
+        return
+    sbg = _sqg_bigrams(batch_df)
+    term = F.coalesce(
+        F.col("nll"), F.col("kuv") - F.coalesce(F.col("lgc"), F.lit(0))
+    )
+    decisions = (
+        sbg.join(F.broadcast(m12), ["w1", "w2"], "left")
+        .join(F.broadcast(cul), sbg["w2"] == cul["word"], "left")
+        .crossJoin(F.broadcast(kuv))
+        .select(
+            "doc_id",
+            term.alias("t"),
+            F.col("nll").isNull().cast("int").alias("bo"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("bo").cast("bigint").alias("n_backoff"),
+            F.sum("t").cast("bigint").alias("nll_fp"),
+        )
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            F.lit(b).cast("int").alias("batch"),
+            "n_bigrams",
+            "n_backoff",
+            F.expr(f"shiftleft(nll_fp, {LM_RATE_Q}) div n_bigrams").alias(
+                "nll_rate_q"
+            ),
+            (
+                F.expr(f"shiftleft(nll_fp, {LM_RATE_Q}) div n_bigrams")
+                <= F.col("cut2")
+            ).alias("accepted"),
+        )
+    )
+    decisions.write.mode("overwrite").parquet(os.path.join(state, "decisions", f"b{b}"))
+
+
+def _sqg_oracle_sql() -> str:
+    """Flat replay (the model is frozen, so no per-batch recursion):
+    train on the base slice, score every stream doc with the 2-level
+    backoff, band against the base slice's in-sample tercile cut."""
+    from ..functions import text as TX
+    from .pipeline import LM_B, LM_RATE_Q, _lm_log_sql
+
+    w = TX.sql_words("text")
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % {SQG_BASE_MOD} = 0
+    ),
+    strm AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % {SQG_BASE_MOD} <> 0
+    ),
+    bbg AS MATERIALIZED (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, {w} AS w FROM base) t,
+             unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    c12 AS MATERIALIZED (
+        SELECT w1, w2, count(*) AS c12 FROM bbg GROUP BY w1, w2
+    ),
+    c1 AS MATERIALIZED (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+    cu AS MATERIALIZED (
+        SELECT word, count(*) AS cu
+        FROM (SELECT unnest({w}) AS word FROM base) GROUP BY word
+    ),
+    uv AS MATERIALIZED (
+        SELECT CAST(sum(cu) AS BIGINT) AS u, CAST(count(*) AS BIGINT) AS v
+        FROM cu
+    ),
+    xs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT c12 AS x FROM c12
+            UNION SELECT c1 FROM c1
+            UNION SELECT cu + 1 FROM cu
+            UNION SELECT CAST(1 AS BIGINT)
+            UNION SELECT u + v FROM uv
+        )
+    ){_lm_log_sql()},
+    m12 AS MATERIALIZED (
+        SELECT c12.w1, c12.w2, l1.lgv - l12.lgv AS nll
+        FROM c12 JOIN c1 USING (w1)
+        JOIN lg l12 ON l12.x = c12.c12
+        JOIN lg l1 ON l1.x = c1.c1
+    ),
+    kuv AS MATERIALIZED (
+        SELECT {1 << LM_B} + lg.lgv AS kuv FROM lg, uv WHERE lg.x = uv.u + uv.v
+    ),
+    bsc AS MATERIALIZED (
+        SELECT (CAST(sum(m.nll) AS BIGINT) << {LM_RATE_Q}) // count(*) AS q
+        FROM bbg JOIN m12 m ON m.w1 = bbg.w1 AND m.w2 = bbg.w2
+        GROUP BY bbg.doc_id
+    ),
+    cut AS MATERIALIZED (
+        SELECT min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM bsc) THEN q END)
+                   AS cut2
+        FROM (SELECT q, sum(c) OVER (ORDER BY q) AS cum
+              FROM (SELECT q, count(*) AS c FROM bsc GROUP BY q))
+    ),
+    sbg AS MATERIALIZED (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, {w} AS w FROM strm) t,
+             unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    scored AS MATERIALIZED (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN m.nll IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_backoff,
+               CAST(sum(CASE WHEN m.nll IS NOT NULL THEN m.nll
+                             ELSE (SELECT kuv FROM kuv) - lgc.lgv END)
+                    AS BIGINT) AS nll_fp
+        FROM sbg s
+        LEFT JOIN m12 m ON m.w1 = s.w1 AND m.w2 = s.w2
+        LEFT JOIN cu ON cu.word = s.w2
+        JOIN lg lgc ON lgc.x = coalesce(cu.cu, 0) + 1
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id,
+           CAST(doc_id % {SQG_BATCHES} AS INT) AS batch,
+           n_bigrams, n_backoff,
+           (nll_fp << {LM_RATE_Q}) // n_bigrams AS nll_rate_q,
+           (nll_fp << {LM_RATE_Q}) // n_bigrams <= (SELECT cut2 FROM cut)
+               AS accepted
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query(
+    "stream_quality_gate",
+    oracle=_sqg_oracle_sql(),
+    doc="STREAMING LM QUALITY GATE — the CCNet perplexity gate as a "
+    "standing stream beside stream_neardup_gate: bigram model + "
+    "tercile threshold trained ONCE on the doc_id % "
+    f"{SQG_BASE_MOD} == 0 base slice and FROZEN "
+    "(localCheckpoint-pinned), then document micro-batches scored via "
+    "foreachBatch with exact 2-level stupid backoff (alpha = 0.5 = "
+    "one integer bit in the fixed-point L domain) and gated on "
+    "arrival. One overwrite-keyed decisions unit per batch, _SUCCESS "
+    "as the commit marker, content-derived batch ids — replays of any "
+    "partial attempt are idempotent (tests/test_stream_quality_gate). "
+    "Frozen model => batches are independent, so the oracle replays "
+    "flat (no recursion); per-doc verdicts carry the backoff count — "
+    "the domain-shift telemetry a real gate logs. 100 TB: model "
+    "tables are vocabulary-sized broadcasts; each batch's plan "
+    "touches only that batch.",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load, spread
+    from ..streaming.file_stream import ensure_session_confs
+
+    ensure_session_confs(spark)
+    model = _sqg_model(spark, sf_dir)
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    strm = d.filter(F.col("doc_id") % SQG_BASE_MOD != 0)
+    base = tempfile.mkdtemp(prefix="quality_gate_")
+    src, state = f"{base}/src", f"{base}/state"
+    try:
+        os.makedirs(src, exist_ok=True)
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            quality_gate_batch(spark, state, model, batch_df)
+
+        q = stream.writeStream.foreachBatch(sink).start()
+        try:
+            for b in range(SQG_BATCHES):
+                stage = f"{base}/stage{b}"
+                strm.filter(F.col("doc_id") % SQG_BATCHES == b).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(stage)
+                parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+                for i, f in enumerate(parts):
+                    shutil.move(f"{stage}/{f}", f"{src}/slice_{b}_{i}.parquet")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = [
+            tuple(r)
+            for r in spark.read.parquet(
+                *[f"{state}/decisions/b{i}" for i in _sqg_committed(state)]
+            )
+            .orderBy("doc_id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, batch int, n_bigrams bigint, n_backoff bigint, "
+        "nll_rate_q bigint, accepted boolean",
+    ).orderBy("doc_id")
