@@ -5614,6 +5614,13 @@ def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", TX.words(F.col("text")).alias("w")
     )
+    return _entropy_scores_from(d).orderBy("doc_id")
+
+
+def _entropy_scores_from(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, nh_fp, h_rate_q) over any
+    (doc_id, w: array<string>) relation — the shared entropy scorer
+    word_entropy_quality and e2e_corpus_build_v4 both run."""
     wc = managed_cache(
         d.select("doc_id", F.explode("w").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -5648,7 +5655,6 @@ def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             nh.alias("nh_fp"),
             F.expr(f"shiftleft(n * ln - s, {LM_RATE_Q}) div n").alias("h_rate_q"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -5828,4 +5834,210 @@ def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_ppm"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# E2E corpus build v4 (round 10) — the funnel with this round's stages
+# --------------------------------------------------------------------------
+
+# v3 composed funnel -> LM gate -> split. v4 upgrades two stages to
+# what production pipelines actually run and adds a third:
+#   1. structural funnel (length + language + exact dedup) — unchanged;
+#   2. WORD-ENTROPY FLOOR (new): drop low-diversity documents BEFORE
+#      the LM ever trains on them, at an absolute 3-bits-per-token bar
+#      (natural prose in this corpus sits at 2.4-4.8 bits/token, so
+#      the floor genuinely fires; absolute, not a quantile, because a
+#      diversity bar should not drift with corpus composition);
+#   3. the LM trains on the entropy survivors (the differential locks
+#      this interaction: a leaked low-entropy doc changes the model,
+#      not just its own row);
+#   4. STRATIFIED band retention (ppl_stratified_sampling) replaces
+#      v3's binary gate: head+middle whole, tail at the deterministic
+#      md5 1/4 — CCNet's real policy;
+#   5. md5 split; report per (split, band) so the band mix inside each
+#      split is the checked artifact.
+# One documents scan feeds everything; every stage reuses the
+# standalone queries' functions, so constants and the fixed-point log
+# are shared by construction.
+
+ENT_V4_MIN_BITS = 3
+ENT_V4_MIN = ENT_V4_MIN_BITS << (LM_B + LM_RATE_Q)  # h_rate_q floor
+
+
+@query(
+    "e2e_corpus_build_v4",
+    oracle=f"""
+    WITH kept AS MATERIALIZED (
+        SELECT doc_id, text, lang, len({TX.sql_words('text')}) AS n_tok
+        FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM documents
+        )
+        WHERE len({TX.sql_words('text')}) >= {FUNNEL_MIN_WORDS}
+          AND lang IN {FUNNEL_LANGS!r}
+          AND keeper = doc_id
+    ),
+    etok AS MATERIALIZED (
+        SELECT doc_id, w[i] AS tok
+        FROM (SELECT doc_id, {TX.sql_words('text')} AS w FROM kept),
+             unnest(range(1, len(w) + 1)) AS r(i)
+    ),
+    ewc AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS c FROM etok GROUP BY doc_id, tok
+    ),
+    edn AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ewc GROUP BY doc_id
+    ),
+    exs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT c AS x FROM ewc UNION SELECT n FROM edn
+        )
+    ){_lm_log_sql('_e', 'exs')},
+    esc AS MATERIALIZED (
+        SELECT edn.doc_id,
+               ((edn.n * lgn.lgv - s.s) << {LM_RATE_Q}) // edn.n AS h_rate_q
+        FROM edn
+        JOIN lg_e lgn ON lgn.x = edn.n
+        JOIN (SELECT ewc.doc_id, CAST(sum(ewc.c * lg_e.lgv) AS BIGINT) AS s
+              FROM ewc JOIN lg_e ON lg_e.x = ewc.c
+              GROUP BY ewc.doc_id) s USING (doc_id)
+    ),
+    surv AS MATERIALIZED (
+        SELECT kept.doc_id, kept.text, kept.lang, kept.n_tok
+        FROM kept JOIN esc USING (doc_id)
+        WHERE esc.h_rate_q >= {ENT_V4_MIN}
+    ),
+    {_lm_sql_base('surv')}{_LM_SQL_SCORE},
+    h AS (SELECT nll_rate_q AS q, count(*) AS c FROM scq GROUP BY nll_rate_q),
+    cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cum FROM h),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= (SELECT count(*) FROM scq) THEN q END)
+                   AS cut1,
+               min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq) THEN q END)
+                   AS cut2
+        FROM cum
+    ),
+    banded AS (
+        SELECT scq.doc_id, scq.nll_fp,
+               CASE WHEN scq.nll_rate_q <= cuts.cut1 THEN 'head'
+                    WHEN scq.nll_rate_q <= cuts.cut2 THEN 'middle'
+                    ELSE 'tail' END AS band
+        FROM scq, cuts
+    ),
+    sel AS (
+        SELECT b.doc_id, b.nll_fp, b.band, k.lang, k.n_tok
+        FROM banded b JOIN surv k USING (doc_id)
+        WHERE b.band <> 'tail'
+           OR substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1)
+              IN {PPL_TAIL_KEEP_HEX!r}
+    ),
+    tagged AS (
+        SELECT CASE
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_TRAIN!r} THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN {SPLIT_VAL!r} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               band, lang, n_tok, nll_fp
+        FROM sel
+    )
+    SELECT split, band,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)  AS n_tokens,
+           CAST(sum(nll_fp) AS BIGINT) AS nll_sum,
+           count(DISTINCT lang)        AS n_langs
+    FROM tagged
+    GROUP BY split, band
+    ORDER BY split, band
+    """,
+    doc="E2E CORPUS BUILD v4 — the production stage order with this "
+    "round's operators composed in: structural funnel -> ABSOLUTE "
+    "word-entropy floor (3 bits/token, fires before the LM trains, so "
+    "a leaked degenerate doc would shift the model — the differential "
+    "locks the interaction) -> bigram LM on the survivors -> CCNet "
+    "STRATIFIED band retention (head+middle whole, tail at md5 1/4, "
+    "replacing v3's binary gate) -> md5 split -> per-(split, band) "
+    "report. One documents scan; every stage is the standalone "
+    "query's function, sharing constants and the fixed-point log by "
+    "construction.",
+)
+def e2e_corpus_build_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    keeper = F.min("doc_id").over(
+        PW.partitionBy(F.md5(F.lower(F.col("text")).cast("binary")))
+    )
+    kept = managed_cache(
+        d.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(TX.words(F.col("text"))).alias("n_tok"),
+        )
+        .withColumn("keeper", keeper)
+        .filter(
+            (F.col("n_tok") >= FUNNEL_MIN_WORDS)
+            & F.col("lang").isin(*FUNNEL_LANGS)
+            & (F.col("keeper") == F.col("doc_id"))
+        )
+        .select("doc_id", "text", "lang", "n_tok")
+    )
+    ent = _entropy_scores_from(
+        kept.select("doc_id", TX.words(F.col("text")).alias("w"))
+    ).select("doc_id", "h_rate_q")
+    surv = managed_cache(
+        kept.join(ent, "doc_id")
+        .filter(F.col("h_rate_q") >= ENT_V4_MIN)
+        .select("doc_id", "text", "lang", "n_tok")
+    )
+    scores = managed_cache(
+        _lm_scores_from(_lm_bigrams_from(surv)).select(
+            "doc_id", "nll_fp", "nll_rate_q"
+        )
+    )
+    n_tot = scores.agg(F.count(F.lit(1)).alias("n"))
+    hist = scores.groupBy("nll_rate_q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("nll_rate_q").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    cuts = cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut2"),
+    )
+    band = (
+        F.when(F.col("nll_rate_q") <= F.col("cut1"), "head")
+        .when(F.col("nll_rate_q") <= F.col("cut2"), "middle")
+        .otherwise("tail")
+    )
+    first_hex = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    sel = (
+        surv.join(scores, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("band", band)
+        .filter((F.col("band") != "tail") | first_hex.isin(*PPL_TAIL_KEEP_HEX))
+    )
+    split = (
+        F.when(first_hex.isin(*SPLIT_TRAIN), "train")
+        .when(first_hex.isin(*SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+    return (
+        sel.groupBy(split.alias("split"), "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("nll_fp").cast("bigint").alias("nll_sum"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split", "band")
     )
