@@ -1015,3 +1015,85 @@ def skew_join_salted_mitigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _row("unsalted", chk_u, su).unionByName(
         _row("salted", chk_s, ss)
     ).orderBy("strategy")
+
+
+# --------------------------------------------------------------------------
+# Sampled join-cardinality estimation audit (round 10)
+# --------------------------------------------------------------------------
+
+# The optimizer-statistics face: before launching a self-join (or any
+# key-equi-join) at 100 TB, a planner wants |A ⋈ B| WITHOUT running
+# the join. The classical estimator is key-hash sampling: take the
+# deterministic 1/CARD_SLICES slice of the KEY DOMAIN (every key is in
+# or out entirely — unlike row sampling, key sampling preserves the
+# per-key quadratic term exactly), compute the pair mass over the
+# sampled keys, scale by CARD_SLICES. The audit runs estimator AND
+# ground truth from one per-key count pass and reports the signed
+# error — the number that tells you whether the sample rate is safe to
+# plan with. Everything is exact integer arithmetic off the shared
+# 28-bit content hash, so both engines agree bit-for-bit. 100 TB: the
+# count pass is one partial-aggregable shuffle on the join key; the
+# estimator touches |sampled keys| rows; ground truth here is
+# Σ c_k² computed from the SAME counts (never the materialized join).
+
+CARD_SLICES = 16  # key-domain sample: hash28(key) % 16 == 0
+
+
+@query(
+    "join_cardinality_estimate_audit",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+        SELECT user_id, count(*) AS c
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id, c FROM c
+        WHERE ({TX.sql_hash28("CAST(user_id AS VARCHAR)")}) % {CARD_SLICES} = 0
+    )
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_keys,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS n_keys_sampled,
+           CAST((SELECT sum(c * c) FROM c) AS BIGINT) AS exact_pairs,
+           CAST((SELECT sum(c * c) FROM s) * {CARD_SLICES} AS BIGINT)
+               AS est_pairs,
+           CAST(((SELECT sum(c * c) FROM s) * {CARD_SLICES}
+                 - (SELECT sum(c * c) FROM c)) * 1000000
+                // (SELECT sum(c * c) FROM c) AS BIGINT) AS err_ppm
+    """,
+    doc="JOIN-CARDINALITY ESTIMATION AUDIT — the planner-statistics "
+    "face: |events ⋈ events ON user_id| estimated by deterministic "
+    "KEY-DOMAIN hash sampling (1/16 of keys via the shared 28-bit "
+    "hash; key sampling, not row sampling, so each sampled key's "
+    "quadratic pair mass is exact) scaled up, against the exact "
+    "Σ c_k² ground truth computed from the SAME one-pass per-key "
+    "counts — the join itself never runs. Signed error in exact "
+    "integer ppm. 100 TB: one partial-aggregable count shuffle; "
+    "the estimate costs |keys|/16 additions.",
+)
+def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = managed_cache(
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = c.filter(
+        TX.hash28(F.col("user_id").cast("string")) % CARD_SLICES == 0
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"),
+    )
+    smp = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_sampled"),
+        (F.sum(F.col("c") * F.col("c")) * CARD_SLICES)
+        .cast("bigint")
+        .alias("est_pairs"),
+    )
+    return tot.crossJoin(F.broadcast(smp)).select(
+        "n_keys",
+        "n_keys_sampled",
+        "exact_pairs",
+        "est_pairs",
+        F.expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs")
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
