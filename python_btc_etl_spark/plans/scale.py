@@ -1053,9 +1053,9 @@ CARD_SLICES = 16  # key-domain sample: hash28(key) % 16 == 0
     SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_keys,
            CAST((SELECT count(*) FROM s) AS BIGINT) AS n_keys_sampled,
            CAST((SELECT sum(c * c) FROM c) AS BIGINT) AS exact_pairs,
-           CAST((SELECT sum(c * c) FROM s) * {CARD_SLICES} AS BIGINT)
-               AS est_pairs,
-           CAST(((SELECT sum(c * c) FROM s) * {CARD_SLICES}
+           CAST(coalesce((SELECT sum(c * c) FROM s), 0) * {CARD_SLICES}
+                AS BIGINT) AS est_pairs,
+           CAST((coalesce((SELECT sum(c * c) FROM s), 0) * {CARD_SLICES}
                  - (SELECT sum(c * c) FROM c)) * 1000000
                 // (SELECT sum(c * c) FROM c) AS BIGINT) AS err_ppm
     """,
@@ -1084,7 +1084,8 @@ def join_cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFra
     )
     smp = s.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys_sampled"),
-        (F.sum(F.col("c") * F.col("c")) * CARD_SLICES)
+        # empty sample slice => the estimator genuinely says 0, not NULL
+        (F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)) * CARD_SLICES)
         .cast("bigint")
         .alias("est_pairs"),
     )
