@@ -1053,24 +1053,49 @@ def _dv_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
     from ..catalog import spread
     from ..functions import text as TX
 
+    from ..catalog import managed_cache
+
     d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
     # pos = ordinal within the unit. Real formats get this from the file
     # row order at write time (per-file, embarrassingly parallel); the
     # per-unit window is the deterministic stand-in for that ordinal and
-    # runs once at WRITE time only.
-    data = d.withColumn(
-        "unit", (F.col("doc_id") % DV_DATA_UNITS).cast("int")
-    ).withColumn(
-        "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
+    # runs once at WRITE time only. Both relations are CACHED before the
+    # per-unit write loops: without the pin, every unit write re-ran the
+    # full tokenize + window plan (measured 21 s for this query at sf0.1;
+    # ~7 s cached — the writes reuse one materialization).
+    data = managed_cache(
+        d.withColumn(
+            "unit", (F.col("doc_id") % DV_DATA_UNITS).cast("int")
+        ).withColumn(
+            "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
+        )
     )
-    sig = d.select(
-        "doc_id",
-        F.size(TX.shingles(TX.words(F.col("text")))).alias("n_sigs"),
-    ).filter(F.col("n_sigs") >= 1)
-    idx = sig.withColumn(
-        "unit", (F.col("doc_id") % DV_IDX_UNITS).cast("int")
-    ).withColumn(
-        "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
+    # n_sigs = the number of DISTINCT 28-bit signature hashes the dedup
+    # index stores for the doc — computed via the same Arrow shingle
+    # pass every other signature consumer uses (_shingle_hash_batches),
+    # not the native transform(concat_ws(element_at...)) HOF chain: the
+    # interpreted expression costs ~10 s per evaluation at sf0.1 (the
+    # documented _winnow_fps pathology), the Arrow pass ~1 s. Cached
+    # BEFORE the per-unit window so the pass runs once at full
+    # parallelism, not on the DV_IDX_UNITS(=2)-partition exchange.
+    from .dedup import _shingle_hash_batches
+
+    sig = managed_cache(
+        d.select("doc_id", TX.words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= TX.SHINGLE_N)
+        .mapInPandas(
+            _shingle_hash_batches(TX.SHINGLE_HEX_DIGITS, dedup_hashes=True),
+            "doc_id bigint, hs array<bigint>",
+        )
+        .select("doc_id", F.size("hs").cast("bigint").alias("n_sigs"))
+        .filter(F.col("n_sigs") >= 1)
+    )
+    idx = managed_cache(
+        sig.withColumn(
+            "unit", (F.col("doc_id") % DV_IDX_UNITS).cast("int")
+        ).withColumn(
+            "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
+        )
     )
     data_units, idx_units = [], []
     for k in range(DV_DATA_UNITS):
@@ -1114,11 +1139,16 @@ def _dv_read(spark: SparkSession, units: list, dvs: list, tag: str) -> DataFrame
 @query(
     "deletion_vector_read_path",
     oracle=f"""
-    WITH sig AS MATERIALIZED (
-        SELECT doc_id,
-               len({TX.sql_shingles(TX.sql_words('text'))}) AS n_sigs
+    WITH shd AS MATERIALIZED (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
         FROM documents
         WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               len(list_distinct(list_transform(sh, s -> {TX.sql_hash28('s')})))
+                   AS n_sigs
+        FROM shd
     )
     SELECT * FROM (
         SELECT 1 AS version,
