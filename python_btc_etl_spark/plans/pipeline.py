@@ -6041,3 +6041,121 @@ def e2e_corpus_build_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "band")
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-family comparison + DSIR-vs-random baseline (round 10)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_family_compare",
+    oracle=f"""
+    WITH RECURSIVE {_bpe_sql_m_cte()},
+    {_bpe_sql_enc_cte()},
+    {_unig_sql_base()},
+    bw AS (SELECT lang, unnest({TX.sql_words('text')}) AS word FROM documents),
+    bpe AS (
+        SELECT bw.lang,
+               CAST(sum(e.n_bpe) * 1000000 // count(*) AS BIGINT) AS bpe_ppm
+        FROM bw JOIN enc e ON e.word = bw.word
+        GROUP BY bw.lang
+    ),
+    ul AS (
+        SELECT lang, word, count(*) AS cl FROM bw
+        WHERE length(word) >= 1 GROUP BY lang, word
+    ),
+    ug AS (
+        SELECT ul.lang,
+               CAST(sum(ul.cl * len(s.ps)) * 1000000 // sum(ul.cl) AS BIGINT)
+                   AS unigram_ppm
+        FROM ul JOIN seg_{UNIG_ROUNDS} s USING (word)
+        GROUP BY ul.lang
+    )
+    SELECT lang, bpe_ppm, unigram_ppm,
+           unigram_ppm - bpe_ppm AS delta_ppm
+    FROM bpe JOIN ug USING (lang)
+    ORDER BY lang
+    """,
+    doc="TOKENIZER FAMILY COMPARISON — the vocabulary-selection eval a "
+    "real tokenizer swap runs: per language, fertility (exact ppm) "
+    "under the one-shot BPE merge table vs the unigram-LM trainer's "
+    "final Viterbi segmentation, side by side with the signed delta. "
+    "Both racks serve dictionary-shaped (corpus contributes word "
+    "multiplicities once; trained tables broadcast), so the compare "
+    "costs two vocabulary passes, not two corpus passes. The oracle "
+    "replays BOTH trainers in one statement.",
+)
+def tokenizer_family_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bpe_fertility_by_lang(spark, sf_dir).select(
+        "lang", F.col("fertility_ppm").alias("bpe_ppm")
+    )
+    u = unigram_fertility_by_lang(spark, sf_dir).select(
+        "lang", F.col("fertility_ppm").alias("unigram_ppm")
+    )
+    return (
+        b.join(u, "lang")
+        .select(
+            "lang",
+            "bpe_ppm",
+            "unigram_ppm",
+            (F.col("unigram_ppm") - F.col("bpe_ppm")).alias("delta_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dsir_vs_random_baseline",
+    oracle=f"""
+    WITH {_DSIR_SQL_BASE},
+    dsel AS (
+        SELECT w_fp FROM (
+            SELECT w_fp, row_number() OVER (ORDER BY w_fp DESC, doc_id) AS rn
+            FROM wts
+        ) WHERE rn <= {DSIR_K}
+    ),
+    rsel AS (
+        SELECT w_fp FROM (
+            SELECT w_fp,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM wts
+        ) WHERE rn <= {DSIR_K}
+    )
+    SELECT * FROM (
+        SELECT 'dsir' AS method, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w_fp) AS BIGINT) AS w_sum
+        FROM dsel
+        UNION ALL
+        SELECT 'random', CAST(count(*) AS BIGINT), CAST(sum(w_fp) AS BIGINT)
+        FROM rsel
+    ) ORDER BY method
+    """,
+    doc="DSIR vs RANDOM BASELINE — the paper's headline eval, "
+    "deterministic: summed importance log-weight of the DSIR top-K "
+    "selection vs a same-size md5-ordered (pseudo-random, "
+    "reproducible) sample from the same candidate pool. The DSIR sum "
+    "is the K-subset maximum by construction, so dsir >= random is a "
+    "PROVABLE invariant the differential re-checks each run; the gap "
+    "magnitude is the distribution-shift evidence. Engine side: two "
+    "TakeOrderedAndProject top-K passes over the cached weight table "
+    "— no ranking window, one weights computation.",
+)
+def dsir_vs_random_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = managed_cache(_dsir_weights(spark, sf_dir))
+
+    def _pick(df: DataFrame, method: str) -> DataFrame:
+        return df.limit(DSIR_K).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w_fp").cast("bigint").alias("w_sum"),
+        ).select(F.lit(method).alias("method"), "n_docs", "w_sum")
+
+    dsel = _pick(w.orderBy(F.desc("w_fp"), F.asc("doc_id")), "dsir")
+    rsel = _pick(
+        w.orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), F.asc("doc_id")
+        ),
+        "random",
+    )
+    return dsel.unionByName(rsel).orderBy("method")
