@@ -6159,3 +6159,133 @@ def dsir_vs_random_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "random",
     )
     return dsel.unionByName(rsel).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# Quality-signal rank correlation (round 10) — do the gates agree?
+# --------------------------------------------------------------------------
+
+# A pipeline running several quality signals (LM perplexity, word
+# entropy, heuristics) needs to know whether they measure the same
+# thing — highly correlated signals are redundant gates, anti-
+# correlated ones flag a bug or a genuinely orthogonal axis. Spearman
+# rank correlation over the (signal, doc_id) TOTAL order (unique
+# tie-break by doc_id, so ranks are deterministic and the statistic
+# reproducible; with the quantized rates' few ties this is standard
+# Spearman to within tie noise):
+#
+#   rho = 1 − 6·Σd² / (n·(n²−1)),   d = rank_entropy − rank_nll
+#
+# Ranks are computed DISTRIBUTED (no global-order window): rank =
+# (docs with smaller rate, from the bounded broadcast rate-histogram
+# prefix) + (row_number within the rate group ordered by doc_id) —
+# the mannwhitney_u_values block-prefix pattern. Σd² aggregates as
+# decimal(38,0) (bound n³ overflows int64 past n ≈ 2e6); the final
+# rho, in exact integer ppm, is computed driver-side from the single
+# (n, Σd²) row with Python bigints — no scale-dependent overflow
+# anywhere (the Cramer-guard discipline), truncation-division
+# semantics matching the DuckDB oracle.
+
+
+def _rank_distributed(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(doc_id, out=rank): 1-based rank under the (col, doc_id) total
+    order, computed without a global-order window."""
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    pwin = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+    # window over the bounded RATE HISTOGRAM (domain-sized), not rows
+    prefix = hist.select(
+        col, F.coalesce(F.sum("c").over(pwin), F.lit(0)).alias("p")
+    )
+    rwin = W.partitionBy(col).orderBy("doc_id")
+    return (
+        df.join(F.broadcast(prefix), col)
+        .select(
+            "doc_id",
+            (F.col("p") + F.row_number().over(rwin)).cast("bigint").alias(out),
+        )
+    )
+
+
+@query(
+    "quality_signal_correlation",
+    oracle=f"""
+    WITH {_lm_sql_base()}{_LM_SQL_SCORE},
+    etok AS MATERIALIZED (
+        SELECT doc_id, w[i] AS tok
+        FROM (SELECT doc_id, {TX.sql_words('text')} AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS r(i)
+    ),
+    ewc AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS c FROM etok GROUP BY doc_id, tok
+    ),
+    edn AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ewc GROUP BY doc_id
+    ),
+    exs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (SELECT c AS x FROM ewc UNION SELECT n FROM edn)
+    ){_lm_log_sql('_e', 'exs')},
+    esc AS MATERIALIZED (
+        SELECT edn.doc_id,
+               ((edn.n * lgn.lgv - s.s) << {LM_RATE_Q}) // edn.n AS h_rate_q
+        FROM edn
+        JOIN lg_e lgn ON lgn.x = edn.n
+        JOIN (SELECT ewc.doc_id, CAST(sum(ewc.c * lg_e.lgv) AS BIGINT) AS s
+              FROM ewc JOIN lg_e ON lg_e.x = ewc.c
+              GROUP BY ewc.doc_id) s USING (doc_id)
+    ),
+    j AS MATERIALIZED (
+        SELECT e.doc_id, e.h_rate_q, q.nll_rate_q
+        FROM esc e JOIN scq q USING (doc_id)
+    ),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY h_rate_q, doc_id) AS rh,
+               row_number() OVER (ORDER BY nll_rate_q, doc_id) AS rl
+        FROM j
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum((rh - rl) * (rh - rl)) AS BIGINT) AS sum_d2
+        FROM ranked
+    )
+    SELECT n_docs, sum_d2,
+           CAST((1000000 * (n_docs * (n_docs * n_docs - 1))
+                 - 6000000 * sum_d2)
+                // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm
+    FROM agg
+    """,
+    doc="QUALITY-SIGNAL RANK CORRELATION — Spearman rho (exact integer "
+    "ppm) between the word-entropy rate and the LM nll rate over the "
+    "docs both signals score, with deterministic doc_id tie-breaks. "
+    "Tells the pipeline whether its gates are redundant or "
+    "orthogonal. Ranks computed distributed (bounded rate-histogram "
+    "prefix broadcast + within-group row_number — never a global-"
+    "order window); Σd² widened to decimal(38,0); rho finished "
+    "driver-side in Python bigints with truncation division matching "
+    "DuckDB — no overflow at any n.",
+)
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", TX.words(F.col("text")).alias("w")
+    )
+    ent = _entropy_scores_from(d).select("doc_id", "h_rate_q")
+    lm = _lm_scores(spark, sf_dir).select("doc_id", "nll_rate_q")
+    j = managed_cache(ent.join(lm, "doc_id"))
+    rh = _rank_distributed(j, "h_rate_q", "rh")
+    rl = _rank_distributed(j, "nll_rate_q", "rl")
+    dd = F.col("rh") - F.col("rl")
+    row = (
+        rh.join(rl, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((dd * dd).cast("decimal(38,0)")).alias("s"),
+        )
+        .collect()[0]  # bounded: the single (n, sum_d2) row
+    )
+    n, s = int(row["n"]), int(row["s"])
+    den = n * (n * n - 1)
+    num = 1000000 * den - 6000000 * s
+    # truncation division (DuckDB // semantics), exact Python bigints
+    rho = -((-num) // den) if num < 0 else num // den
+    return spark.createDataFrame(
+        [(n, s, rho)], "n_docs bigint, sum_d2 bigint, rho_ppm bigint"
+    )
