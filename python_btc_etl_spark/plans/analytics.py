@@ -2918,3 +2918,80 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(ML_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (round 10) — the governance face
+# --------------------------------------------------------------------------
+
+# Training corpora built from user data carry re-identification risk
+# long before any model sees them: a row whose QUASI-IDENTIFIER
+# combination (here nation x market segment) is shared by fewer than
+# k other rows is linkable, and a k-large class whose SENSITIVE
+# attribute (here the coarse account-balance band) is near-constant
+# leaks it anyway (Sweeney's k-anonymity, Machanavajjhala's
+# l-diversity). This is the release-gate audit a data-governance
+# review runs next to the GDPR deletion path: one partial-aggregable
+# pass over the QI classes, exact integer metrics, no row-level
+# output (the audit itself must not leak rows). 100 TB: the QI class
+# space is bounded (|nations| x |segments|), so everything after the
+# first groupBy is metadata-sized.
+
+KANON_K = 5  # classes smaller than this are re-identifiable
+KANON_L = 3  # classes with fewer distinct sensitive values leak
+KANON_BAND = 1000  # sensitive attribute: floor(acctbal / 1000)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS sz,
+               count(DISTINCT CAST(floor(c_acctbal / {KANON_BAND}) AS BIGINT))
+                   AS l_div
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+           CAST(sum(CASE WHEN l_div < {KANON_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l
+    FROM cls
+    """,
+    doc=f"K-ANONYMITY / L-DIVERSITY AUDIT — the re-identification "
+    f"release gate beside the GDPR deletion path: per quasi-identifier "
+    f"class (nation x market segment) the class size and the count of "
+    f"distinct sensitive values (account-balance band / {KANON_BAND}); "
+    f"reported as exact aggregate risk metrics (classes below k={KANON_K}, "
+    f"rows linkable, minimum l-diversity, classes below l={KANON_L}) — "
+    "never row-level output, because the audit itself must not leak. "
+    "One partial-aggregable groupBy; the QI class space is bounded, so "
+    "everything downstream is metadata-sized.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / KANON_BAND).cast("bigint")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct(band).alias("l_div"),
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("sz") < KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("l_div").cast("bigint").alias("min_l_diversity"),
+        F.sum(F.when(F.col("l_div") < KANON_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_l"),
+    )
