@@ -1151,11 +1151,24 @@ def quality_gate_batch(
     b = int(head[0]["b"])
     if b in _sqg_committed(state):  # replay of a committed batch: no-op
         return
+    decisions = _sqg_decisions(model, batch_df, b)
+    decisions.write.mode("overwrite").parquet(os.path.join(state, "decisions", f"b{b}"))
+
+
+def _sqg_decisions(model, batch_df: DataFrame, b: int) -> DataFrame:
+    """One micro-batch's verdict relation (exposed separately so the
+    plan shape — broadcast model joins, no shuffle of anything but the
+    batch — is assertable in tests/test_plan_shape_r10b.py)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import LM_RATE_Q
+
+    m12, cul, kuv, cut = model
     sbg = _sqg_bigrams(batch_df)
     term = F.coalesce(
         F.col("nll"), F.col("kuv") - F.coalesce(F.col("lgc"), F.lit(0))
     )
-    decisions = (
+    return (
         sbg.join(F.broadcast(m12), ["w1", "w2"], "left")
         .join(F.broadcast(cul), sbg["w2"] == cul["word"], "left")
         .crossJoin(F.broadcast(kuv))
@@ -1185,7 +1198,6 @@ def quality_gate_batch(
             ).alias("accepted"),
         )
     )
-    decisions.write.mode("overwrite").parquet(os.path.join(state, "decisions", f"b{b}"))
 
 
 def _sqg_oracle_sql() -> str:
