@@ -6248,9 +6248,11 @@ def _rank_distributed(df: DataFrame, col: str, out: str) -> DataFrame:
         FROM ranked
     )
     SELECT n_docs, sum_d2,
-           CAST((1000000 * (n_docs * (n_docs * n_docs - 1))
-                 - 6000000 * sum_d2)
-                // (n_docs * (n_docs * n_docs - 1)) AS BIGINT) AS rho_ppm
+           CAST(CASE WHEN n_docs <= 1 THEN 1000000
+                ELSE (1000000 * (n_docs * (n_docs * n_docs - 1))
+                      - 6000000 * sum_d2)
+                     // (n_docs * (n_docs * n_docs - 1)) END
+                AS BIGINT) AS rho_ppm
     FROM agg
     """,
     doc="QUALITY-SIGNAL RANK CORRELATION — Spearman rho (exact integer "
@@ -6281,11 +6283,14 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]  # bounded: the single (n, sum_d2) row
     )
-    n, s = int(row["n"]), int(row["s"])
+    n, s = int(row["n"]), int(row["s"] or 0)
     den = n * (n * n - 1)
-    num = 1000000 * den - 6000000 * s
-    # truncation division (DuckDB // semantics), exact Python bigints
-    rho = -((-num) // den) if num < 0 else num // den
+    if den == 0:  # n <= 1: rho degenerates; both engines pin it to 1.0
+        rho = 1000000
+    else:
+        num = 1000000 * den - 6000000 * s
+        # truncation division (DuckDB // semantics), exact Python bigints
+        rho = -((-num) // den) if num < 0 else num // den
     return spark.createDataFrame(
         [(n, s, rho)], "n_docs bigint, sum_d2 bigint, rho_ppm bigint"
     )
