@@ -6294,3 +6294,187 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, s, rho)], "n_docs bigint, sum_d2 bigint, rho_ppm bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Gate cross-audits (round 10) — contingency and length bias
+# --------------------------------------------------------------------------
+
+# quality_signal_correlation gives one number; these give the joint
+# distributions a pipeline review actually reads:
+# - the entropy x perplexity 3x3 contingency table (which cells hold
+#   the docs the two gates DISAGREE about — high-diversity but
+#   high-perplexity = rare-domain text an LM-only gate would wrongly
+#   drop, low-diversity but low-perplexity = fluent boilerplate an
+#   entropy-only gate would wrongly drop);
+# - the length x perplexity table — the classic hidden bias of
+#   per-token LM scores (short docs have higher variance; a gate that
+#   silently skews against short docs erases whole registers).
+# Both band every axis by TERCILES over the bounded rate histogram
+# (the lm_perplexity_gate cuts), so the tables are calibration-free
+# and the output is <= 9 metadata-sized rows from one scoring pass.
+
+
+def _tercile_cuts(df: DataFrame, col: str):
+    """(cut1, cut2) over the bounded histogram of an integer column."""
+    n_tot = df.agg(F.count(F.lit(1)).alias("n"))
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col(col))).alias("cut1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col(col))).alias("cut2"),
+    )
+
+
+def _band(col: str, lo: str, mid: str, hi: str):
+    return (
+        F.when(F.col(col) <= F.col(f"{col}_cut1"), lo)
+        .when(F.col(col) <= F.col(f"{col}_cut2"), mid)
+        .otherwise(hi)
+    )
+
+
+def _sql_tercile_band(src: str, col: str, lo: str, mid: str, hi: str) -> str:
+    """CASE expression banding ``src.col`` by its own terciles — the
+    cuts are correlated subqueries over the bounded rate histogram."""
+    cut = (
+        "(SELECT min(q) FROM (SELECT {c} AS q, sum(count(*)) OVER (ORDER BY {c})"
+        " AS cum, (SELECT count(*) FROM " + src + ") AS nn FROM " + src +
+        " GROUP BY {c}) WHERE cum * 3 >= {k} * nn)"
+    )
+    c1 = cut.format(c=col, k=1)
+    c2 = cut.format(c=col, k=2)
+    return (
+        f"CASE WHEN {col} <= {c1} THEN '{lo}' "
+        f"WHEN {col} <= {c2} THEN '{mid}' ELSE '{hi}' END"
+    )
+
+
+@query(
+    "quality_signal_contingency",
+    oracle=f"""
+    WITH {_lm_sql_base()}{_LM_SQL_SCORE},
+    etok AS MATERIALIZED (
+        SELECT doc_id, w[i] AS tok
+        FROM (SELECT doc_id, {TX.sql_words('text')} AS w FROM documents),
+             unnest(range(1, len(w) + 1)) AS r(i)
+    ),
+    ewc AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS c FROM etok GROUP BY doc_id, tok
+    ),
+    edn AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM ewc GROUP BY doc_id
+    ),
+    exs AS MATERIALIZED (
+        SELECT DISTINCT x FROM (SELECT c AS x FROM ewc UNION SELECT n FROM edn)
+    ){_lm_log_sql('_e', 'exs')},
+    esc AS MATERIALIZED (
+        SELECT edn.doc_id,
+               ((edn.n * lgn.lgv - s.s) << {LM_RATE_Q}) // edn.n AS h_rate_q
+        FROM edn
+        JOIN lg_e lgn ON lgn.x = edn.n
+        JOIN (SELECT ewc.doc_id, CAST(sum(ewc.c * lg_e.lgv) AS BIGINT) AS s
+              FROM ewc JOIN lg_e ON lg_e.x = ewc.c
+              GROUP BY ewc.doc_id) s USING (doc_id)
+    ),
+    j AS MATERIALIZED (
+        SELECT e.doc_id, e.h_rate_q, q.nll_rate_q
+        FROM esc e JOIN scq q USING (doc_id)
+    )
+    SELECT {_sql_tercile_band('j', 'h_rate_q', 'low', 'mid', 'high')}
+               AS entropy_band,
+           {_sql_tercile_band('j', 'nll_rate_q', 'head', 'middle', 'tail')}
+               AS lm_band,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM j
+    GROUP BY entropy_band, lm_band
+    ORDER BY entropy_band, lm_band
+    """,
+    doc="QUALITY-GATE CONTINGENCY TABLE — the 3x3 joint distribution "
+    "of the entropy terciles x the LM perplexity terciles, the table "
+    "a pipeline review reads to find the docs the two gates DISAGREE "
+    "about (high-diversity/high-perplexity = rare domains an LM-only "
+    "gate wrongly drops; low-diversity/low-perplexity = fluent "
+    "boilerplate an entropy-only gate wrongly drops). One scoring "
+    "pass per signal; cuts over bounded rate histograms; <= 9 rows.",
+)
+def quality_signal_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", TX.words(F.col("text")).alias("w")
+    )
+    ent = _entropy_scores_from(d).select("doc_id", "h_rate_q")
+    lm = _lm_scores(spark, sf_dir).select("doc_id", "nll_rate_q")
+    j = managed_cache(ent.join(lm, "doc_id"))
+    ch = _tercile_cuts(j, "h_rate_q").select(
+        F.col("cut1").alias("h_rate_q_cut1"), F.col("cut2").alias("h_rate_q_cut2")
+    )
+    cl = _tercile_cuts(j, "nll_rate_q").select(
+        F.col("cut1").alias("nll_rate_q_cut1"), F.col("cut2").alias("nll_rate_q_cut2")
+    )
+    return (
+        j.crossJoin(F.broadcast(ch))
+        .crossJoin(F.broadcast(cl))
+        .select(
+            _band("h_rate_q", "low", "mid", "high").alias("entropy_band"),
+            _band("nll_rate_q", "head", "middle", "tail").alias("lm_band"),
+        )
+        .groupBy("entropy_band", "lm_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("entropy_band", "lm_band")
+    )
+
+
+@query(
+    "gate_length_bias_audit",
+    oracle=f"""
+    WITH {_lm_sql_base()}{_LM_SQL_SCORE},
+    j AS MATERIALIZED (
+        SELECT doc_id, n_bigrams, nll_rate_q FROM scq
+    )
+    SELECT {_sql_tercile_band('j', 'n_bigrams', 'short', 'medium', 'long')}
+               AS length_band,
+           {_sql_tercile_band('j', 'nll_rate_q', 'head', 'middle', 'tail')}
+               AS lm_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS bigram_sum
+    FROM j
+    GROUP BY length_band, lm_band
+    ORDER BY length_band, lm_band
+    """,
+    doc="GATE LENGTH-BIAS AUDIT — the classic hidden failure of "
+    "per-token LM gates: short documents have higher score variance "
+    "and a miscalibrated gate silently skews against them, erasing "
+    "whole registers (tweets, titles, dialogue turns). Length "
+    "terciles x perplexity terciles with doc and token mass per cell; "
+    "a gate with no length bias shows a flat tail share across length "
+    "bands. Reads the existing scoring pass; cuts over bounded "
+    "histograms; <= 9 rows.",
+)
+def gate_length_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = managed_cache(
+        _lm_scores(spark, sf_dir).select("doc_id", "n_bigrams", "nll_rate_q")
+    )
+    cb = _tercile_cuts(sc, "n_bigrams").select(
+        F.col("cut1").alias("n_bigrams_cut1"), F.col("cut2").alias("n_bigrams_cut2")
+    )
+    cl = _tercile_cuts(sc, "nll_rate_q").select(
+        F.col("cut1").alias("nll_rate_q_cut1"), F.col("cut2").alias("nll_rate_q_cut2")
+    )
+    return (
+        sc.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(cl))
+        .select(
+            _band("n_bigrams", "short", "medium", "long").alias("length_band"),
+            _band("nll_rate_q", "head", "middle", "tail").alias("lm_band"),
+            "n_bigrams",
+        )
+        .groupBy("length_band", "lm_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("bigram_sum"),
+        )
+        .orderBy("length_band", "lm_band")
+    )
