@@ -6478,3 +6478,191 @@ def gate_length_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("length_band", "lm_band")
     )
+
+
+# --------------------------------------------------------------------------
+# Pipeline order-sensitivity audit (round 10) — dedup first or gate first?
+# --------------------------------------------------------------------------
+
+# CCNet dedups BEFORE training its LM for a reason: duplicated text
+# inflates its own n-gram counts, so a gate trained on the raw corpus
+# systematically favors whatever is duplicated (spam most of all).
+# This audit runs BOTH orders end-to-end — (gate on raw model, then
+# exact dedup among survivors) vs (exact dedup, then gate on the
+# deduped model) — and reports the surviving doc/bigram mass of each,
+# making the order's effect a measured number instead of folklore.
+# Both orders share one tokenize pass per corpus variant; the oracle
+# replays the second order's full model chain under '_b'-suffixed
+# CTEs since the two models are genuinely different relations.
+
+_OSA_DEDUP_B = f"""
+    ded AS MATERIALIZED (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM documents
+        ) WHERE keeper = doc_id
+    ),
+    bg_b AS MATERIALIZED (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, {TX.sql_words('text')} AS w FROM ded) t,
+             unnest(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    c12_b AS MATERIALIZED (
+        SELECT w1, w2, count(*) AS c12 FROM bg_b GROUP BY w1, w2
+    ),
+    c1_b AS MATERIALIZED (SELECT w1, sum(c12) AS c1 FROM c12_b GROUP BY w1),
+    voc_b AS MATERIALIZED (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT w1 AS w FROM bg_b UNION ALL SELECT w2 FROM bg_b)
+    ),
+    xs_b AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+            SELECT c12 + 1 AS x FROM c12_b
+            UNION
+            SELECT c1 + (SELECT v FROM voc_b) AS x FROM c1_b
+        )
+    ){_lm_log_sql('_b', 'xs_b')},
+    c12l_b AS MATERIALIZED (
+        SELECT c12_b.w1, c12_b.w2, lg_b.lgv AS l12
+        FROM c12_b JOIN lg_b ON lg_b.x = c12_b.c12 + 1
+    ),
+    c1l_b AS MATERIALIZED (
+        SELECT c1_b.w1, lg_b.lgv AS l1
+        FROM c1_b JOIN lg_b ON lg_b.x = c1_b.c1 + (SELECT v FROM voc_b)
+    ),
+    scq_b AS MATERIALIZED (
+        SELECT doc_id, n_bigrams,
+               (nll_fp << {LM_RATE_Q}) // n_bigrams AS nll_rate_q
+        FROM (
+            SELECT bg_b.doc_id, count(*) AS n_bigrams,
+                   sum(c1l_b.l1 - c12l_b.l12) AS nll_fp
+            FROM bg_b
+            JOIN c12l_b ON bg_b.w1 = c12l_b.w1 AND bg_b.w2 = c12l_b.w2
+            JOIN c1l_b ON bg_b.w1 = c1l_b.w1
+            GROUP BY bg_b.doc_id
+        )
+    ),
+    cut_b AS MATERIALIZED (
+        SELECT min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq_b)
+                        THEN q END) AS cut2
+        FROM (SELECT q, sum(c) OVER (ORDER BY q) AS cum
+              FROM (SELECT nll_rate_q AS q, count(*) AS c
+                    FROM scq_b GROUP BY nll_rate_q))
+    )"""
+
+
+@query(
+    "pipeline_order_sensitivity",
+    oracle=f"""
+    WITH {_lm_sql_base()}{_LM_SQL_SCORE},
+    cut_a AS MATERIALIZED (
+        SELECT min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq)
+                        THEN q END) AS cut2
+        FROM (SELECT q, sum(c) OVER (ORDER BY q) AS cum
+              FROM (SELECT nll_rate_q AS q, count(*) AS c
+                    FROM scq GROUP BY nll_rate_q))
+    ),
+    surv_a AS MATERIALIZED (
+        SELECT scq.doc_id, scq.n_bigrams, d.text
+        FROM scq JOIN documents d USING (doc_id), cut_a
+        WHERE scq.nll_rate_q <= cut_a.cut2
+    ),
+    deda AS (
+        SELECT doc_id, n_bigrams FROM (
+            SELECT doc_id, n_bigrams,
+                   min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM surv_a
+        ) WHERE keeper = doc_id
+    ),
+    {_OSA_DEDUP_B},
+    surv_b AS (
+        SELECT scq_b.doc_id, scq_b.n_bigrams
+        FROM scq_b, cut_b WHERE scq_b.nll_rate_q <= cut_b.cut2
+    )
+    SELECT * FROM (
+        SELECT 'dedup_first' AS pipeline_order,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS bigram_sum
+        FROM surv_b
+        UNION ALL
+        SELECT 'gate_first', CAST(count(*) AS BIGINT),
+               CAST(sum(n_bigrams) AS BIGINT)
+        FROM deda
+    ) ORDER BY pipeline_order
+    """,
+    doc="PIPELINE ORDER-SENSITIVITY AUDIT — runs the exact-dedup and "
+    "LM-tercile-gate stages in BOTH orders end-to-end: gate_first "
+    "trains the model on the RAW corpus (duplicates inflating their "
+    "own n-gram counts — the bias CCNet dedups first to avoid) then "
+    "dedups survivors; dedup_first trains on the deduped corpus then "
+    "gates. Surviving doc and bigram mass per order; the delta is the "
+    "duplication bias, measured, not folklore. The oracle replays the "
+    "second model chain under suffixed CTEs because the two LMs are "
+    "genuinely different relations. One tokenize pass per corpus "
+    "variant; everything else broadcast or bounded.",
+)
+def pipeline_order_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    keeper = F.min("doc_id").over(
+        PW.partitionBy(F.md5(F.lower(F.col("text")).cast("binary")))
+    )
+
+    def _cut2(scores: DataFrame):
+        n_tot = scores.agg(F.count(F.lit(1)).alias("n"))
+        hist = scores.groupBy("nll_rate_q").agg(F.count(F.lit(1)).alias("c"))
+        cum = hist.withColumn(
+            "cum",
+            F.sum("c").over(
+                W.orderBy("nll_rate_q").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        return cum.crossJoin(F.broadcast(n_tot)).agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll_rate_q"))
+            ).alias("cut2")
+        )
+
+    def _gate(scores: DataFrame) -> DataFrame:
+        return (
+            scores.crossJoin(F.broadcast(_cut2(scores)))
+            .filter(F.col("nll_rate_q") <= F.col("cut2"))
+            .select("doc_id", "n_bigrams")
+        )
+
+    # order A: gate on the raw-corpus model, then dedup among survivors
+    sc_a = managed_cache(
+        _lm_scores(spark, sf_dir).select("doc_id", "n_bigrams", "nll_rate_q")
+    )
+    deda = (
+        _gate(sc_a)
+        .join(d, "doc_id")
+        .withColumn("keeper", keeper)
+        .filter(F.col("keeper") == F.col("doc_id"))
+        .select("doc_id", "n_bigrams")
+    )
+    # order B: dedup first, model trained on the deduped corpus
+    ded = managed_cache(
+        d.withColumn("keeper", keeper)
+        .filter(F.col("keeper") == F.col("doc_id"))
+        .select("doc_id", "text")
+    )
+    sc_b = _lm_scores_from(_lm_bigrams_from(ded)).select(
+        "doc_id", "n_bigrams", "nll_rate_q"
+    )
+    surv_b = _gate(managed_cache(sc_b))
+
+    def _mass(dfx: DataFrame, order: str) -> DataFrame:
+        return dfx.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("bigram_sum"),
+        ).select(F.lit(order).alias("pipeline_order"), "n_docs", "bigram_sum")
+
+    return (
+        _mass(surv_b, "dedup_first")
+        .unionByName(_mass(deda, "gate_first"))
+        .orderBy("pipeline_order")
+    )
