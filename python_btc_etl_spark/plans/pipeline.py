@@ -5418,8 +5418,10 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = tfe.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     rb = cfe.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
     tot = (
-        tb.agg(F.sum("t").cast("bigint").alias("tt"))
-        .crossJoin(rb.agg(F.sum("r").cast("bigint").alias("rr")))
+        tb.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("tt"))
+        .crossJoin(
+            rb.agg(F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("rr"))
+        )
     )
     xs = (
         tb.select((F.col("t") + 1).cast("bigint").alias("x"))
@@ -6243,14 +6245,17 @@ def _rank_distributed(df: DataFrame, col: str, out: str) -> DataFrame:
         FROM j
     ),
     agg AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum((rh - rl) * (rh - rl)) AS BIGINT) AS sum_d2
+        SELECT CAST(count(*) AS HUGEINT) AS n_docs,
+               sum(CAST(rh - rl AS HUGEINT) * CAST(rh - rl AS HUGEINT))
+                   AS sum_d2_h
         FROM ranked
     )
-    SELECT n_docs, sum_d2,
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(CASE WHEN sum_d2_h <= 9223372036854775807
+                THEN sum_d2_h END AS BIGINT) AS sum_d2,
            CAST(CASE WHEN n_docs <= 1 THEN 1000000
                 ELSE (1000000 * (n_docs * (n_docs * n_docs - 1))
-                      - 6000000 * sum_d2)
+                      - 6000000 * sum_d2_h)
                      // (n_docs * (n_docs * n_docs - 1)) END
                 AS BIGINT) AS rho_ppm
     FROM agg
@@ -6261,9 +6266,12 @@ def _rank_distributed(df: DataFrame, col: str, out: str) -> DataFrame:
     "Tells the pipeline whether its gates are redundant or "
     "orthogonal. Ranks computed distributed (bounded rate-histogram "
     "prefix broadcast + within-group row_number — never a global-"
-    "order window); Σd² widened to decimal(38,0); rho finished "
-    "driver-side in Python bigints with truncation division matching "
-    "DuckDB — no overflow at any n.",
+    "order window); Σd² accumulated exactly (decimal(38,0) / HUGEINT) "
+    "and REPORTED as NULL past int64 (Σd² ≤ n³/3 exceeds int64 near "
+    "n ≈ 3M docs — both engines null identically rather than "
+    "overflow); rho finished from the exact wide sum (driver-side "
+    "Python bigints / HUGEINT) with truncation division matching "
+    "DuckDB — rho itself exact at any n.",
 )
 def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select(
@@ -6291,8 +6299,9 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = 1000000 * den - 6000000 * s
         # truncation division (DuckDB // semantics), exact Python bigints
         rho = -((-num) // den) if num < 0 else num // den
+    s_rep = s if s <= (1 << 63) - 1 else None  # NULL past int64, like oracle
     return spark.createDataFrame(
-        [(n, s, rho)], "n_docs bigint, sum_d2 bigint, rho_ppm bigint"
+        [(n, s_rep, rho)], "n_docs bigint, sum_d2 bigint, rho_ppm bigint"
     )
 
 

@@ -1139,9 +1139,6 @@ def quality_gate_batch(
 
     from pyspark.sql import functions as F
 
-    from .pipeline import LM_RATE_Q
-
-    m12, cul, kuv, cut = model
     head = batch_df.select(
         (F.col("doc_id") % SQG_BATCHES).alias("b")
     ).distinct().collect()  # bounded: slices are pure, <= SQG_BATCHES rows
@@ -1347,14 +1344,17 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.processAllAvailable()
         finally:
             q.stop()
-        rows = [
-            tuple(r)
-            for r in spark.read.parquet(
-                *[f"{state}/decisions/b{i}" for i in _sqg_committed(state)]
-            )
-            .orderBy("doc_id")
-            .collect()
-        ]
+        committed = [f"{state}/decisions/b{i}" for i in _sqg_committed(state)]
+        # all stream slices empty => no committed units; return the empty
+        # relation with the declared schema instead of a pathless read
+        rows = (
+            [
+                tuple(r)
+                for r in spark.read.parquet(*committed).orderBy("doc_id").collect()
+            ]
+            if committed
+            else []
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(

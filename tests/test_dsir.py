@@ -95,7 +95,6 @@ def test_topk_plan_uses_take_ordered_not_global_window(spark):
     rows = df.collect()
     from python_btc_etl_spark.plans.pipeline import DSIR_K
 
-    assert sum(r["n_selected"] for r in rows) == min(
-        DSIR_K, sum(r["n_selected"] for r in rows)
-    )
+    # candidate pool at SF_SMALL exceeds K, so top-K must fill exactly
+    assert sum(r["n_selected"] for r in rows) == DSIR_K
     assert all(r["n_selected"] > 0 for r in rows)
