@@ -1,0 +1,527 @@
+"""Streaming ANN ingestion gate (round 11): the embedding-index twin of
+``stream_neardup_gate`` — micro-batches of vectors ingested into the
+versioned IVF index of plans/similarity.py's lifecycle suite through a
+foreachBatch near-dup gate, with the same ``_SUCCESS``-is-the-commit
+replay discipline as the signature and LM gates (plans/stream.py).
+
+The reference has no vector or streaming-index operators; this module is
+pure extension (reference btc_etl.py:185-228 is the closest analogue —
+its watchdog file-arrival loop — which streaming/file_stream.py ports).
+
+Semantics, defined identically on both engines:
+
+- The stream's corpus is the ``embeddings`` table augmented with planted
+  EXACT-COPY vectors at ``vec_id + ANN_SI_OFFSET`` for originals with
+  ``vec_id % ANN_SI_COPY_MOD == ANN_SI_COPY_REM`` — the vector-space
+  analogue of dedup's truncated-copy corpus (natural intra-cell cosines
+  top out at ~0.60 at sf0.1, so near-duplicates must be planted for the
+  gate to have anything to reject). ``ANN_SI_OFFSET % ANN_SI_BATCHES ==
+  1`` lands each copy one batch AFTER its original; originals with home
+  batch ``ANN_SI_BATCHES - 1`` wrap, so their copies arrive FIRST and
+  the ORIGINAL is rejected — the gate is order-, not identity-, driven
+  (same construction argument as stream_neardup_gate's).
+- Batch b's slice additionally RE-DELIVERS the previous slice's rows
+  with ``vec_id % ANN_SI_RED_MOD == 0`` (at-least-once ingestion).
+- Cell assignment uses the FROZEN coarse codebook (the same fixed
+  centroid vectors as the whole IVF suite: vec_ids [N_QUERIES,
+  N_QUERIES + N_CELLS) of the BASE table — planted copies never become
+  centroids), pinned with localCheckpoint like the LM gate's model.
+- A batch vector is (a) 'redelivery' if its vec_id is already indexed
+  (anti-join replay guard, as in _ann_index_lifecycle); else (b)
+  'neardup' if some committed-indexed vector in the SAME CELL has
+  cosine >= ANN_SI_TAU with it (first_match = min such vec_id); else
+  (c) 'accept' — and accepted vectors land as the batch's CELL-KEYED
+  index unit (parquet partitionBy(cell_id) under index/b{b}: one
+  _SUCCESS at the unit root = the batch's atomic commit marker, cell
+  directories give the IVF read path partition pruning).
+- Exactness: cosine folds are left-to-right IEEE double sums in both
+  engines (functions/vectors.py), so the >= TAU comparison is
+  bit-identical — no epsilon, no rounding.
+
+Commit protocol per batch (identical to neardup_gate_batch,
+plans/stream.py): decisions/b{b} written first (localCheckpoint'd before
+state mutates), then the index unit; the INDEX unit's ``_SUCCESS`` is
+the batch's commit record, both units are overwrite-keyed by the
+content-derived batch number, uncommitted units are never read — so a
+crash at any point replays idempotently
+(tests/test_stream_ann_ingest.py pins the crash matrix).
+
+Scale shape per batch (the 100 TB asymmetry): the BATCH side — its cell
+assignment and its inverted probe — is broadcast; the persistent index,
+the side that grows without bound, streams through the cell equi-join
+and never shuffles or broadcasts. Accepted vectors append as new
+cell-keyed units; nothing rewrites a committed unit; compaction /
+vacuum / GDPR deletion-vectors are the lifecycle faces already covered
+by ann_index_lifecycle and ann_gdpr_delete_audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import vectors as VX
+from .registry import query
+from .similarity import (
+    N_CELLS,
+    N_PROBE,
+    N_QUERIES,
+    SQL_VECS,
+    TOP_K,
+    _ivf_assign,
+    _ivf_cents,
+    _ivf_probes,
+    _ivf_topk,
+    _vecs,
+)
+
+ANN_SI_BATCHES = 3  # stream slices: home batch of id x is x % 3
+ANN_SI_COPY_MOD, ANN_SI_COPY_REM = 11, 2  # originals that get a planted copy
+ANN_SI_OFFSET = 1_000_000  # copy id offset; % 3 == 1 -> copy arrives one batch later
+ANN_SI_RED_MOD = 13  # ids re-delivered in the NEXT slice (at-least-once)
+ANN_SI_TAU = 0.9  # near-dup cosine gate (naturals <= ~0.60, planted copies ~1.0)
+
+_IDX_SCHEMA = "vec_id bigint, v array<double>, cell_id bigint"
+
+
+def _sai_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed corpus: base vectors ∪ planted exact copies."""
+    e = _vecs(spark, sf_dir).select("vec_id", "v")
+    copies = e.filter(
+        F.col("vec_id") % ANN_SI_COPY_MOD == ANN_SI_COPY_REM
+    ).select((F.col("vec_id") + ANN_SI_OFFSET).alias("vec_id"), "v")
+    return e.unionByName(copies)
+
+
+def _sai_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen coarse codebook, pinned so every batch (and every
+    replay) assigns against byte-identical centroids."""
+    return _ivf_cents(_vecs(spark, sf_dir)).localCheckpoint()
+
+
+def _sai_committed(state: str) -> list[int]:
+    """Batches whose INDEX unit committed — the index unit is the last
+    write of a batch, so its ``_SUCCESS`` proves the decisions unit
+    committed too. Partial units from a crashed attempt have no
+    ``_SUCCESS`` and are invisible to the replay guard AND the as-of
+    index read."""
+    import os
+
+    idx_dir = os.path.join(state, "index")
+    if not os.path.isdir(idx_dir):
+        return []
+    return sorted(
+        int(u[1:])
+        for u in os.listdir(idx_dir)
+        if u.startswith("b")
+        and os.path.exists(os.path.join(idx_dir, u, "_SUCCESS"))
+    )
+
+
+def _sai_index_read(spark: SparkSession, state: str, batches: list[int]) -> DataFrame:
+    """The committed index as of a batch's arrival: cell-keyed units
+    read with the explicit schema (so the cell_id partition directories
+    resolve as bigint and an all-rejected batch's empty unit is legal).
+    Units are separate partitioned roots, so each reads under its own
+    basePath and the relation is their union — a pure metadata plan."""
+    import functools
+    import os
+
+    if not batches:
+        return spark.createDataFrame([], _IDX_SCHEMA)
+    return functools.reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.schema(_IDX_SCHEMA).parquet(
+                os.path.join(state, "index", f"b{b}")
+            )
+            for b in batches
+        ],
+    )
+
+
+def ann_ingest_batch(
+    spark: SparkSession, state: str, cents: DataFrame, batch_df: DataFrame
+) -> None:
+    """Gate ONE micro-batch of (vec_id, arrival, v) against the
+    committed IVF index under ``state`` (module-level so the replay
+    guard is unit-testable outside the stream, like neardup_gate_batch).
+
+    Two overwrite-keyed writes: decisions/b{b} (one verdict row per
+    batch vector), then index/b{b} (the accepted vectors, cell-keyed
+    via partitionBy — its root ``_SUCCESS`` is the batch's commit)."""
+    import os
+
+    head = batch_df.select("arrival").distinct().collect()
+    # bounded: slices are staged with one constant arrival each
+    if not head:
+        return
+    assert len(head) == 1, f"impure slice: {head}"
+    b = int(head[0]["arrival"])
+    done = _sai_committed(state)
+    if b in done:  # replay of a COMMITTED batch: no-op
+        return
+    asg = _ivf_assign(batch_df.select("vec_id", "v"), cents).localCheckpoint()
+    idx = _sai_index_read(spark, state, done)
+    red = asg.join(idx.select("vec_id"), "vec_id", "semi")
+    fresh = asg.join(idx.select("vec_id"), "vec_id", "left_anti")
+    # batch side BROADCAST; the growing index side never shuffles
+    hits = (
+        F.broadcast(fresh.select("vec_id", "v", "cell_id"))
+        .join(
+            idx.select(
+                F.col("vec_id").alias("ivec_id"),
+                F.col("v").alias("iv"),
+                "cell_id",
+            ),
+            "cell_id",
+        )
+        .filter(VX.cosine(F.col("v"), F.col("iv")) >= F.lit(ANN_SI_TAU))
+        .groupBy("vec_id")
+        .agg(F.min("ivec_id").alias("first_match"))
+    )
+    decisions = (
+        fresh.select("vec_id", "cell_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.lit(b).cast("int").alias("arrival"),
+            "cell_id",
+            F.col("first_match").isNull().alias("accepted"),
+            F.when(F.col("first_match").isNull(), F.lit("accept"))
+            .otherwise(F.lit("neardup"))
+            .alias("reason"),
+            F.coalesce(F.col("first_match"), F.lit(-1))
+            .cast("bigint")
+            .alias("first_match"),
+        )
+        .unionByName(
+            red.select(
+                "vec_id",
+                F.lit(b).cast("int").alias("arrival"),
+                "cell_id",
+                F.lit(False).alias("accepted"),
+                F.lit("redelivery").alias("reason"),
+                F.col("vec_id").cast("bigint").alias("first_match"),
+            )
+        )
+        .localCheckpoint()  # decide BEFORE the index write mutates state
+    )
+    decisions.write.mode("overwrite").parquet(os.path.join(state, "decisions", f"b{b}"))
+    # LAST write = the commit: this unit's root _SUCCESS marks b done.
+    asg.join(
+        decisions.filter(F.col("accepted")).select("vec_id"), "vec_id"
+    ).select("vec_id", "v", "cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(state, "index", f"b{b}"))
+
+
+def _sai_run(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Drive the ingestion stream to completion under ``base``; returns
+    the state dir. Slices land in arrival order and are drained before
+    the next lands — arrival order is the gate's semantic, so the
+    harness pins it (same protocol as stream_neardup_gate)."""
+    import os
+    import shutil
+
+    from ..streaming.file_stream import ensure_session_confs
+
+    ensure_session_confs(spark)
+    cents = _sai_cents(spark, sf_dir)
+    aug = _sai_aug(spark, sf_dir)
+    src, state = f"{base}/src", f"{base}/state"
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(
+        "vec_id bigint, arrival int, v array<double>"
+    ).parquet(src)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ann_ingest_batch(spark, state, cents, batch_df)
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        home = F.col("vec_id") % ANN_SI_BATCHES
+        for b in range(ANN_SI_BATCHES):
+            cond = home == b
+            if b >= 1:  # previous slice's re-deliveries ride along
+                cond = cond | (
+                    (home == b - 1) & (F.col("vec_id") % ANN_SI_RED_MOD == 0)
+                )
+            stage = f"{base}/stage{b}"
+            aug.filter(cond).withColumn(
+                "arrival", F.lit(b).cast("int")
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+            for i, f_ in enumerate(parts):
+                shutil.move(f"{stage}/{f_}", f"{src}/slice_{b}_{i}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return state
+
+
+def _sai_rounds_sql() -> str:
+    """The shared oracle prefix: aug corpus, frozen-centroid assignment,
+    and the ANN_SI_BATCHES-round replay of the gate as unrolled
+    MATERIALIZED CTEs (idx{i+1} references idx{i} and dec{i} twice — a
+    plain CTE chain would inline exponentially, same fix as the
+    neardup-gate and iterative-BPE oracles)."""
+    rounds = []
+    for i in range(ANN_SI_BATCHES):
+        red = (
+            f"""
+        UNION ALL
+        SELECT vec_id, v, cell_id FROM assigned
+        WHERE vec_id % {ANN_SI_BATCHES} = {i - 1}
+          AND vec_id % {ANN_SI_RED_MOD} = 0"""
+            if i >= 1
+            else ""
+        )
+        rounds.append(
+            f""",
+    arr{i} AS MATERIALIZED (
+        SELECT vec_id, v, cell_id FROM assigned
+        WHERE vec_id % {ANN_SI_BATCHES} = {i}{red}
+    ),
+    fresh{i} AS MATERIALIZED (
+        SELECT * FROM arr{i}
+        WHERE vec_id NOT IN (SELECT vec_id FROM idx{i})
+    ),
+    hit{i} AS MATERIALIZED (
+        SELECT f.vec_id, min(x.vec_id) AS first_match
+        FROM fresh{i} f JOIN idx{i} x ON x.cell_id = f.cell_id
+        WHERE {VX.sql_cosine('f.v', 'x.v')} >= {ANN_SI_TAU}
+        GROUP BY f.vec_id
+    ),
+    dec{i} AS MATERIALIZED (
+        SELECT f.vec_id, {i} AS arrival, f.cell_id,
+               h.first_match IS NULL AS accepted,
+               CASE WHEN h.first_match IS NULL THEN 'accept'
+                    ELSE 'neardup' END AS reason,
+               CAST(coalesce(h.first_match, -1) AS BIGINT) AS first_match
+        FROM fresh{i} f LEFT JOIN hit{i} h ON h.vec_id = f.vec_id
+        UNION ALL
+        SELECT a.vec_id, {i}, a.cell_id, false, 'redelivery', a.vec_id
+        FROM arr{i} a WHERE a.vec_id IN (SELECT vec_id FROM idx{i})
+    ),
+    idx{i + 1} AS MATERIALIZED (
+        SELECT * FROM idx{i}
+        UNION ALL
+        SELECT f.vec_id, f.v, f.cell_id FROM fresh{i} f
+        WHERE f.vec_id IN (SELECT vec_id FROM dec{i} WHERE accepted)
+    )"""
+        )
+    return f"""
+    WITH e AS ({SQL_VECS}),
+    cents AS (SELECT vec_id AS cell_id, v AS cv FROM e
+              WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CELLS}),
+    aug AS MATERIALIZED (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + {ANN_SI_OFFSET}, v FROM e
+        WHERE vec_id % {ANN_SI_COPY_MOD} = {ANN_SI_COPY_REM}
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT a.vec_id, a.v, c.cell_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {VX.sql_cosine('c.cv', 'a.v')} DESC,
+                                               c.cell_id) AS rn
+            FROM aug a CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    idx0 AS (SELECT vec_id, v, cell_id FROM assigned WHERE false)
+    {"".join(rounds)}"""
+
+
+def _sai_decisions_oracle() -> str:
+    decs = " UNION ALL ".join(
+        f"SELECT vec_id, arrival, cell_id, accepted, reason, first_match FROM dec{i}"
+        for i in range(ANN_SI_BATCHES)
+    )
+    return f"""{_sai_rounds_sql()}
+    SELECT * FROM ({decs}) ORDER BY vec_id, arrival
+    """
+
+
+@query(
+    "stream_ann_ingest",
+    oracle=_sai_decisions_oracle(),
+    doc="STREAMING ANN INGESTION GATE — the embedding-index twin of "
+    "stream_neardup_gate: micro-batches of vectors assigned to cells "
+    "against the FROZEN coarse codebook (localCheckpoint-pinned, like "
+    "the LM gate's model), near-dup-gated by exact cosine >= "
+    f"{ANN_SI_TAU} against the COMMITTED index (batch side broadcast; "
+    "the growing index side streams through the cell equi-join, never "
+    "shuffles), re-deliveries dropped by vec_id anti-join, and accepted "
+    "vectors appended as a CELL-KEYED commit unit (partitionBy(cell_id) "
+    "parquet whose root _SUCCESS is the batch's atomic commit marker — "
+    "two overwrite-keyed writes per batch, replays idempotent at every "
+    "crash point, tests/test_stream_ann_ingest.py). Planted exact-copy "
+    "vectors land one batch after their originals (wrap-around copies "
+    "arrive FIRST, so the original is rejected — order-, not identity-, "
+    "driven); the oracle replays the rounds as unrolled MATERIALIZED "
+    "CTEs. Emits one verdict row per delivered vector (arrival, cell, "
+    "accept/neardup/redelivery, first matched index vector). 100 TB: "
+    "the index grows append-only as cell-keyed parquet units the IVF "
+    "read path partition-prunes; per batch the only shuffle is the "
+    "batch-side aggregation.",
+)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ann_ingest_")
+    try:
+        state = _sai_run(spark, sf_dir, base)
+        rows = [
+            tuple(r)
+            for r in spark.read.parquet(
+                *[
+                    os.path.join(state, "decisions", f"b{b}")
+                    for b in _sai_committed(state)
+                ]
+            )
+            .orderBy("vec_id", "arrival")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "vec_id bigint, arrival int, cell_id bigint, accepted boolean, "
+        "reason string, first_match bigint",
+    ).orderBy("vec_id", "arrival")
+
+
+@query(
+    "stream_ann_recall",
+    oracle=f"""{_sai_rounds_sql()},
+    acc AS MATERIALIZED (SELECT vec_id, v, cell_id FROM idx{ANN_SI_BATCHES}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, qv, cell_id AS pcell FROM (
+            SELECT q.query_id, q.qv, c.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {VX.sql_cosine('c.cv', 'q.qv')} DESC,
+                                               c.cell_id) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= {N_PROBE}
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                                      ORDER BY {VX.sql_cosine('p.qv', 'a.v')} DESC,
+                                               a.vec_id) AS rank
+            FROM probes p JOIN acc a ON a.cell_id = p.pcell
+                                    AND a.vec_id <> p.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {VX.sql_cosine('q.qv', 'a.v')} DESC,
+                                               a.vec_id) AS rank
+            FROM q JOIN acc a ON a.vec_id <> q.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+        SELECT i.query_id, count(*) AS h
+        FROM ivf i JOIN gt g USING (query_id, neighbor_id)
+        GROUP BY i.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hits_stream,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hits_rebuild,
+           true AS same_topk
+    FROM q LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+    """,
+    doc="POST-STREAM RECALL PARITY — the acceptance test for "
+    "stream_ann_ingest, mirroring ann_recall_incremental: IVF top-k "
+    "served FROM THE STREAMED COMMIT UNITS (the index the gate built "
+    "batch by batch) must equal a FRESH rebuild over the accepted "
+    "corpus per query (same_topk computed genuinely engine-side), and "
+    "both hit the brute-force ground truth over that corpus "
+    "identically. The oracle re-derives the accepted set from first "
+    "principles via the unrolled gate replay, so a lost commit unit, "
+    "duplicated redelivery, or mis-assigned cell all hash-mismatch. "
+    "100 TB: proves streaming ingestion never needs a recall "
+    "re-qualification run — the same guarantee the batch lifecycle "
+    "proved for append + compaction.",
+)
+def stream_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ann_ingest_recall_")
+    try:
+        state = _sai_run(spark, sf_dir, base)
+        idx_stream = _sai_index_read(
+            spark, state, _sai_committed(state)
+        ).localCheckpoint()
+        cents = _sai_cents(spark, sf_dir)
+        q = _vecs(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        probes = _ivf_probes(q, cents)
+        topk_s = _ivf_topk(idx_stream, probes)
+        rebuild = _ivf_assign(
+            _sai_aug(spark, sf_dir).join(
+                idx_stream.select("vec_id"), "vec_id", "semi"
+            ),
+            cents,
+        )
+        topk_r = _ivf_topk(rebuild, probes)
+        gt_win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        gt = (
+            idx_stream.join(
+                F.broadcast(q), F.col("vec_id") != F.col("query_id")
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                VX.cosine(F.col("qv"), F.col("v")).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(gt_win))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+        def _hits(topk: DataFrame, name: str) -> DataFrame:
+            return (
+                topk.join(gt, ["query_id", "neighbor_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+            )
+
+        def _set(topk: DataFrame, name: str) -> DataFrame:
+            return topk.groupBy("query_id").agg(
+                F.sort_array(F.collect_list("neighbor_id")).alias(name)
+            )
+
+        out = (
+            q.select("query_id")
+            .join(_hits(topk_s, "hs"), "query_id", "left")
+            .join(_hits(topk_r, "hr"), "query_id", "left")
+            .join(_set(topk_s, "s_set"), "query_id", "left")
+            .join(_set(topk_r, "r_set"), "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("hs", F.lit(0)).cast("bigint").alias("hits_stream"),
+                F.coalesce("hr", F.lit(0)).cast("bigint").alias("hits_rebuild"),
+                (F.col("s_set") == F.col("r_set")).alias("same_topk"),
+            )
+            .orderBy("query_id")
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id bigint, hits_stream bigint, hits_rebuild bigint, same_topk boolean",
+    ).orderBy("query_id")

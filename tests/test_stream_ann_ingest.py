@@ -1,0 +1,148 @@
+"""Streaming ANN ingestion gate (plans/annstream.ann_ingest_batch):
+commit-marker replay guard, crash-point recovery at both write
+boundaries, and cell-keyed partition pruning of the committed units —
+the same matrix tests/test_stream_quality_gate.py pins for the LM gate
+and tests/test_neardup_gate.py for the signature gate."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from tests.conftest import SF_SMALL
+
+from python_btc_etl_spark.plans.annstream import (
+    ANN_SI_BATCHES,
+    ANN_SI_RED_MOD,
+    _sai_aug,
+    _sai_cents,
+    _sai_committed,
+    _sai_index_read,
+    ann_ingest_batch,
+)
+
+
+def _slices(spark):
+    from pyspark.sql import functions as F
+
+    aug = _sai_aug(spark, SF_SMALL)
+    home = F.col("vec_id") % ANN_SI_BATCHES
+    out = []
+    for b in range(ANN_SI_BATCHES):
+        cond = home == b
+        if b >= 1:
+            cond = cond | (
+                (home == b - 1) & (F.col("vec_id") % ANN_SI_RED_MOD == 0)
+            )
+        out.append(
+            aug.filter(cond)
+            .withColumn("arrival", F.lit(b).cast("int"))
+            .localCheckpoint()
+        )
+    return out
+
+
+def _decisions(spark, state):
+    done = _sai_committed(state)
+    return {
+        tuple(r)
+        for r in spark.read.parquet(
+            *[os.path.join(state, "decisions", f"b{b}") for b in done]
+        ).collect()
+    }
+
+
+def test_replay_noops_and_crash_recovery(spark):
+    cents = _sai_cents(spark, SF_SMALL)
+    slices = _slices(spark)
+    base = tempfile.mkdtemp(prefix="sai_test_")
+    state = os.path.join(base, "state")
+    try:
+        ann_ingest_batch(spark, state, cents, slices[0])
+        ann_ingest_batch(spark, state, cents, slices[1])
+        snap = _decisions(spark, state)
+        assert _sai_committed(state) == [0, 1]
+        # replay of a COMMITTED batch is a no-op (identical state)
+        ann_ingest_batch(spark, state, cents, slices[1])
+        assert _decisions(spark, state) == snap
+        # crash point A: b1's INDEX unit lost its _SUCCESS — the batch
+        # is uncommitted, invisible, and the replay recomputes against
+        # the SAME as-of index (only b0 committed) => identical verdicts
+        os.remove(os.path.join(state, "index", "b1", "_SUCCESS"))
+        assert _sai_committed(state) == [0]
+        ann_ingest_batch(spark, state, cents, slices[1])
+        assert _sai_committed(state) == [0, 1]
+        assert _decisions(spark, state) == snap
+        # crash point B: decisions landed but the index write died
+        # entirely — commit marker absent, replay overwrites both units
+        shutil.rmtree(os.path.join(state, "index", "b1"))
+        assert _sai_committed(state) == [0]
+        ann_ingest_batch(spark, state, cents, slices[1])
+        assert _sai_committed(state) == [0, 1]
+        assert _decisions(spark, state) == snap
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_verdicts_nondegenerate_and_order_driven(spark):
+    """All three verdict classes occur, and the wrap-around planted
+    copies (original home = last batch => copy arrives FIRST) reject
+    the ORIGINAL — the gate is order-, not identity-, driven."""
+    from python_btc_etl_spark.plans.annstream import (
+        ANN_SI_COPY_MOD,
+        ANN_SI_COPY_REM,
+        ANN_SI_OFFSET,
+    )
+
+    cents = _sai_cents(spark, SF_SMALL)
+    slices = _slices(spark)
+    base = tempfile.mkdtemp(prefix="sai_nd_test_")
+    state = os.path.join(base, "state")
+    try:
+        for b in range(ANN_SI_BATCHES):
+            ann_ingest_batch(spark, state, cents, slices[b])
+        by_reason: dict[str, set[int]] = {}
+        for r in _decisions(spark, state):
+            by_reason.setdefault(r[4], set()).add(r[0])
+        assert set(by_reason) == {"accept", "neardup", "redelivery"}
+        # wrap-around case: original with home == ANN_SI_BATCHES-1 whose
+        # copy (home 0) was indexed first => the ORIGINAL is rejected
+        wrapped = [
+            v
+            for v in by_reason["neardup"]
+            if v < ANN_SI_OFFSET
+            and v % ANN_SI_COPY_MOD == ANN_SI_COPY_REM
+            and v % ANN_SI_BATCHES == ANN_SI_BATCHES - 1
+        ]
+        assert wrapped, "no wrap-around original was rejected"
+        # and the forward case: copies rejected against their original
+        forward = [v for v in by_reason["neardup"] if v >= ANN_SI_OFFSET]
+        assert forward, "no planted copy was rejected"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cell_keyed_units_partition_prune(spark):
+    """The committed units are cell-keyed parquet: a cell-equality
+    filter must prune at the partition-directory level (the IVF probe
+    read path's layout contract)."""
+    from pyspark.sql import functions as F
+
+    cents = _sai_cents(spark, SF_SMALL)
+    slices = _slices(spark)
+    base = tempfile.mkdtemp(prefix="sai_prune_test_")
+    state = os.path.join(base, "state")
+    try:
+        ann_ingest_batch(spark, state, cents, slices[0])
+        idx = _sai_index_read(spark, state, _sai_committed(state))
+        cell = idx.select("cell_id").limit(1).collect()[0][0]
+        pruned = idx.filter(F.col("cell_id") == int(cell))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell_id" in plan
+        # pruned read touches strictly fewer files than the full unit
+        n_all = idx.select(F.input_file_name()).distinct().count()
+        n_pruned = pruned.select(F.input_file_name()).distinct().count()
+        assert 0 < n_pruned < n_all
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
