@@ -1044,16 +1044,14 @@ DV_DEL_MOD = 50
 DV_DEL_REMS = (7, 21)  # v2 and v3 GDPR delete waves: doc_id % 50 == rem
 
 
-def _dv_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
-    """Write the base data/index units once, then apply the two GDPR
-    delete waves as positional-delete units. Returns unit paths per
-    version; base units are NEVER rewritten after their first commit."""
+def _dv_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two positional tables the DV suite writes: (data, idx), each
+    with (unit, pos) assigned — shared by the read-path lifecycle and
+    the round-11 compaction lifecycle."""
     from pyspark.sql.window import Window as PW
 
-    from ..catalog import spread
+    from ..catalog import managed_cache, spread
     from ..functions import text as TX
-
-    from ..catalog import managed_cache
 
     d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
     # pos = ordinal within the unit. Real formats get this from the file
@@ -1097,6 +1095,14 @@ def _dv_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
             "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
         )
     )
+    return data, idx
+
+
+def _dv_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
+    """Write the base data/index units once, then apply the two GDPR
+    delete waves as positional-delete units. Returns unit paths per
+    version; base units are NEVER rewritten after their first commit."""
+    data, idx = _dv_tables(spark, sf_dir)
     data_units, idx_units = [], []
     for k in range(DV_DATA_UNITS):
         unit = os.path.join(base, f"files/data_u{k}")
@@ -1231,4 +1237,314 @@ def deletion_vector_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version int, n_rows bigint, docid_sum bigint, idx_docs bigint, "
         "idx_sigs bigint, dv_live bigint",
+    ).orderBy("version")
+
+
+# --------------------------------------------------------------------------
+# Deletion-vector compaction — merge-on-read maintenance (round 11)
+# --------------------------------------------------------------------------
+
+# deletion_vector_read_path proved deletes never rewrite base units —
+# but its DVs accumulate forever, so every read pays a growing
+# anti-join. This is the maintenance face that bounds that debt: the
+# Iceberg "rewrite position deletes" / Delta "purge DVs" action. When a
+# unit's tombstone mass crosses an exact rational threshold
+# (dv_count * DVC_DEN >= rows * DVC_NUM), that unit — and only that
+# unit — is rewritten minus its tombstones with re-ordinalized
+# positions, and its DV entries are retired by MANIFEST SWAP: a new
+# (smaller) DV file holding only the under-threshold units' entries is
+# referenced by the new version; the old base units and the full wave
+# file stay on disk untouched, so every pre-compaction version remains
+# exactly readable (time travel). A post-compaction delete wave then
+# lands against the NEW positions of the rewritten units, proving the
+# positional contract survives the rewrite.
+#
+# Wave-A remainders are chosen so tombstone mass is NON-uniform across
+# units: rems 7 and 21 are odd (they land only in odd data units and
+# idx unit 1), rem 22 is even — so odd units carry ~8% tombstones and
+# even units ~4%, and the 6% threshold (DVC_NUM/DVC_DEN) splits them.
+# Both engines derive the decision from first principles with exact
+# integer arithmetic, so the split is corpus-independent-deterministic.
+
+DVC_WAVE_A = (7, 21, 22)  # doc_id % DV_DEL_MOD in A -> first GDPR wave
+DVC_WAVE_B = (33,)  # post-compaction wave (disjoint from A)
+DVC_NUM, DVC_DEN = 3, 50  # rewrite unit iff dels * DEN >= rows * NUM (6%)
+
+
+def _sql_in(rems: tuple) -> str:
+    return "(" + ", ".join(str(r) for r in rems) + ")"
+
+
+def _dvc_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
+    """v1 base units -> wave A DVs (v2) -> threshold compaction with
+    manifest-swap DV retirement (v3) -> wave B against the new
+    positions (v4). Returns every file set plus the per-unit rewrite
+    decisions so tests can pin the file inventory."""
+    from pyspark.sql.window import Window as PW
+
+    data, idx = _dv_tables(spark, sf_dir)
+    data_units, idx_units = [], []
+    for k in range(DV_DATA_UNITS):
+        unit = os.path.join(base, f"files/data_u{k}")
+        data.filter(F.col("unit") == k).select(
+            "doc_id", "text", "unit", "pos"
+        ).write.mode("overwrite").parquet(unit)
+        data_units.append(unit)
+    for k in range(DV_IDX_UNITS):
+        unit = os.path.join(base, f"files/idx_u{k}")
+        idx.filter(F.col("unit") == k).select(
+            "doc_id", "n_sigs", "unit", "pos"
+        ).write.mode("overwrite").parquet(unit)
+        idx_units.append(unit)
+    all_t = {
+        "data": spark.read.parquet(*data_units),
+        "idx": spark.read.parquet(*idx_units),
+    }
+    # Wave A: positions read from the committed units (file facts)
+    wave_a = []
+    for tag, src in all_t.items():
+        p = os.path.join(base, f"files/dv_a_{tag}")
+        src.filter(
+            (F.col("doc_id") % DV_DEL_MOD).isin(list(DVC_WAVE_A))
+        ).select(F.lit(tag).alias("tbl"), "unit", "pos").write.mode(
+            "overwrite"
+        ).parquet(p)
+        wave_a.append(p)
+    dv_a = spark.read.parquet(*wave_a)
+    # Compaction decision: exact integer threshold per unit, computed
+    # from the FILES (rows per unit, tombstones per unit) — the same
+    # numbers the oracle derives from first principles.
+    decisions: dict[tuple[str, int], bool] = {}
+    for tag, src in all_t.items():
+        rows = {
+            r["unit"]: r["c"]
+            for r in src.groupBy("unit").agg(F.count(F.lit(1)).alias("c")).collect()
+        }  # bounded: <= DV_DATA_UNITS rows
+        dels = {
+            r["unit"]: r["c"]
+            for r in dv_a.filter(F.col("tbl") == tag)
+            .groupBy("unit")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        for u, c in rows.items():
+            decisions[(tag, u)] = dels.get(u, 0) * DVC_DEN >= c * DVC_NUM
+    # Rewrite exactly the over-threshold units minus their tombstones,
+    # re-ordinalizing pos (write-time window, per-unit, like the base).
+    manifest3: dict[str, list[str]] = {"data": [], "idx": []}
+    for tag, units in (("data", data_units), ("idx", idx_units)):
+        cols = ["doc_id", "text" if tag == "data" else "n_sigs", "unit", "pos"]
+        for u_path in units:
+            u = int(u_path.rsplit("_u", 1)[1])
+            if not decisions[(tag, u)]:
+                manifest3[tag].append(u_path)
+                continue
+            old = spark.read.parquet(u_path)
+            tomb = (
+                dv_a.filter((F.col("tbl") == tag) & (F.col("unit") == u))
+                .select("unit", "pos")
+            )
+            newp = os.path.join(base, f"files/c_{tag}_u{u}")
+            old.join(tomb, ["unit", "pos"], "left_anti").drop("pos").withColumn(
+                "pos",
+                F.row_number().over(PW.partitionBy("unit").orderBy("doc_id")),
+            ).select(*cols).write.mode("overwrite").parquet(newp)
+            manifest3[tag].append(newp)
+    # Manifest-swap retirement: the v3 manifest references a NEW dv
+    # file per table holding only the under-threshold units' entries;
+    # the wave-A file itself is never touched (v2 stays readable).
+    retained = []
+    for tag in ("data", "idx"):
+        keep = [u for (t, u), dec in decisions.items() if t == tag and not dec]
+        p = os.path.join(base, f"files/dv_a_retained_{tag}")
+        dv_a.filter(
+            (F.col("tbl") == tag) & F.col("unit").isin(keep or [-1])
+        ).write.mode("overwrite").parquet(p)
+        retained.append(p)
+    # Wave B: positions from the DV-MASKED v3 read — tombstones land on
+    # live rows at their CURRENT (post-rewrite) positions.
+    wave_b = []
+    for tag in ("data", "idx"):
+        p = os.path.join(base, f"files/dv_b_{tag}")
+        _dv_read(spark, manifest3[tag], retained, tag).filter(
+            (F.col("doc_id") % DV_DEL_MOD).isin(list(DVC_WAVE_B))
+        ).select(F.lit(tag).alias("tbl"), "unit", "pos").write.mode(
+            "overwrite"
+        ).parquet(p)
+        wave_b.append(p)
+    return {
+        "data": data_units,
+        "idx": idx_units,
+        "wave_a": wave_a,
+        "retained": retained,
+        "wave_b": wave_b,
+        "manifest3": manifest3,
+        "decisions": decisions,
+    }
+
+
+_DVC_SIG_SQL = f"""
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               len(list_distinct(list_transform(
+                   {TX.sql_shingles(TX.sql_words('text'))},
+                   s -> {TX.sql_hash28('s')}))) AS n_sigs
+        FROM documents
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    )"""
+
+
+@query(
+    "dv_compaction_maintenance",
+    oracle=f"""
+    WITH {_DVC_SIG_SQL},
+    ddec AS MATERIALIZED (
+        SELECT doc_id % {DV_DATA_UNITS} AS unit,
+               count(*) FILTER (WHERE doc_id % {DV_DEL_MOD}
+                                IN {_sql_in(DVC_WAVE_A)}) AS dels,
+               count(*) AS n
+        FROM documents GROUP BY 1
+    ),
+    drw AS (SELECT unit FROM ddec WHERE dels * {DVC_DEN} >= n * {DVC_NUM}),
+    idec AS MATERIALIZED (
+        SELECT doc_id % {DV_IDX_UNITS} AS unit,
+               count(*) FILTER (WHERE doc_id % {DV_DEL_MOD}
+                                IN {_sql_in(DVC_WAVE_A)}) AS dels,
+               count(*) AS n
+        FROM sig GROUP BY 1
+    ),
+    irw AS (SELECT unit FROM idec WHERE dels * {DVC_DEN} >= n * {DVC_NUM}),
+    rwc AS (SELECT (SELECT count(*) FROM drw) + (SELECT count(*) FROM irw) AS r),
+    v3live AS (
+        SELECT (SELECT count(*) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} IN {_sql_in(DVC_WAVE_A)}
+                  AND doc_id % {DV_DATA_UNITS} NOT IN (SELECT unit FROM drw))
+             + (SELECT count(*) FROM sig
+                WHERE doc_id % {DV_DEL_MOD} IN {_sql_in(DVC_WAVE_A)}
+                  AND doc_id % {DV_IDX_UNITS} NOT IN (SELECT unit FROM irw))
+               AS n
+    )
+    SELECT * FROM (
+        SELECT 1 AS version,
+               (SELECT count(*) FROM documents) AS n_rows,
+               (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) AS docid_sum,
+               (SELECT count(*) FROM sig) AS idx_docs,
+               (SELECT CAST(sum(n_sigs) AS BIGINT) FROM sig) AS idx_sigs,
+               CAST(0 AS BIGINT) AS dv_live,
+               CAST(0 AS BIGINT) AS n_rewritten
+        UNION ALL
+        SELECT 2,
+               (SELECT count(*) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT count(*) FROM sig
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT CAST(sum(n_sigs) AS BIGINT) FROM sig
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT count(*) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} IN {_sql_in(DVC_WAVE_A)})
+               + (SELECT count(*) FROM sig
+                  WHERE doc_id % {DV_DEL_MOD} IN {_sql_in(DVC_WAVE_A)}),
+               0
+        UNION ALL
+        SELECT 3,
+               (SELECT count(*) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT count(*) FROM sig
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT CAST(sum(n_sigs) AS BIGINT) FROM sig
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A)}),
+               (SELECT n FROM v3live),
+               (SELECT r FROM rwc)
+        UNION ALL
+        SELECT 4,
+               (SELECT count(*) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A + DVC_WAVE_B)}),
+               (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A + DVC_WAVE_B)}),
+               (SELECT count(*) FROM sig
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A + DVC_WAVE_B)}),
+               (SELECT CAST(sum(n_sigs) AS BIGINT) FROM sig
+                WHERE doc_id % {DV_DEL_MOD} NOT IN {_sql_in(DVC_WAVE_A + DVC_WAVE_B)}),
+               (SELECT n FROM v3live)
+               + (SELECT count(*) FROM documents
+                  WHERE doc_id % {DV_DEL_MOD} IN {_sql_in(DVC_WAVE_B)})
+               + (SELECT count(*) FROM sig
+                  WHERE doc_id % {DV_DEL_MOD} IN {_sql_in(DVC_WAVE_B)}),
+               (SELECT r FROM rwc)
+    ) ORDER BY version
+    """,
+    doc="DELETION-VECTOR COMPACTION (merge-on-read maintenance) — the "
+    "Iceberg rewrite-position-deletes / Delta purge-DVs face that "
+    "bounds the read-path's growing anti-join: units whose tombstone "
+    "mass crosses an exact rational threshold (dels*DEN >= rows*NUM, "
+    f"{DVC_NUM}/{DVC_DEN}) are rewritten minus their tombstones with "
+    "re-ordinalized positions; their DV entries retire by MANIFEST "
+    "SWAP (a new retained-DV file — the wave file itself is never "
+    "touched, so v2 stays exactly readable). Wave-A rems are chosen "
+    "non-uniform (odd units ~8%, even ~4%) so the threshold genuinely "
+    "splits the units, and a post-compaction wave B lands on the "
+    "REWRITTEN units' new positions — proving the positional contract "
+    "survives the rewrite. Audit = as-of reads at v1..v4 plus live-DV "
+    "and rewritten-unit counts, all re-derived from first principles "
+    "by the oracle (wrong thresholding, lossy rewrite, stale DV, or a "
+    "version seeing future deletes all hash-mismatch). File inventory "
+    "(exactly the over-threshold units rewrote; zero GDPR leaks) is "
+    "pinned in tests/test_deletion_vectors.py.",
+)
+def dv_compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ensure_session_confs(spark)
+    base = tempfile.mkdtemp(prefix="dv_compact_")
+    try:
+        life = _dvc_lifecycle(spark, sf_dir, base)
+        n_rw = sum(1 for dec in life["decisions"].values() if dec)
+        reads = {
+            1: (life["data"], life["idx"], [], 0),
+            2: (life["data"], life["idx"], life["wave_a"], None),
+            3: (life["manifest3"]["data"], life["manifest3"]["idx"],
+                life["retained"], None),
+            4: (life["manifest3"]["data"], life["manifest3"]["idx"],
+                life["retained"] + life["wave_b"], None),
+        }
+        rows = []
+        for version, (dunits, iunits, dvs, _z) in reads.items():
+            dat = _dv_read(spark, dunits, dvs, "data")
+            idx = _dv_read(spark, iunits, dvs, "idx")
+            a = dat.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("doc_id").cast("bigint").alias("docid_sum"),
+            )
+            b = idx.agg(
+                F.count(F.lit(1)).cast("bigint").alias("idx_docs"),
+                F.sum("n_sigs").cast("bigint").alias("idx_sigs"),
+            )
+            dv_live = spark.read.parquet(*dvs).count() if dvs else 0
+            row = (
+                a.crossJoin(b)
+                .select(
+                    F.lit(version).cast("int").alias("version"),
+                    "n_rows",
+                    "docid_sum",
+                    "idx_docs",
+                    "idx_sigs",
+                    F.lit(dv_live).cast("bigint").alias("dv_live"),
+                    F.lit(n_rw if version >= 3 else 0)
+                    .cast("bigint")
+                    .alias("n_rewritten"),
+                )
+                .collect()[0]  # bounded: one audit row per version
+            )
+            rows.append(tuple(row))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, docid_sum bigint, idx_docs bigint, "
+        "idx_sigs bigint, dv_live bigint, n_rewritten bigint",
     ).orderBy("version")

@@ -99,3 +99,89 @@ def test_dv_key_is_positional_not_logical(spark):
             assert per_unit_after[u] == expect, (u, c, per_unit_after[u])
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compaction_rewrites_exactly_over_threshold_units(spark):
+    """Round-11 merge-on-read maintenance: the rewrite set equals the
+    exact-threshold decision, base units and the wave-A DV file survive
+    untouched (time travel), positions re-ordinalize in rewritten
+    units, and no GDPR-deleted row leaks from any post-delete read."""
+    from python_btc_etl_spark.plans.partitioned import (
+        DV_DEL_MOD,
+        DVC_DEN,
+        DVC_NUM,
+        DVC_WAVE_A,
+        DVC_WAVE_B,
+        _dv_read,
+        _dvc_lifecycle,
+    )
+
+    base = tempfile.mkdtemp(prefix="dvc_test_")
+    try:
+        life = _dvc_lifecycle(spark, SF_SMALL, base)
+        inv_before = _file_inventory(
+            life["data"] + life["idx"] + life["wave_a"]
+        )
+        # the rewrite decision is reproducible from the files, and the
+        # c_{tag}_u{k} inventory matches it exactly
+        for (tag, u), dec in life["decisions"].items():
+            cpath = os.path.join(base, f"files/c_{tag}_u{u}")
+            assert os.path.isdir(cpath) == dec, (tag, u, dec)
+        # some units rewrote, some did not (the threshold splits)
+        decs = set(life["decisions"].values())
+        assert decs == {True, False}
+        # rewritten units re-ordinalized: pos is dense 1..n per unit
+        for tag in ("data", "idx"):
+            for p in life["manifest3"][tag]:
+                if "/c_" not in p:
+                    continue
+                got = spark.read.parquet(p)
+                n = got.count()
+                assert (
+                    got.agg(
+                        F.min("pos"), F.max("pos"), F.count_distinct("pos")
+                    ).collect()[0]
+                    == (1, n, n)
+                )
+        # leak counter stays 0: wave-A docs invisible at v3 and v4,
+        # wave-B docs invisible at v4
+        v3d = _dv_read(spark, life["manifest3"]["data"], life["retained"], "data")
+        v4dvs = life["retained"] + life["wave_b"]
+        v4d = _dv_read(spark, life["manifest3"]["data"], v4dvs, "data")
+        v4i = _dv_read(spark, life["manifest3"]["idx"], v4dvs, "idx")
+        rem = F.col("doc_id") % DV_DEL_MOD
+        assert v3d.filter(rem.isin(list(DVC_WAVE_A))).count() == 0
+        assert v4d.filter(rem.isin(list(DVC_WAVE_A + DVC_WAVE_B))).count() == 0
+        assert v4i.filter(rem.isin(list(DVC_WAVE_A + DVC_WAVE_B))).count() == 0
+        # compaction is content-preserving: v3 read == v2 read
+        v2d = _dv_read(spark, life["data"], life["wave_a"], "data")
+        agg = lambda df: tuple(  # noqa: E731
+            df.agg(F.count(F.lit(1)), F.sum("doc_id")).collect()[0]
+        )
+        assert agg(v3d) == agg(v2d)
+        # every pre-compaction file byte-identical after the whole
+        # lifecycle: old versions remain exactly readable
+        assert _file_inventory(
+            life["data"] + life["idx"] + life["wave_a"]
+        ) == inv_before
+        # the threshold itself is what the decision used (recompute)
+        dv_a = spark.read.parquet(*life["wave_a"])
+        for tag, units in (("data", life["data"]), ("idx", life["idx"])):
+            src = spark.read.parquet(*units)
+            rows = {
+                r["unit"]: r["c"]
+                for r in src.groupBy("unit").agg(F.count(F.lit(1)).alias("c")).collect()
+            }
+            dels = {
+                r["unit"]: r["c"]
+                for r in dv_a.filter(F.col("tbl") == tag)
+                .groupBy("unit")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            for u, c in rows.items():
+                assert life["decisions"][(tag, u)] == (
+                    dels.get(u, 0) * DVC_DEN >= c * DVC_NUM
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
