@@ -509,10 +509,10 @@ N_DECILES = 10
     "deterministic in both engines), then per-decile count/min/max/exact-"
     "decimal sum — the quantile-bucket profile feeding price-band "
     "reports and equi-depth histogram statistics. NOTE the global ntile "
-    "window is a single-partition sort: correct here, but the 100 TB "
-    "form computes approx-percentile cut points first and assigns "
-    "buckets with width_bucket in the scan — the zorder_layout_stats "
-    "query demonstrates exactly that broadcast-cutpoint pattern.",
+    "window is a single-partition sort: correct here, and exact ntile "
+    "semantics genuinely need it — the scale-safe twin is "
+    "decile_stats_approx (bounded-histogram cut points broadcast into "
+    "the scan, zero fact-table sorts, bounded per-bucket error).",
 )
 def decile_stats_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as PW
@@ -529,6 +529,93 @@ def decile_stats_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 2).alias("total"),
         )
         .orderBy("decile")
+    )
+
+
+DSA_STEP = 1000.0  # equi-depth histogram bin width over o_totalprice
+
+
+@query(
+    "decile_stats_approx",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT CAST(floor(o_totalprice / {DSA_STEP}) AS BIGINT) AS q,
+               count(*) AS c
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+    cum AS (SELECT q, CAST(sum(c) OVER (ORDER BY q) AS BIGINT) AS cum FROM h),
+    cuts AS MATERIALIZED (
+        SELECT k, min(q) AS cut
+        FROM cum CROSS JOIN (SELECT unnest(range(1, {N_DECILES})) AS k)
+        WHERE cum * {N_DECILES} >= k * (SELECT n FROM tot)
+        GROUP BY k
+    ),
+    b AS (
+        SELECT o_totalprice,
+               1 + (SELECT count(*) FROM cuts
+                    WHERE CAST(floor(o_totalprice / {DSA_STEP}) AS BIGINT)
+                          > cuts.cut) AS bucket
+        FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           {sql_dsum('o_totalprice', 2)} AS total,
+           CAST(abs(count(*) * {N_DECILES} - (SELECT n FROM tot)) * 1000000
+                // (SELECT n FROM tot) AS BIGINT) AS abs_dev_ppm
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="SCALE-SAFE EQUI-DEPTH DECILES — the 100 TB twin of "
+    "decile_stats_order_totals, which needs a single-partition global "
+    "ntile sort. Here the scan aggregates a BOUNDED quantized "
+    f"histogram (floor(price/{int(DSA_STEP)}): a few hundred bins "
+    "regardless of row count), the equi-depth cut points fall out of "
+    "an exact integer rule over its prefix sums (cut_k = min bin with "
+    f"cum*{N_DECILES} >= k*N — deterministic on both engines, no "
+    "floating interpolation), and the 9 cut points fold back into the "
+    "scan as broadcast literals (bucket = 1 + Σ[bin > cut_k]) — two "
+    "passes over the fact table, zero fact-table sorts, zero "
+    "fact-sized windows (tests/test_plan_shape_r11.py pins the plan). "
+    "abs_dev_ppm reports each bucket's deviation from perfect "
+    "equi-depth — bounded by the largest single bin's mass, the "
+    "classic histogram-sketch error bound (per-bucket bound asserted "
+    "in tests/test_ordered_stats_r11.py).",
+)
+def decile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    q = F.floor(F.col("o_totalprice") / DSA_STEP).cast("bigint")
+    # the histogram is BOUNDED by price-range/step (a few hundred bins
+    # regardless of row count), so collecting it is metadata, not data
+    hist = sorted(
+        (int(r["q"]), int(r["c"]))
+        for r in o.groupBy(q.alias("q")).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n = sum(c for _, c in hist)
+    cuts, cum, k = [], 0, 1
+    for qv, c in hist:  # exact integer cut rule, mirrored in the oracle
+        cum += c
+        while k < N_DECILES and cum * N_DECILES >= k * n:
+            cuts.append(qv)
+            k += 1
+    bucket = F.lit(1)
+    for cv in cuts:  # broadcast literals: the scan stays one projection
+        bucket = bucket + F.when(q > cv, 1).otherwise(0)
+    return (
+        o.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice", 2).alias("total"),
+            F.expr(
+                f"(abs(count(1) * {N_DECILES} - {n}) * 1000000) div {n}"
+            )
+            .cast("bigint")
+            .alias("abs_dev_ppm"),
+        )
+        .orderBy("bucket")
     )
 
 
