@@ -1424,3 +1424,231 @@ def e2e_corpus_build_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "stage string, n_in bigint, n_dropped bigint, n_out bigint, stat bigint",
     ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Cross-modal pair dedup agreement audit (round 11)
+# --------------------------------------------------------------------------
+
+# The filtering signal LAION-style caption-image pipelines act on: where
+# the TEXT near-dup verdict and the IMAGE near-dup verdict disagree.
+# Corpus = the caption corpus with planted 80%-prefix copies
+# (dedup's docs_with_truncated_copies); each row carries an image whose
+# identity is doc_id, EXCEPT alternate planted copies (original
+# doc_id % (2*TRUNC_EVERY) == 0) which RE-POST their original's image —
+# so all three audit cells are genuinely populated:
+#   agree_both — re-posting copies: near-dup caption AND identical image;
+#   text_only  — fresh-image copies: same caption, different image;
+#   image_only — the phash group chains: same image, unrelated caption.
+# Both pair tables are the STANDALONE detectors' own predicates
+# (containment >= CONTAIN_T over the df-pruned inverted index;
+# phash band-blocked Hamming <= PH_HD_MAX), so the audit reconciles
+# with dedup_pair_evidence and image_phash_neardup by construction.
+
+_XM_PK = 10_000_000  # pair encoding: doc_a * PK + doc_b (ids < 2e6)
+
+
+def _xm_oracle() -> str:
+    from .dedup import (
+        CONTAIN_T,
+        DF_MAX,
+        SQL_DOCS_TRUNC,
+        SQL_HASHED_SHINGLES,
+        TRUNC_EVERY,
+        TRUNC_OFFSET,
+    )
+    from ..functions import text as TXT
+
+    repost = 2 * TRUNC_EVERY
+    return f"""
+    WITH aug AS MATERIALIZED ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TXT.sql_shingles(TXT.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TXT.sql_words('text')}) >= {TXT.SHINGLE_N}
+    ),
+    h AS MATERIALIZED ({SQL_HASHED_SHINGLES}),
+    inv AS (SELECT doc_id, unnest(hs) AS s FROM h),
+    rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {DF_MAX}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN rare r ON a.s = r.s
+    ),
+    tp AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN h x ON x.doc_id = c.doc_a
+        JOIN h y ON y.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                  / least(len(x.hs), len(y.hs)) >= {CONTAIN_T}
+    ),
+    im AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN doc_id >= {TRUNC_OFFSET}
+                     AND (doc_id - {TRUNC_OFFSET}) % {repost} = 0
+                    THEN doc_id - {TRUNC_OFFSET} ELSE doc_id END AS img_id
+        FROM aug
+    ),
+    iids AS (SELECT DISTINCT img_id AS doc_id FROM im),
+    iv AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - {_V5_IMG_U} ELSE {_V5_IMG_U} END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+        FROM iids, unnest(range(0, {PH_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    dp AS (
+        SELECT im.doc_id, iv.phash
+        FROM im JOIN iv ON iv.doc_id = im.img_id
+    ),
+    ibands AS (
+        SELECT doc_id, phash, j,
+               (phash >> (CAST({PH_BAND_BITS} AS INTEGER) * j)) & {2**PH_BAND_BITS - 1} AS band
+        FROM dp, unnest(range(0, {PH_BANDS})) AS b(j)
+    ),
+    ip AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ibands a
+        JOIN ibands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PH_HD_MAX}
+    ),
+    uni AS (
+        SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
+               coalesce(t.doc_b, i.doc_b) AS doc_b,
+               t.doc_a IS NOT NULL AS is_text,
+               i.doc_a IS NOT NULL AS is_img
+        FROM tp t FULL OUTER JOIN ip i
+          ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
+    ),
+    lab AS (
+        SELECT CASE WHEN is_text AND is_img THEN 'agree_both'
+                    WHEN is_text THEN 'text_only'
+                    ELSE 'image_only' END AS cell,
+               doc_a * {_XM_PK} + doc_b AS pk
+        FROM uni
+    ),
+    agg AS (SELECT cell, count(*) AS n_pairs, min(pk) AS mpk FROM lab GROUP BY cell)
+    SELECT c.cell,
+           CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(a.mpk // {_XM_PK}, -1) AS BIGINT) AS example_a,
+           CAST(coalesce(a.mpk % {_XM_PK}, -1) AS BIGINT) AS example_b
+    FROM (VALUES ('agree_both'), ('text_only'), ('image_only')) AS c(cell)
+    LEFT JOIN agg a ON a.cell = c.cell
+    ORDER BY c.cell
+    """
+
+
+@query(
+    "cross_modal_pair_audit",
+    oracle=_xm_oracle(),
+    doc="CROSS-MODAL PAIR DEDUP AUDIT — the 2x2 agreement matrix "
+    "between the text near-dup verdict (containment >= 0.9 over the "
+    "df-pruned shingle inverted index: dedup_pair_evidence's exact "
+    "pair predicate) and the image near-dup verdict (phash "
+    "band-blocked Hamming <= 7: image_phash_neardup's predicate) over "
+    "the caption corpus, where alternate planted copies RE-POST their "
+    "original's image: agree_both (re-posted image + copied caption — "
+    "drop), text_only (same caption, different image — the "
+    "re-captioned-image signal), image_only (same image, unrelated "
+    "caption — the re-posted-image signal LAION-style pipelines gate "
+    "on). Emits per-cell pair counts + the minimum evidence pair. "
+    "Universe = union of both flagged-pair tables (never all-pairs); "
+    "both sides reuse the standalone detectors' exact predicates, so "
+    "the audit reconciles with them by construction "
+    "(tests/test_cross_modal.py). 100 TB: two already-blocked pair "
+    "tables full-outer-joined on the pair key — the audit costs a "
+    "join of two verdict tables, not a corpus scan.",
+)
+def cross_modal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import (
+        TRUNC_EVERY,
+        TRUNC_OFFSET,
+        _containment_pairs,
+        docs_with_truncated_copies,
+    )
+
+    tp = _containment_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    aug_ids = docs_with_truncated_copies(spark, sf_dir).select("doc_id")
+    repost = 2 * TRUNC_EVERY
+    img_id = F.when(
+        (F.col("doc_id") >= TRUNC_OFFSET)
+        & ((F.col("doc_id") - TRUNC_OFFSET) % repost == 0),
+        F.col("doc_id") - TRUNC_OFFSET,
+    ).otherwise(F.col("doc_id"))
+    m = aug_ids.select("doc_id", img_id.alias("img_id"))
+    ph = managed_cache(
+        m.select(F.col("img_id").alias("doc_id"))
+        .distinct()
+        .mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
+        .withColumnRenamed("doc_id", "img_id")
+    )
+    dp = m.join(ph, "img_id").select("doc_id", "phash")
+    bands = dp.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("phash"), PH_BAND_BITS * j)
+                        .bitwiseAND(F.lit(2**PH_BAND_BITS - 1))
+                        .alias("band"),
+                    )
+                    for j in range(PH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "phash", F.col("bs.j").alias("j"), F.col("bs.band").alias("band"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "j", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "j", "band"
+    )
+    ip = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= PH_HD_MAX
+        )
+        .select("doc_a", "doc_b")
+    )
+    uni = tp.withColumn("is_text", F.lit(True)).join(
+        ip.withColumn("is_img", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
+    )
+    cell = (
+        F.when(
+            F.col("is_text").isNotNull() & F.col("is_img").isNotNull(),
+            F.lit("agree_both"),
+        )
+        .when(F.col("is_text").isNotNull(), F.lit("text_only"))
+        .otherwise(F.lit("image_only"))
+    )
+    agg = {
+        r["cell"]: r
+        for r in uni.select(
+            cell.alias("cell"),
+            (F.col("doc_a") * _XM_PK + F.col("doc_b")).alias("pk"),
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("pk").alias("mpk"))
+        .collect()  # bounded: <= 3 cells
+    }
+    rows = []
+    for c in ("agree_both", "image_only", "text_only"):
+        r = agg.get(c)
+        if r is None:
+            rows.append((c, 0, -1, -1))
+        else:
+            rows.append(
+                (c, int(r["n_pairs"]), int(r["mpk"]) // _XM_PK, int(r["mpk"]) % _XM_PK)
+            )
+    return spark.createDataFrame(
+        rows,
+        "cell string, n_pairs bigint, example_a bigint, example_b bigint",
+    ).orderBy("cell")

@@ -1,0 +1,51 @@
+"""cross_modal_pair_audit reconciliation with the standalone detectors:
+the audit's cells must partition the union of the two verdict tables,
+and the planted structure must land where designed (re-posting copies
+in agree_both, fresh-image copies in text_only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_cells_partition_the_union_and_planted_structure(spark):
+    from python_btc_etl_spark.plans.dedup import (
+        TRUNC_EVERY,
+        TRUNC_OFFSET,
+        _containment_pairs,
+    )
+    from python_btc_etl_spark.plans.multimodal import cross_modal_pair_audit
+
+    rows = {r["cell"]: r for r in cross_modal_pair_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {"agree_both", "text_only", "image_only"}
+    tp = {
+        (r["doc_a"], r["doc_b"])
+        for r in _containment_pairs(spark, SF_SMALL).select("doc_a", "doc_b").collect()
+    }
+    # text cells reconcile with the standalone containment verdict
+    assert rows["agree_both"]["n_pairs"] + rows["text_only"]["n_pairs"] == len(tp)
+    # every planted RE-POSTING copy pair (original % 2*TRUNC_EVERY == 0)
+    # is near-dup in BOTH modalities: it must appear in agree_both mass
+    repost_pairs = {
+        (a, b) for (a, b) in tp if b - a == TRUNC_OFFSET and a % (2 * TRUNC_EVERY) == 0
+    }
+    assert repost_pairs, "corpus has no re-posting copies"
+    assert rows["agree_both"]["n_pairs"] >= len(repost_pairs)
+    # evidence pairs really belong to their cell's text side
+    ab = (rows["agree_both"]["example_a"], rows["agree_both"]["example_b"])
+    to = (rows["text_only"]["example_a"], rows["text_only"]["example_b"])
+    assert ab in tp and to in tp
+    io_pair = (rows["image_only"]["example_a"], rows["image_only"]["example_b"])
+    assert io_pair not in tp
+    # fresh-image copies (original % 100 == 50) exist and are text-only
+    fresh_pairs = {
+        (a, b)
+        for (a, b) in tp
+        if b - a == TRUNC_OFFSET and a % (2 * TRUNC_EVERY) != 0
+    }
+    assert fresh_pairs, "corpus has no fresh-image copies"
+    assert rows["text_only"]["n_pairs"] >= 1
+    # image_only is the phash-chain mass: nonzero and disjoint from text
+    assert rows["image_only"]["n_pairs"] > 0
