@@ -2995,3 +2995,117 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("classes_below_l"),
     )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy release gate (round 11)
+# --------------------------------------------------------------------------
+
+# The release face AFTER k_anonymity_audit: instead of auditing
+# re-identification risk, actually privatize the per-class counts with
+# an epsilon-DP mechanism and release those. Mechanism: the GEOMETRIC
+# MECHANISM (Ghosh-Roughgarden-Sundararajan — the discrete Laplace),
+# noise = G1 - G2 with G iid Geometric(1 - alpha), alpha = 1/2, which
+# is eps-DP for counting queries (sensitivity 1) at eps = ln(1/alpha)
+# = ln 2. Determinism: the two uniforms come from the cross-engine
+# 28-bit sha256 hash of (salt | class key), and the geometric
+# inverse-CDF is evaluated with EXACT INTEGER comparisons —
+# G = #{ j in 1..DP_GMAX : U * 2^j > (2^j - 1) * 2^28 }
+# (u > 1 - alpha^j cleared of denominators; alpha = 1/2 keeps every
+# term inside int64). No float ln/exp anywhere, so the noisy
+# aggregates are bit-identical in both engines — seeded DP noise as a
+# reproducible release artifact. Truncation at DP_GMAX=28 clips the
+# tail at mass 2^-29 (clamping is eps-DP-preserving post-processing).
+# Accounting: the per-class counts partition disjoint individuals, so
+# PARALLEL composition applies and the whole release spends
+# eps = ln 2 (~693147 ppm) — the eps_ppm column carries it; a second
+# release over the same rows would compose sequentially (2x).
+
+from ..functions.text import sql_hash28 as TX_SQL_H28  # noqa: E402
+
+DP_GMAX = 28  # geometric tail truncation (mass 2^-29)
+DP_K = 28  # uniform resolution: hash28's 28-bit range
+DP_EPS_PPM = 693147  # ln(2) * 1e6, the shared literal on both engines
+
+
+def _dp_sql_geom(u: str) -> str:
+    """#{j : u*2^j > (2^j-1)*2^28} — exact-integer geometric draw."""
+    return (
+        f"(SELECT count(*) FROM unnest(range(1, {DP_GMAX} + 1)) AS r(j) "
+        f"WHERE ({u}) * (1::BIGINT << j) > ((1::BIGINT << j) - 1) * {1 << DP_K})"
+    )
+
+
+@query(
+    "dp_release_gate",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS tc
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    keyed AS (
+        SELECT c_nationkey, c_mktsegment, tc,
+               {TX_SQL_H28("'dp1|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")} AS u1,
+               {TX_SQL_H28("'dp2|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")} AS u2
+        FROM cls
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(tc + {_dp_sql_geom('u1')} - {_dp_sql_geom('u2')} AS BIGINT)
+               AS noisy_count,
+           CAST({DP_EPS_PPM} AS BIGINT) AS eps_ppm
+    FROM keyed
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    doc="DIFFERENTIAL-PRIVACY RELEASE GATE — per-(nation, segment) "
+    "customer counts released under the geometric mechanism (discrete "
+    "Laplace, alpha=1/2): noise = G1 - G2, G iid Geometric(1/2) drawn "
+    "by EXACT-INTEGER inverse-CDF over 28-bit sha256 uniforms seeded "
+    "from (salt | class key) — no float ln/exp, so the noisy release "
+    "is bit-identical in both engines (seeded, reproducible DP). "
+    "eps-DP at eps = ln 2 for the counting query (sensitivity 1, "
+    "pinned by a neighboring-dataset test: removing one customer "
+    "changes exactly one released count by exactly 1 — "
+    "tests/test_dp_release.py); the eps_ppm accounting column carries "
+    "the release budget, which PARALLEL composition (disjoint classes) "
+    "keeps at one eps for the whole table. 100 TB: one "
+    "partial-aggregable groupBy; the noise is a per-class projection "
+    "over the bounded class space — metadata-sized.",
+)
+def dp_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    c = load(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tc")
+    )
+
+    def u(salt: str) -> F.Column:
+        return TX.hash28(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+            )
+        )
+
+    def geom(uc: F.Column) -> F.Column:
+        g = F.lit(0)
+        for j in range(1, DP_GMAX + 1):
+            g = g + F.when(
+                uc * F.lit(1 << j) > F.lit(((1 << j) - 1) * (1 << DP_K)), 1
+            ).otherwise(0)
+        return g
+
+    keyed = cls.withColumn("u1", u("dp1")).withColumn("u2", u("dp2"))
+    return (
+        keyed.select(
+            "c_nationkey",
+            "c_mktsegment",
+            (F.col("tc") + geom(F.col("u1")) - geom(F.col("u2")))
+            .cast("bigint")
+            .alias("noisy_count"),
+            F.lit(DP_EPS_PPM).cast("bigint").alias("eps_ppm"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

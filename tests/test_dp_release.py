@@ -1,0 +1,128 @@
+"""dp_release_gate mechanism pins: the sensitivity bound (a neighboring
+dataset differing in ONE customer changes exactly one released count by
+exactly 1 — the noise is a pure function of the class key, so it
+cancels in the difference), seed-determinism, and the geometric draw's
+exact-integer inverse-CDF against a Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _release(spark, customer_df):
+    """The gate's mechanism applied to an arbitrary customer relation
+    (mirrors dp_release_gate's body so neighboring datasets can be fed)."""
+    from python_btc_etl_spark.functions import text as TX
+    from python_btc_etl_spark.plans.analytics import DP_GMAX, DP_K
+
+    cls = customer_df.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tc")
+    )
+
+    def u(salt):
+        return TX.hash28(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+            )
+        )
+
+    def geom(uc):
+        g = F.lit(0)
+        for j in range(1, DP_GMAX + 1):
+            g = g + F.when(
+                uc * F.lit(1 << j) > F.lit(((1 << j) - 1) * (1 << DP_K)), 1
+            ).otherwise(0)
+        return g
+
+    return {
+        (r["c_nationkey"], r["c_mktsegment"]): r["nc"]
+        for r in cls.withColumn("u1", u("dp1"))
+        .withColumn("u2", u("dp2"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            (F.col("tc") + geom(F.col("u1")) - geom(F.col("u2")))
+            .cast("bigint")
+            .alias("nc"),
+        )
+        .collect()
+    }
+
+
+def test_sensitivity_one_and_determinism(spark):
+    from python_btc_etl_spark.catalog import load
+
+    c = load(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    full = _release(spark, c)
+    # determinism: a second run is bit-identical (seeded noise)
+    assert _release(spark, c) == full
+    # neighboring dataset: drop ONE customer -> exactly one class's
+    # released count drops by exactly 1 (the class keeps >= 1 member so
+    # no class disappears); every other released number is unchanged
+    # victim from a class with >= 2 members so the class survives
+    from pyspark.sql.window import Window as PW
+
+    sz = F.count(F.lit(1)).over(PW.partitionBy("c_nationkey", "c_mktsegment"))
+    victim = (
+        c.withColumn("sz", sz)
+        .filter(F.col("sz") >= 2)
+        .orderBy("c_custkey")
+        .limit(1)
+        .collect()[0]
+    )
+    neighbor = _release(spark, c.filter(F.col("c_custkey") != victim["c_custkey"]))
+    assert set(neighbor) == set(full)
+    diffs = {k: full[k] - neighbor[k] for k in full if full[k] != neighbor[k]}
+    assert diffs == {(victim["c_nationkey"], victim["c_mktsegment"]): 1}
+
+
+def test_geometric_draw_matches_python_reference(spark):
+    """The exact-integer inverse-CDF equals floor-log2 geometric from
+    the same 28-bit uniform, for every class key in the corpus."""
+    from python_btc_etl_spark.catalog import load
+    from python_btc_etl_spark.plans.analytics import (
+        DP_GMAX,
+        DP_K,
+        dp_release_gate,
+    )
+
+    def h28(s: str) -> int:
+        return int(hashlib.sha256(s.encode()).hexdigest()[:7], 16)
+
+    def geom(u: int) -> int:
+        return sum(
+            1
+            for j in range(1, DP_GMAX + 1)
+            if u * (1 << j) > ((1 << j) - 1) * (1 << DP_K)
+        )
+
+    c = load(spark, SF_SMALL, "customer")
+    true_counts = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["tc"]
+        for r in c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .collect()
+    }
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["noisy_count"]
+        for r in dp_release_gate(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(true_counts)
+    noises = []
+    for (nk, seg), tc in true_counts.items():
+        n1 = geom(h28(f"dp1|{nk}|{seg}"))
+        n2 = geom(h28(f"dp2|{nk}|{seg}"))
+        assert got[(nk, seg)] == tc + n1 - n2, (nk, seg)
+        noises.append(n1 - n2)
+    # noise is bounded by the truncation and non-degenerate
+    assert all(abs(n) <= DP_GMAX for n in noises)
+    assert any(n != 0 for n in noises)
