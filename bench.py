@@ -301,6 +301,110 @@ def main() -> int:
                     break
                 _cleanup(spark)
 
+    # SCALING CURVE (round 11, judge r10 #7): time every query AGAIN at
+    # the small SF and stamp t_big / t_small. Data grows ~10x between
+    # sf0.01 and sf0.1, so a healthy (linear-or-better) query's ratio
+    # sits at or below the data-growth factor — usually far below, since
+    # fixed per-query overhead dominates the small run. A ratio ABOVE
+    # the growth factor is the mechanical signature of a super-linear
+    # plan (quadratic candidate generation, unblocked self-join) — the
+    # class of regression the canary cannot see because it scales WITH
+    # data, not with box speed. Flagged queries get a best-of-2 on the
+    # small side first (a single inflated small sample reads as a LOW
+    # ratio, a single inflated big sample as a HIGH one — the retime
+    # protocol already defends the big side).
+    sf_small_dir = os.environ.get(
+        "SPARK_GRAFT_SF_SMALL_DIR", "/root/testdata/sf0.01"
+    )
+    scaling: dict | None = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+        # subset runs are iteration probes — skip the scaling pass
+        # unless explicitly forced (=force, used by the smoke test)
+        and (not only or os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "force")
+        and os.path.isdir(sf_small_dir)
+        and os.path.realpath(sf_small_dir) != os.path.realpath(SF_DIR)
+    ):
+        small_timings: dict[str, float] = {}
+        for name in timings:
+            t0 = time.perf_counter()
+            try:
+                _run(plans.REGISTRY[name].fn(spark, sf_small_dir))
+                small_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — scaling pass is advisory
+                print(
+                    f"[bench] scaling {name}: ERROR {exc}"[:200],
+                    file=sys.stderr,
+                    flush=True,
+                )
+            _cleanup(spark)
+        # data-growth factor: the max per-table row ratio between the
+        # two dirs (different queries scan different tables; the max is
+        # the conservative bound no linear plan can exceed)
+        growth = 10.0
+        try:
+            import duckdb
+
+            ratios = []
+            for t in ("documents", "lineitem", "embeddings", "orders", "events"):
+                a = duckdb.sql(
+                    f"SELECT count(*) FROM '{SF_DIR}/{t}.parquet'"
+                ).fetchone()[0]
+                b = duckdb.sql(
+                    f"SELECT count(*) FROM '{sf_small_dir}/{t}.parquet'"
+                ).fetchone()[0]
+                if a and b:
+                    ratios.append(a / b)
+            if ratios:
+                growth = max(ratios)
+        except Exception:  # noqa: BLE001 — keep the default factor
+            pass
+        flag_bar = 1.2 * growth  # 20% headroom over data growth = noise guard
+        suspects = [
+            n
+            for n, t in timings.items()
+            if t >= 2.0
+            and small_timings.get(n, 0) > 0
+            and t / small_timings[n] > flag_bar
+        ]
+        for name in suspects:  # firm the small side before accusing the plan
+            t0 = time.perf_counter()
+            try:
+                _run(plans.REGISTRY[name].fn(spark, sf_small_dir))
+                second = round(time.perf_counter() - t0, 3)
+                if second < small_timings[name]:
+                    small_timings[name] = second
+            except Exception:  # noqa: BLE001
+                pass
+            _cleanup(spark)
+        sf_ratio = {
+            n: round(timings[n] / small_timings[n], 2)
+            for n in timings
+            if small_timings.get(n, 0) > 0
+        }
+        superlinear = sorted(
+            n
+            for n, r in sf_ratio.items()
+            if r > flag_bar and timings[n] >= 2.0
+        )
+        scaling = {
+            "sf_small": os.path.basename(sf_small_dir.rstrip("/")).removeprefix(
+                "sf"
+            ),
+            "growth_factor": round(growth, 2),
+            "flag_bar": round(flag_bar, 2),
+            "queries_small": small_timings,
+            "sf_ratio": sf_ratio,
+            "superlinear": superlinear,
+        }
+        if superlinear:
+            print(
+                f"[bench] SUPER-LINEAR suspects (ratio > {flag_bar:.1f}x): "
+                f"{superlinear}",
+                file=sys.stderr,
+                flush=True,
+            )
+
     calibration_end = _calibrate(spark)
     # Canary-normalized per-query column (round 10, closes the recurring
     # manual-attribution loop): time ÷ the run's calibration midpoint.
@@ -355,6 +459,8 @@ def main() -> int:
         detail["errors"] = errors
     if speedup is not None:
         detail["parallel_speedup"] = speedup
+    if scaling is not None:
+        detail["scaling"] = scaling
     # Subset runs (SPARK_GRAFT_BENCH_QUERIES) are iteration probes — they
     # must never clobber the last FULL run's detail file, which is the
     # durable per-query timing record the round's bench artifact points
@@ -387,6 +493,8 @@ def main() -> int:
         out["load_warning"] = load_warning
     if speedup is not None:
         out["parallel_speedup"] = speedup
+    if scaling is not None:
+        out["n_superlinear"] = len(scaling["superlinear"])
     print(json.dumps(out))
     return 0
 
