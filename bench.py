@@ -325,8 +325,21 @@ def main() -> int:
         and os.path.isdir(sf_small_dir)
         and os.path.realpath(sf_small_dir) != os.path.realpath(SF_DIR)
     ):
+        # Budgeted (default 300 s wall): the first run measured the full
+        # small pass at 546 s — near-doubling bench wall-clock, most of
+        # it spent re-running stream/composition harnesses whose sf0.01
+        # time is fixture overhead, not data. Descending-t_big order
+        # guarantees every FLAGGABLE query (t_big >= 2 s) gets its ratio
+        # before the budget can bite; what the budget drops is stamped
+        # (no silent caps).
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_SEC", "300"))
         small_timings: dict[str, float] = {}
-        for name in timings:
+        skipped_by_budget: list[str] = []
+        t_pass0 = time.perf_counter()
+        for name in sorted(timings, key=timings.get, reverse=True):
+            if time.perf_counter() - t_pass0 > budget:
+                skipped_by_budget.append(name)
+                continue
             t0 = time.perf_counter()
             try:
                 _run(plans.REGISTRY[name].fn(spark, sf_small_dir))
@@ -338,6 +351,13 @@ def main() -> int:
                     flush=True,
                 )
             _cleanup(spark)
+        if skipped_by_budget:
+            print(
+                f"[bench] scaling pass budget ({budget:.0f}s) hit: "
+                f"{len(skipped_by_budget)} fastest-at-sf-big queries skipped",
+                file=sys.stderr,
+                flush=True,
+            )
         # data-growth factor: the max per-table row ratio between the
         # two dirs (different queries scan different tables; the max is
         # the conservative bound no linear plan can exceed)
@@ -393,6 +413,10 @@ def main() -> int:
             ),
             "growth_factor": round(growth, 2),
             "flag_bar": round(flag_bar, 2),
+            "budget_sec": budget,
+            "n_covered": len(small_timings),
+            "n_skipped_by_budget": len(skipped_by_budget),
+            "skipped_by_budget": skipped_by_budget,
             "queries_small": small_timings,
             "sf_ratio": sf_ratio,
             "superlinear": superlinear,
