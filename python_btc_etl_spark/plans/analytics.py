@@ -3109,3 +3109,111 @@ def dp_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# Sequential-composition face of the DP release (round 11): a SECOND
+# statistic over the SAME individuals — a clamped account-balance-band
+# sum — so the accounting is no longer the trivial parallel case.
+# Clamping each customer's contribution to an integer band in [0,
+# DP_SUM_CLAMP] bounds the sum query's sensitivity at DP_SUM_CLAMP, and
+# the geometric mechanism with alpha = 1/2 is then (DP_SUM_CLAMP·ln 2)-
+# DP for it (eps = Δ·ln(1/alpha)). Releasing count AND clamped sum for
+# every class spends eps_total = (1 + DP_SUM_CLAMP)·ln 2 by sequential
+# composition — the eps_*_ppm columns carry the ledger. Same
+# exact-integer inverse-CDF noise as dp_release_gate: bit-identical
+# seeded DP across engines, no float ln/exp.
+
+DP_SUM_CLAMP = 3  # per-individual contribution bound => sum sensitivity
+DP_EPS_SUM_PPM = DP_SUM_CLAMP * DP_EPS_PPM  # Δ·ln2 in ppm
+DP_EPS_TOTAL_PPM = DP_EPS_PPM + DP_EPS_SUM_PPM  # sequential composition
+
+
+@query(
+    "dp_release_composition",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey,
+               count(*) AS tc,
+               CAST(sum(least({DP_SUM_CLAMP}, greatest(0,
+                    CAST(floor(c_acctbal / 3000.0) AS BIGINT)))) AS BIGINT)
+                   AS ts
+        FROM customer GROUP BY c_nationkey
+    ),
+    keyed AS (
+        SELECT c_nationkey, tc, ts,
+               {TX_SQL_H28("'dpc1|' || CAST(c_nationkey AS VARCHAR)")} AS uc1,
+               {TX_SQL_H28("'dpc2|' || CAST(c_nationkey AS VARCHAR)")} AS uc2,
+               {TX_SQL_H28("'dps1|' || CAST(c_nationkey AS VARCHAR)")} AS us1,
+               {TX_SQL_H28("'dps2|' || CAST(c_nationkey AS VARCHAR)")} AS us2
+        FROM cls
+    )
+    SELECT c_nationkey,
+           CAST(tc + {_dp_sql_geom('uc1')} - {_dp_sql_geom('uc2')} AS BIGINT)
+               AS noisy_count,
+           CAST(ts + {_dp_sql_geom('us1')} - {_dp_sql_geom('us2')} AS BIGINT)
+               AS noisy_band_sum,
+           CAST({DP_EPS_PPM} AS BIGINT) AS eps_count_ppm,
+           CAST({DP_EPS_SUM_PPM} AS BIGINT) AS eps_sum_ppm,
+           CAST({DP_EPS_TOTAL_PPM} AS BIGINT) AS eps_total_ppm
+    FROM keyed
+    ORDER BY c_nationkey
+    """,
+    doc="DP RELEASE WITH SEQUENTIAL COMPOSITION — dp_release_gate's "
+    "accounting completed: per nation, BOTH a noisy count (sensitivity "
+    f"1, eps = ln 2) and a noisy CLAMPED balance-band sum (each "
+    f"customer's contribution clamped to [0, {DP_SUM_CLAMP}], bounding "
+    f"the sum's sensitivity at {DP_SUM_CLAMP}; the alpha=1/2 geometric "
+    f"mechanism is then ({DP_SUM_CLAMP}·ln 2)-DP for it) are released "
+    "over the SAME individuals, so the budget composes SEQUENTIALLY: "
+    "eps_total = (1 + Δ)·ln 2 per class, carried by the ppm ledger "
+    "columns. Noise is the same exact-integer inverse-CDF geometric "
+    "draw over salted 28-bit sha256 uniforms — bit-identical seeded DP "
+    "in both engines. tests/test_dp_release.py pins the joint "
+    "sensitivity bound: one removed customer moves one nation's count "
+    f"by exactly 1 and its band sum by at most {DP_SUM_CLAMP}. 100 TB: "
+    "one partial-aggregable groupBy; noise is a bounded-class-space "
+    "projection.",
+)
+def dp_release_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+
+    c = load(spark, sf_dir, "customer")
+    band = F.least(
+        F.lit(DP_SUM_CLAMP),
+        F.greatest(
+            F.lit(0), F.floor(F.col("c_acctbal") / 3000.0).cast("bigint")
+        ),
+    )
+    cls = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tc"),
+        F.sum(band).cast("bigint").alias("ts"),
+    )
+
+    def u(salt: str) -> F.Column:
+        return TX.hash28(
+            F.concat_ws("|", F.lit(salt), F.col("c_nationkey").cast("string"))
+        )
+
+    def geom(uc: F.Column) -> F.Column:
+        g = F.lit(0)
+        for j in range(1, DP_GMAX + 1):
+            g = g + F.when(
+                uc * F.lit(1 << j) > F.lit(((1 << j) - 1) * (1 << DP_K)), 1
+            ).otherwise(0)
+        return g
+
+    return (
+        cls.select(
+            "c_nationkey",
+            (F.col("tc") + geom(u("dpc1")) - geom(u("dpc2")))
+            .cast("bigint")
+            .alias("noisy_count"),
+            (F.col("ts") + geom(u("dps1")) - geom(u("dps2")))
+            .cast("bigint")
+            .alias("noisy_band_sum"),
+            F.lit(DP_EPS_PPM).cast("bigint").alias("eps_count_ppm"),
+            F.lit(DP_EPS_SUM_PPM).cast("bigint").alias("eps_sum_ppm"),
+            F.lit(DP_EPS_TOTAL_PPM).cast("bigint").alias("eps_total_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )
