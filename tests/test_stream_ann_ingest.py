@@ -146,3 +146,81 @@ def test_cell_keyed_units_partition_prune(spark):
         assert 0 < n_pruned < n_all
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_batch_side_broadcasts_index_never(spark):
+    """The 100 TB asymmetry, pinned at the plan level: in a batch's
+    near-dup join the BATCH side rides a BroadcastExchange while the
+    committed-index side streams through the cell equi-join with no
+    broadcast and no shuffle exchange of its own."""
+    from pyspark.sql import functions as F
+
+    from python_btc_etl_spark.plans.annstream import (
+        ANN_SI_TAU,
+        _sai_index_read,
+    )
+    from python_btc_etl_spark.functions import vectors as VX
+
+    cents = _sai_cents(spark, SF_SMALL)
+    slices = _slices(spark)
+    base = tempfile.mkdtemp(prefix="sai_bcast_test_")
+    state = os.path.join(base, "state")
+    try:
+        ann_ingest_batch(spark, state, cents, slices[0])
+        from python_btc_etl_spark.plans.similarity import _ivf_assign
+
+        asg = _ivf_assign(slices[1].select("vec_id", "v"), cents)
+        idx = _sai_index_read(spark, state, _sai_committed(state))
+        fresh = asg.join(idx.select("vec_id"), "vec_id", "left_anti")
+        hits = (
+            F.broadcast(fresh.select("vec_id", "v", "cell_id"))
+            .join(
+                idx.select(
+                    F.col("vec_id").alias("ivec_id"),
+                    F.col("v").alias("iv"),
+                    "cell_id",
+                ),
+                "cell_id",
+            )
+            .filter(VX.cosine(F.col("v"), F.col("iv")) >= F.lit(ANN_SI_TAU))
+            .groupBy("vec_id")
+            .agg(F.min("ivec_id").alias("first_match"))
+        )
+        hits.collect()
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        # two index scans exist: the ids-only projection broadcast into
+        # the replay-guard anti-join (metadata-sized — fine), and the
+        # VECTOR-CARRYING scan that feeds the cell join. The heavy scan
+        # must never sit INSIDE a BroadcastExchange subtree (the batch
+        # side broadcasts; the index side streams). Subtrees are parsed
+        # by the tree print's marker depth.
+        lines = plan.splitlines()
+
+        def depth(ln: str) -> int:
+            for m in ("+- ", ":- "):
+                if m in ln:
+                    return ln.index(m)
+            return -1  # root / non-tree line
+
+        def is_heavy_index_scan(ln: str) -> bool:
+            return (
+                "FileScan parquet" in ln
+                and "/state/index/" in ln
+                and "v:array" in ln.replace(" ", "")
+            )
+
+        assert any(is_heavy_index_scan(ln) for ln in lines), plan
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            d = depth(ln)
+            for sub in lines[i + 1 :]:
+                sd = depth(sub)
+                if sd >= 0 and sd <= d:
+                    break  # left the broadcast subtree
+                assert not is_heavy_index_scan(sub), (
+                    "vector-carrying index scan inside a broadcast:\n" + plan
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
