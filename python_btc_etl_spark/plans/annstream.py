@@ -514,7 +514,14 @@ def stream_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id",
                 F.coalesce("hs", F.lit(0)).cast("bigint").alias("hits_stream"),
                 F.coalesce("hr", F.lit(0)).cast("bigint").alias("hits_rebuild"),
-                (F.col("s_set") == F.col("r_set")).alias("same_topk"),
+                # Coalesce BOTH sides to empty arrays before comparing:
+                # a query whose top-k is empty on both sides leaves both
+                # collect_list joins null, and null == null is NULL (not
+                # true) — diverging from the oracle's `true` (ADVICE r11).
+                (
+                    F.coalesce("s_set", F.array().cast("array<bigint>"))
+                    == F.coalesce("r_set", F.array().cast("array<bigint>"))
+                ).alias("same_topk"),
             )
             .orderBy("query_id")
         )

@@ -185,3 +185,77 @@ def test_compaction_rewrites_exactly_over_threshold_units(spark):
                 )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_gdpr_txn_crash_matrix(spark):
+    """Round-12 cross-table atomic commit: kill the erasure cascade at
+    each dangerous point -> committed readers see the erasure in BOTH
+    tables or in NEITHER (half_applied pinned 0 at every stage), the
+    naive directory-listing reader demonstrates the hazard the txn
+    closes, replay completes idempotently, and base units are never
+    rewritten by staging, crashing, or replaying."""
+    from python_btc_etl_spark.plans.partitioned import (
+        DV_DEL_MOD,
+        DVTX_WAVE_1,
+        _dv_read,
+        _dvtx_base,
+        _dvtx_committed_dvs,
+        _dvtx_half_applied,
+        _dvtx_on_disk_dvs,
+        _dvtx_stage,
+    )
+
+    rem = F.col("doc_id") % DV_DEL_MOD
+
+    for crash in ("after_data", "after_dvs"):
+        base = tempfile.mkdtemp(prefix=f"dvtx_{crash}_")
+        try:
+            data_units, idx_units = _dvtx_base(spark, SF_SMALL, base)
+            base_d = spark.read.parquet(*data_units)
+            base_i = spark.read.parquet(*idx_units)
+            n_d, n_i = base_d.count(), base_i.count()
+            inv0 = _file_inventory(data_units + idx_units)
+
+            # crash mid-transaction
+            _dvtx_stage(
+                spark, base, data_units, idx_units, 1, DVTX_WAVE_1,
+                crash=crash,
+            )
+            assert _dvtx_committed_dvs(base) == []  # nothing committed
+            dvs = _dvtx_committed_dvs(base)
+            dat = _dv_read(spark, data_units, dvs, "data")
+            idx = _dv_read(spark, idx_units, dvs, "idx")
+            # NEITHER table changed for committed readers
+            assert dat.count() == n_d and idx.count() == n_i
+            assert _dvtx_half_applied(base_d, base_i, dat, idx) == 0
+            # ... while the staged orphan(s) genuinely exist on disk,
+            # and would half-apply under the naive pre-txn reader when
+            # only the data-side DV landed
+            on_disk = _dvtx_on_disk_dvs(base)
+            assert len(on_disk) == (1 if crash == "after_data" else 2)
+            if crash == "after_data":
+                datn = _dv_read(spark, data_units, on_disk, "data")
+                idxn = _dv_read(spark, idx_units, on_disk, "idx")
+                assert _dvtx_half_applied(base_d, base_i, datn, idxn) > 0
+
+            # replay to completion: idempotent overwrite + commit
+            _dvtx_stage(spark, base, data_units, idx_units, 1, DVTX_WAVE_1)
+            dvs = _dvtx_committed_dvs(base)
+            assert len(dvs) == 2  # one manifest covering BOTH tables
+            dat = _dv_read(spark, data_units, dvs, "data")
+            idx = _dv_read(spark, idx_units, dvs, "idx")
+            assert dat.filter(rem.isin(list(DVTX_WAVE_1))).count() == 0
+            assert idx.filter(rem.isin(list(DVTX_WAVE_1))).count() == 0
+            assert _dvtx_half_applied(base_d, base_i, dat, idx) == 0
+
+            # double replay is a no-op: the manifest file is untouched
+            mpath = os.path.join(base, "manifests/txn_1.json")
+            m0 = os.stat(mpath).st_mtime_ns
+            _dvtx_stage(spark, base, data_units, idx_units, 1, DVTX_WAVE_1)
+            assert os.stat(mpath).st_mtime_ns == m0
+            assert len(_dvtx_committed_dvs(base)) == 2
+
+            # base units never rewritten through the whole matrix
+            assert _file_inventory(data_units + idx_units) == inv0
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
