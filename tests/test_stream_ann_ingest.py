@@ -224,3 +224,79 @@ def test_batch_side_broadcasts_index_never(spark):
                 )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_gdpr_wave_interleave_crash_replay_and_leak(spark):
+    """Round-12 mid-stream GDPR deletes: a tombstone wave lands between
+    micro-batches; a crashed wave is invisible (gate behaves as if no
+    deletes exist), its replay is idempotent, deleted vectors stop
+    matching and stop being served (leak counters 0), and re-delivered
+    erased ids take the 'deleted' suppression verdict."""
+    from pyspark.sql import functions as F
+
+    from python_btc_etl_spark.plans.annstream import (
+        ANN_SG_MOD,
+        ANN_SG_WAVES,
+        ANN_SI_OFFSET,
+        _sgd_committed_waves,
+        _sgd_land_wave,
+        _sgd_tombstones,
+    )
+
+    cents = _sai_cents(spark, SF_SMALL)
+    slices = _slices(spark)
+    base = tempfile.mkdtemp(prefix="sai_gdpr_test_")
+    state = os.path.join(base, "state")
+    try:
+        ann_ingest_batch(spark, state, cents, slices[0])
+        # wave 0 lands... and crashes before its _SUCCESS
+        _sgd_land_wave(spark, state, 0, _sai_committed(state), ANN_SG_WAVES[0])
+        os.remove(os.path.join(state, "dv", "w0", "_SUCCESS"))
+        assert _sgd_committed_waves(state) == []
+        # batch 1 against the crashed wave: identical to the no-DV gate
+        ann_ingest_batch(spark, state, cents, slices[1])
+        snap_nodv = _decisions(spark, state)
+        assert not any(r[4] == "deleted" for r in snap_nodv)
+        # replay the wave (idempotent recompute from batches [0]) and
+        # REPLAY batch 1 after un-committing it: now the wave is
+        # visible and the verdicts change accordingly
+        shutil.rmtree(os.path.join(state, "index", "b1"))
+        shutil.rmtree(os.path.join(state, "decisions", "b1"))
+        _sgd_land_wave(spark, state, 0, [0], ANN_SG_WAVES[0])
+        assert _sgd_committed_waves(state) == [0]
+        ann_ingest_batch(spark, state, cents, slices[1])
+        dec = _decisions(spark, state)
+        by_reason: dict[str, set[int]] = {}
+        for r in dec:
+            if r[1] == 1:  # batch-1 verdicts only
+                by_reason.setdefault(r[4], set()).add(r[0])
+        # suppression verdicts exist, and every one is a tombstoned id
+        tomb = {
+            r["vec_id"] for r in _sgd_tombstones(spark, state).collect()
+        }
+        assert by_reason.get("deleted"), "no suppression verdict fired"
+        assert by_reason["deleted"] <= tomb
+        # deleted vectors stop matching: some planted copy whose erased
+        # original would have rejected it is now ACCEPTED
+        flipped = [
+            v
+            for v in by_reason.get("accept", set())
+            if v >= ANN_SI_OFFSET
+            and (v - ANN_SI_OFFSET) % ANN_SG_MOD == ANN_SG_WAVES[0]
+        ]
+        assert flipped, "no copy was accepted after its original's erasure"
+        # wave replay after more batches committed: recompute from the
+        # SAME batch set is byte-stable (committed marker, no-op read)
+        _sgd_land_wave(spark, state, 0, [0], ANN_SG_WAVES[0])
+        assert _sgd_committed_waves(state) == [0]
+        # leak: the serving read (committed units anti committed waves)
+        # contains no tombstoned vector
+        raw = _sai_index_read(spark, state, _sai_committed(state))
+        tomb_df = _sgd_tombstones(spark, state)
+        served = raw.join(tomb_df, "vec_id", "left_anti")
+        assert served.join(tomb_df, "vec_id", "semi").count() == 0
+        # ... and the raw units DO still hold them (erasure never
+        # rewrote a committed index unit — DV-at-read contract)
+        assert raw.join(tomb_df, "vec_id", "semi").count() == len(tomb)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

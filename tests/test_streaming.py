@@ -221,3 +221,21 @@ def test_agg_state_recovers_across_query_restart(spark, tmp_path):
     drain()  # BRAND-NEW query object, same checkpoint
     got2 = spark.read.parquet(out).agg({"count": "max"}).collect()[0][0]
     assert got2 == 2 * per_file
+
+
+def test_stream_harness_returns_are_executor_held(spark):
+    """Round-12 collect-free contract: the stream harnesses return
+    DataFrames backed by an executor-held localCheckpoint (Scan
+    ExistingRDD), never a driver-built LocalRelation from collected
+    rows — no O(corpus) output transits the driver."""
+    from tests.conftest import SF_SMALL
+
+    from python_btc_etl_spark.plans.stream import (
+        stream_foreach_batch_partials,
+    )
+
+    df = stream_foreach_batch_partials(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert "LocalTableScan" not in plan, plan
+    assert df.count() > 0  # and it is still fully readable post-rmtree
