@@ -49,3 +49,39 @@ def test_cells_partition_the_union_and_planted_structure(spark):
     assert rows["text_only"]["n_pairs"] >= 1
     # image_only is the phash-chain mass: nonzero and disjoint from text
     assert rows["image_only"]["n_pairs"] > 0
+
+
+def test_video_sequence_containment_and_matrix(spark):
+    """Round-12 video leg: trimmed clips are fully contained in their
+    group's longer variants (contain_ppm == 1_000_000 within a video
+    group), the apply face's clusters are the planted groups, and the
+    image x video agreement matrix is non-degenerate with cells
+    reconciling against the standalone detectors."""
+    from python_btc_etl_spark.plans.multimodal import (
+        _phash_pairs,
+        _vseq_pairs,
+        cross_modal_video_audit,
+        video_dedup_apply,
+    )
+
+    vp = _vseq_pairs(spark, SF_SMALL).collect()
+    assert vp, "no video near-dup pairs"
+    for r in vp:
+        vg_a = (r["doc_a"] + 2) // 4
+        vg_b = (r["doc_b"] + 2) // 4
+        # the planted structure: every flagged pair is a within-group
+        # trim pair, fully contained (strict shingle subset)
+        assert vg_a == vg_b, (r["doc_a"], r["doc_b"])
+        assert r["contain_ppm"] == 1_000_000, tuple(r)
+        assert r["shared"] == min(r["n_a"], r["n_b"])
+    # apply face: canonical = min id of the video group
+    for r in video_dedup_apply(spark, SF_SMALL).collect():
+        assert (r["dropped_doc"] + 2) // 4 == (r["canonical_doc"] + 2) // 4
+    # matrix reconciles with the standalone detectors and every cell
+    # is populated (the 2-id grouping offset guarantees all three)
+    rows = {r["cell"]: r for r in cross_modal_video_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {"agree_both", "image_only", "video_only"}
+    assert all(rows[c]["n_pairs"] > 0 for c in rows)
+    ip_n = _phash_pairs(spark, SF_SMALL).count()
+    assert rows["agree_both"]["n_pairs"] + rows["image_only"]["n_pairs"] == ip_n
+    assert rows["agree_both"]["n_pairs"] + rows["video_only"]["n_pairs"] == len(vp)
