@@ -3036,6 +3036,19 @@ def _dp_sql_geom(u: str) -> str:
     )
 
 
+def dp_geom(uc: F.Column) -> F.Column:
+    """Spark twin of _dp_sql_geom: the exact-integer inverse-CDF
+    Geometric(1/2) draw over a 28-bit uniform column — shared by the
+    DP release queries here and the privatized data card
+    (plans/pipeline.corpus_datacard_dp)."""
+    g = F.lit(0)
+    for j in range(1, DP_GMAX + 1):
+        g = g + F.when(
+            uc * F.lit(1 << j) > F.lit(((1 << j) - 1) * (1 << DP_K)), 1
+        ).otherwise(0)
+    return g
+
+
 @query(
     "dp_release_gate",
     oracle=f"""

@@ -199,3 +199,64 @@ def test_composition_joint_sensitivity_and_ledger(spark):
     ds = full[victim["c_nationkey"]][1] - neighbor[victim["c_nationkey"]][1]
     assert dc == 1
     assert 0 <= ds <= DP_SUM_CLAMP
+
+
+def test_datacard_dp_reconciles_and_neighboring_bound(spark):
+    """Round-12 privatized data card: the declared non-private column
+    (n_langs) reconciles exactly with the standalone data card, the
+    ledger carries (1+1+CLAMP)*ln2, and on a neighboring corpus (one
+    document removed) the noisy releases move by exactly the true
+    deltas — |1|, |<=1|, |<=CLAMP| — because the noise is a pure
+    function of the (source, salt) key and cancels in the difference."""
+    from python_btc_etl_spark.plans.analytics import DP_EPS_PPM
+    from python_btc_etl_spark.plans.pipeline import (
+        DP_DC_CLAMP,
+        corpus_datacard_dp,
+        corpus_datacard_report,
+    )
+
+    card = {r["source"]: r for r in corpus_datacard_report(spark, SF_SMALL).collect()}
+    dp = {r["source"]: r for r in corpus_datacard_dp(spark, SF_SMALL).collect()}
+    assert set(card) == set(dp)
+    for s, r in dp.items():
+        assert r["n_langs"] == card[s]["n_langs"]  # non-private column
+        assert r["eps_total_ppm"] == (2 + DP_DC_CLAMP) * DP_EPS_PPM
+        assert (
+            r["eps_docs_ppm"] + r["eps_keep_ppm"] + r["eps_tokens_ppm"]
+            == r["eps_total_ppm"]
+        )
+        # noise is bounded by construction (two truncated geometrics):
+        # the noisy count sits within 2*DP_GMAX of a plausible count
+        assert abs(r["noisy_n_docs"] - card[s]["n_docs"]) <= 56
+    # neighboring corpus: drop ONE document and rerun through a temp
+    # view standing in for the documents table
+    from python_btc_etl_spark.catalog import load
+
+    docs = load(spark, SF_SMALL, "documents")
+    victim = docs.select("doc_id", "source").orderBy("doc_id").limit(1).collect()[0]
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dp_dc_neighbor_")
+    try:
+        for t in ("documents",):
+            docs.filter(F.col("doc_id") != victim["doc_id"]).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+        # the other tables aren't read by the card; link the one needed
+        dp2 = {
+            r["source"]: r for r in corpus_datacard_dp(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    s = victim["source"]
+    assert dp2[s]["noisy_n_docs"] == dp[s]["noisy_n_docs"] - 1
+    assert abs(dp2[s]["noisy_quality_keep"] - dp[s]["noisy_quality_keep"]) <= 1
+    assert (
+        abs(dp2[s]["noisy_token_band_sum"] - dp[s]["noisy_token_band_sum"])
+        <= DP_DC_CLAMP
+    )
+    # every untouched source's release is bit-identical (seeded noise)
+    for other in dp:
+        if other != s:
+            assert tuple(dp2[other]) == tuple(dp[other])
