@@ -2024,3 +2024,448 @@ def cross_modal_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "cell string, n_pairs bigint, example_a bigint, example_b bigint",
     ).orderBy("cell")
+
+
+# --------------------------------------------------------------------------
+# E2E multimodal corpus build v6 (round 12) — the video stage composed in
+# --------------------------------------------------------------------------
+
+
+def _vseq_bits_batches(batches):
+    """mapInPandas worker for the release card's video column: per doc,
+    the summed popcount of the clip's decoded frame-hash chain (same
+    codec round-trip + hash as _vseq_batches, reduced per doc)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import decode_gif, encode_gif
+
+    k_idx = np.arange(VSEQ_H * VSEQ_W, dtype=np.int64)
+
+    def vmix32(x: np.ndarray) -> np.ndarray:
+        x = x % 4294967296
+        v = (
+            (x // 65536) * 2654435761 % 65536 * 65536
+            + (x % 65536) * 2654435761
+        ) % 4294967296
+        v = v ^ (v // 65536)
+        v = v * 40503 % 4294967296
+        return (v ^ (v // 65536)) % 32
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            vg, vt = (d + 2) // 4, (d + 2) % 4
+            frames = [
+                vmix32(vg * 4096 + f * 64 + k_idx)
+                .astype(np.uint8)
+                .reshape(VSEQ_H, VSEQ_W)
+                for f in range(vt, VSEQ_F)
+            ]
+            back = decode_gif(encode_gif(frames))
+            bits = 0
+            for fr in back:
+                bits += int(
+                    ((fr.reshape(-1).astype(np.int64) >= 16)[:VSEQ_BITS]).sum()
+                )
+            rows.append((d, bits))
+        yield pd.DataFrame(rows, columns=["doc_id", "vbits"])
+
+
+def _v6_oracle() -> str:
+    from .pipeline import _LM_SQL_SCORE, _lm_sql_base
+    from .pipeline import FUNNEL_LANGS, FUNNEL_MIN_WORDS
+    from ..functions import text as TXT
+
+    w = TXT.sql_words("text")
+    return f"""
+    WITH RECURSIVE iv AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - {_V5_IMG_U} ELSE {_V5_IMG_U} END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS phash
+        FROM documents, unnest(range(0, {PH_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    ibands AS (
+        SELECT doc_id, phash, j,
+               (phash >> (CAST({PH_BAND_BITS} AS INTEGER) * j)) & {2**PH_BAND_BITS - 1} AS band
+        FROM iv, unnest(range(0, {PH_BANDS})) AS b(j)
+    ),
+    ipairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM ibands a
+        JOIN ibands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PH_HD_MAX}
+    ),
+    av AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - {_SQL_AFP_U} ELSE {_SQL_AFP_U} END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS afp
+        FROM documents, unnest(range(0, {AFP_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    abands AS (
+        SELECT doc_id, afp, j,
+               (afp >> (CAST({AFP_BAND_BITS} AS INTEGER) * j)) & {2**AFP_BAND_BITS - 1} AS band
+        FROM av, unnest(range(0, {AFP_BANDS})) AS b(j)
+    ),
+    apairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM abands a
+        JOIN abands b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HD_MAX}
+    ),
+    {SQL_VSEQ.strip()},
+    kept AS MATERIALIZED (
+        SELECT doc_id, text, lang, len({w}) AS n_tok
+        FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+            FROM documents
+        )
+        WHERE len({w}) >= {FUNNEL_MIN_WORDS}
+          AND lang IN {FUNNEL_LANGS!r}
+          AND keeper = doc_id
+    ),
+    {_lm_sql_base('kept')}{_LM_SQL_SCORE},
+    h AS (SELECT nll_rate_q AS q, count(*) AS c FROM scq GROUP BY nll_rate_q),
+    cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cum FROM h),
+    cuts AS (
+        SELECT min(CASE WHEN cum * 3 >= 2 * (SELECT count(*) FROM scq)
+                   THEN q END) AS cut2
+        FROM cum
+    ),
+    s2 AS MATERIALIZED (
+        SELECT kept.doc_id, kept.n_tok
+        FROM kept JOIN scq USING (doc_id), cuts
+        WHERE scq.nll_rate_q <= cuts.cut2
+    ),
+    asym2 AS (
+        SELECT src, dst FROM apairs
+        WHERE src IN (SELECT doc_id FROM s2) AND dst IN (SELECT doc_id FROM s2)
+        UNION ALL
+        SELECT dst, src FROM apairs
+        WHERE src IN (SELECT doc_id FROM s2) AND dst IN (SELECT doc_id FROM s2)
+    ),
+    areach(a, b) AS (
+        SELECT doc_id, doc_id FROM s2
+        UNION
+        SELECT r.a, s.dst FROM areach r JOIN asym2 s ON s.src = r.b
+    ),
+    s3 AS MATERIALIZED (
+        SELECT s2.* FROM s2
+        WHERE doc_id IN (SELECT a FROM areach GROUP BY a HAVING a = min(b))
+    ),
+    isym2 AS (
+        SELECT src, dst FROM ipairs
+        WHERE src IN (SELECT doc_id FROM s3) AND dst IN (SELECT doc_id FROM s3)
+        UNION ALL
+        SELECT dst, src FROM ipairs
+        WHERE src IN (SELECT doc_id FROM s3) AND dst IN (SELECT doc_id FROM s3)
+    ),
+    ireach(a, b) AS (
+        SELECT doc_id, doc_id FROM s3
+        UNION
+        SELECT r.a, s.dst FROM ireach r JOIN isym2 s ON s.src = r.b
+    ),
+    s4 AS MATERIALIZED (
+        SELECT s3.* FROM s3
+        WHERE doc_id IN (SELECT a FROM ireach GROUP BY a HAVING a = min(b))
+    ),
+    vsym2 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM vpairs
+        WHERE doc_a IN (SELECT doc_id FROM s4) AND doc_b IN (SELECT doc_id FROM s4)
+        UNION ALL
+        SELECT doc_b, doc_a FROM vpairs
+        WHERE doc_a IN (SELECT doc_id FROM s4) AND doc_b IN (SELECT doc_id FROM s4)
+    ),
+    vreach(a, b) AS (
+        SELECT doc_id, doc_id FROM s4
+        UNION
+        SELECT r.a, s.dst FROM vreach r JOIN vsym2 s ON s.src = r.b
+    ),
+    rel AS MATERIALIZED (
+        SELECT s4.* FROM s4
+        WHERE doc_id IN (SELECT a FROM vreach GROUP BY a HAVING a = min(b))
+    )
+    SELECT * FROM (
+        SELECT '1_text_funnel' AS stage,
+               (SELECT count(*) FROM documents) AS n_in,
+               (SELECT count(*) FROM documents) - (SELECT count(*) FROM kept)
+                   AS n_dropped,
+               (SELECT count(*) FROM kept) AS n_out,
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM kept) AS stat
+        UNION ALL
+        SELECT '2_lm_gate',
+               (SELECT count(*) FROM kept),
+               (SELECT count(*) FROM kept) - (SELECT count(*) FROM s2),
+               (SELECT count(*) FROM s2),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM s2)
+        UNION ALL
+        SELECT '3_audio_dedup',
+               (SELECT count(*) FROM s2),
+               (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3),
+               (SELECT count(*) FROM s3),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM s3)
+        UNION ALL
+        SELECT '4_image_dedup',
+               (SELECT count(*) FROM s3),
+               (SELECT count(*) FROM s3) - (SELECT count(*) FROM s4),
+               (SELECT count(*) FROM s4),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM s4)
+        UNION ALL
+        SELECT '5_video_dedup',
+               (SELECT count(*) FROM s4),
+               (SELECT count(*) FROM s4) - (SELECT count(*) FROM rel),
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM rel)
+        UNION ALL
+        SELECT '6_card_text',
+               (SELECT count(*) FROM rel), 0,
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(n_tok) AS BIGINT) FROM rel)
+        UNION ALL
+        SELECT '7_card_image',
+               (SELECT count(*) FROM rel), 0,
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(bit_count(iv.phash)) AS BIGINT)
+                FROM iv JOIN rel USING (doc_id))
+        UNION ALL
+        SELECT '8_card_audio',
+               (SELECT count(*) FROM rel), 0,
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(bit_count(av.afp)) AS BIGINT)
+                FROM av JOIN rel USING (doc_id))
+        UNION ALL
+        SELECT '9_card_video',
+               (SELECT count(*) FROM rel), 0,
+               (SELECT count(*) FROM rel),
+               (SELECT CAST(sum(bit_count(fh.fh)) AS BIGINT)
+                FROM (SELECT (doc_id + 2) // 4 AS g,
+                             (doc_id + 2) % 4 AS vt FROM rel) r
+                JOIN fh ON fh.g = r.g AND fh.f >= r.vt)
+    ) ORDER BY stage
+    """
+
+
+def _v6_funnel_lm(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(kept, scores, s2): the v6 text funnel + LM tercile gate —
+    shared by e2e_corpus_build_v6 and _v6_release_ids / its test."""
+    from pyspark.sql.window import Window as PW
+
+    from ..functions import text as TXT
+    from .pipeline import (
+        FUNNEL_LANGS,
+        FUNNEL_MIN_WORDS,
+        _lm_bigrams_from,
+        _lm_scores_from,
+    )
+
+    d = spread(load(spark, sf_dir, "documents"))
+    keeper = F.min("doc_id").over(
+        PW.partitionBy(F.md5(F.lower(F.col("text")).cast("binary")))
+    )
+    kept = managed_cache(
+        d.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(TXT.words(F.col("text"))).alias("n_tok"),
+        )
+        .withColumn("keeper", keeper)
+        .filter(
+            (F.col("n_tok") >= FUNNEL_MIN_WORDS)
+            & F.col("lang").isin(*FUNNEL_LANGS)
+            & (F.col("keeper") == F.col("doc_id"))
+        )
+        .select("doc_id", "text", "lang", "n_tok")
+    )
+    scores = managed_cache(
+        _lm_scores_from(_lm_bigrams_from(kept)).select("doc_id", "nll_rate_q")
+    )
+    n_tot = scores.agg(F.count(F.lit(1)).alias("n"))
+    hist = scores.groupBy("nll_rate_q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            PW.orderBy("nll_rate_q").rowsBetween(PW.unboundedPreceding, 0)
+        ),
+    )
+    cuts = cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("nll_rate_q"))
+        ).alias("cut2")
+    )
+    s2 = managed_cache(
+        kept.join(scores, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .filter(F.col("nll_rate_q") <= F.col("cut2"))
+        .select("doc_id", "n_tok")
+    )
+    return kept, scores, s2
+
+
+def _v6_restricted_drop(pairs: DataFrame, alive: DataFrame) -> DataFrame:
+    """Restricted canonical election (the round-12 composition lesson —
+    v5 could anti-join FULL-corpus drop lists only because its audio
+    and image groupings coincide; the video grouping is offset, and
+    composing full-corpus verdicts across misaligned groupings
+    cascades to an empty corpus because no id is canonical in every
+    modality. The general sequential-dedup semantics re-ELECTS
+    canonicals within the live corpus at each stage: the PAIR
+    predicate is still the standalone detector's, only the election
+    universe shrinks — Lee et al.'s "dedup the corpus you have".)"""
+    from .graph import cc_large_small_star
+
+    p = (
+        pairs.join(
+            F.broadcast(alive.select(F.col("doc_id").alias("doc_a"))),
+            "doc_a",
+            "semi",
+        )
+        .join(
+            F.broadcast(alive.select(F.col("doc_id").alias("doc_b"))),
+            "doc_b",
+            "semi",
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels, _ = cc_large_small_star(alive.select("doc_id"), p)
+    # localCheckpoint: the drop list is survivor-bounded and tiny;
+    # pinning it truncates the CC lineage so the closure's
+    # intermediate blocks can be GC'd (the driver runs this on a
+    # default-heap session — three closures' retained lineage was
+    # measured to exceed it).
+    return (
+        labels.filter(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+
+
+def _v6_release_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 release set (doc_id), recomposed from the shared chain —
+    the invariants test re-derives it and checks pairwise cleanness."""
+    _, _, s2 = _v6_funnel_lm(spark, sf_dir)
+    s3 = s2.join(
+        F.broadcast(_v6_restricted_drop(_afp_pairs(spark, sf_dir), s2)),
+        "doc_id",
+        "left_anti",
+    )
+    s4 = s3.join(
+        F.broadcast(_v6_restricted_drop(_phash_pairs(spark, sf_dir), s3)),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint()
+    return (
+        s4.join(
+            F.broadcast(_v6_restricted_drop(_vseq_pairs(spark, sf_dir), s4)),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id")
+        .localCheckpoint()
+    )
+
+
+@query(
+    "e2e_corpus_build_v6",
+    oracle=_v6_oracle(),
+    doc="E2E MULTIMODAL CORPUS BUILD v6 — v5 with the round-12 VIDEO "
+    "stage composed in, and the composition semantics upgraded to "
+    "RESTRICTED CANONICAL ELECTION: text funnel -> bigram LM tercile "
+    "gate -> audio dedup -> image dedup -> VIDEO sequence dedup, "
+    "where each dedup stage keeps the standalone detector's exact "
+    "PAIR predicate (audio_fingerprint_neardup / image_phash_neardup "
+    "/ video_seq_neardup's edges) but re-elects cluster canonicals "
+    "WITHIN the live corpus — v5 could anti-join full-corpus drop "
+    "lists only because its audio/image groupings coincide; the "
+    "video grouping is offset, and composing full-corpus verdicts "
+    "across misaligned groupings provably empties the corpus (no id "
+    "is canonical in every modality). Final per-modality data card "
+    "spans all FOUR columns (token budget, image phash bit mass, "
+    "audio fingerprint bit mass, video frame-hash-chain bit mass — "
+    "each computed by the REAL codec round-trip next to the bytes). "
+    "Oracle replays all three restricted closures recursively. "
+    "100 TB: pair tables are already-blocked id-lists; survivors "
+    "broadcast into the semi-joins; payload bytes never shuffle.",
+)
+def e2e_corpus_build_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    n0 = d.count()
+    kept, scores, s2 = _v6_funnel_lm(spark, sf_dir)
+
+    def _cnt_tok(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t")
+        ).collect()[0]  # bounded: one audit row per stage
+        return int(r["n"]), int(r["t"] or 0)
+
+    # STAGED residency: each stage is counted (materializing its cache)
+    # and its predecessor unpersisted before the next stage builds —
+    # peak storage is one stage + one drop list, not the whole chain.
+    n1, t1 = _cnt_tok(kept)
+    n2, t2 = _cnt_tok(s2)
+    kept.unpersist()
+    scores.unpersist()
+    s3 = s2.join(
+        F.broadcast(_v6_restricted_drop(_afp_pairs(spark, sf_dir), s2)),
+        "doc_id",
+        "left_anti",
+    ).cache()
+    n3, t3 = _cnt_tok(s3)
+    s2.unpersist()
+    s4 = s3.join(
+        F.broadcast(_v6_restricted_drop(_phash_pairs(spark, sf_dir), s3)),
+        "doc_id",
+        "left_anti",
+    ).cache()
+    n4, t4 = _cnt_tok(s4)
+    s3.unpersist()
+    rel = s4.join(
+        F.broadcast(_v6_restricted_drop(_vseq_pairs(spark, sf_dir), s4)),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint()
+    n5, t5 = _cnt_tok(rel)
+    s4.unpersist()
+    img_bits = int(
+        rel.select("doc_id")
+        .mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
+        .agg(F.sum(F.bit_count("phash")).cast("bigint"))
+        .collect()[0][0]
+        or 0
+    )
+    aud_bits = int(
+        rel.select("doc_id")
+        .mapInPandas(_afp_batches, schema="doc_id bigint, afp bigint")
+        .agg(F.sum(F.bit_count("afp")).cast("bigint"))
+        .collect()[0][0]
+        or 0
+    )
+    vid_bits = int(
+        rel.select("doc_id")
+        .mapInPandas(_vseq_bits_batches, schema="doc_id bigint, vbits bigint")
+        .agg(F.sum("vbits").cast("bigint"))
+        .collect()[0][0]
+        or 0
+    )
+    rows = [
+        ("1_text_funnel", n0, n0 - n1, n1, t1),
+        ("2_lm_gate", n1, n1 - n2, n2, t2),
+        ("3_audio_dedup", n2, n2 - n3, n3, t3),
+        ("4_image_dedup", n3, n3 - n4, n4, t4),
+        ("5_video_dedup", n4, n4 - n5, n5, t5),
+        ("6_card_text", n5, 0, n5, t5),
+        ("7_card_image", n5, 0, n5, img_bits),
+        ("8_card_audio", n5, 0, n5, aud_bits),
+        ("9_card_video", n5, 0, n5, vid_bits),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_in bigint, n_dropped bigint, n_out bigint, stat bigint",
+    ).orderBy("stage")

@@ -87,3 +87,59 @@ def test_v5_stages_reconcile_with_standalone_queries(spark):
         assert rows[card]["stat"] >= 0
     # text card's token budget equals the last gate stage's
     assert rows["5_card_text"]["stat"] == rows["4_image_dedup"]["stat"]
+
+
+def test_v6_funnel_chains_and_release_is_pairwise_clean(spark):
+    """Round-12 v6: stages chain exactly (n_out -> n_in), every dedup
+    stage drops a nonzero count (the restricted election is not a
+    no-op), and the release contains NO remaining near-dup pair in ANY
+    of the three modalities (the definition of done for sequential
+    dedup — full-corpus verdicts cannot deliver this across the
+    offset video grouping, restricted election must)."""
+    from pyspark.sql import functions as F
+
+    from python_btc_etl_spark.plans.multimodal import (
+        _afp_pairs,
+        _phash_pairs,
+        _vseq_pairs,
+        e2e_corpus_build_v6,
+    )
+
+    rows = {r["stage"]: r for r in e2e_corpus_build_v6(spark, SF_SMALL).collect()}
+    order = [
+        "1_text_funnel",
+        "2_lm_gate",
+        "3_audio_dedup",
+        "4_image_dedup",
+        "5_video_dedup",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_out"] == rows[b]["n_in"]
+        assert rows[a]["n_in"] - rows[a]["n_dropped"] == rows[a]["n_out"]
+    for st in ("3_audio_dedup", "4_image_dedup", "5_video_dedup"):
+        assert rows[st]["n_dropped"] > 0, st
+    assert rows["5_video_dedup"]["n_out"] > 0  # the corpus survives
+
+    # the release is pairwise clean in all three modalities: re-derive
+    # the release set from the composition semantics and assert no
+    # detector pair has BOTH endpoints inside it
+    rel_n = rows["5_video_dedup"]["n_out"]
+    # cheap re-derivation: release ids = v6's own logic is exercised by
+    # the oracle; here we only need SOME release set — take the video
+    # stage's invariant directly on the detector pair tables vs the
+    # card counts by checking each pair table restricted to itself:
+    # every detector's pairs, restricted to the release, must be empty.
+    # (Recompute the release via the same public pieces.)
+    from python_btc_etl_spark.plans.multimodal import _v6_release_ids
+
+    rel_ids = _v6_release_ids(spark, SF_SMALL)
+    assert rel_ids.count() == rel_n
+    for pairs in (_afp_pairs, _phash_pairs, _vseq_pairs):
+        p = pairs(spark, SF_SMALL)
+        left = p.join(
+            rel_ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi"
+        )
+        both = left.join(
+            rel_ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi"
+        )
+        assert both.count() == 0, pairs.__name__
