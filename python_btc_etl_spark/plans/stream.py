@@ -728,6 +728,71 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity-, driven.
 NDG_BATCHES = 3  # stream slices: batch b = docs with doc_id % 3 == b
 
+# Mid-stream GDPR deletes for the SIGNATURE gate (round 12 — the twin
+# of plans/annstream's ANN_SG_WAVES face): tombstone wave k lands after
+# batch k commits and before batch k+1 arrives, erasing the then-live
+# indexed docs with doc_id % NDG_DV_MOD == rem. The gate anti-joins
+# committed tombstones, so erased signatures STOP MATCHING — a planted
+# copy arriving after its original's erasure is accepted instead of
+# rejected. (Unlike the ANN harness, NDG slices never re-deliver, so
+# no 'suppressed' verdict class exists here: every doc arrives once.)
+NDG_DV_MOD = 7
+NDG_DV_WAVES = {0: 3, 1: 5}  # after-batch -> deleted remainder class
+
+
+def _ndg_committed_waves(state: str) -> list[int]:
+    """Tombstone waves whose unit committed (root ``_SUCCESS``)."""
+    import os
+
+    dv_dir = os.path.join(state, "dv")
+    if not os.path.isdir(dv_dir):
+        return []
+    return sorted(
+        int(u[1:])
+        for u in os.listdir(dv_dir)
+        if u.startswith("w")
+        and os.path.exists(os.path.join(dv_dir, u, "_SUCCESS"))
+    )
+
+
+def _ndg_tombstones(spark: SparkSession, state: str):
+    """Union of committed tombstone waves (doc_id), or None when the
+    state has no DV face — the plain gate's plan stays unchanged."""
+    import os
+
+    waves = _ndg_committed_waves(state)
+    if not waves:
+        return None
+    return spark.read.schema("doc_id bigint").parquet(
+        *[os.path.join(state, "dv", f"w{w}") for w in waves]
+    )
+
+
+def _ndg_land_wave(
+    spark: SparkSession, state: str, wave: int, batches: list[int], rem: int
+) -> None:
+    """Land GDPR tombstone wave ``wave`` against the signature index:
+    erase the LIVE indexed docs (committed units of ``batches`` minus
+    earlier waves) with doc_id % NDG_DV_MOD == rem. One overwrite-keyed
+    write whose root ``_SUCCESS`` is the commit — deterministic given
+    (batches, rem), idempotent on replay; index units never rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(
+        *[os.path.join(state, "index", f"b{i}") for i in batches]
+    ).select("doc_id")
+    prior = [w for w in _ndg_committed_waves(state) if w < wave]
+    if prior:
+        tomb = spark.read.schema("doc_id bigint").parquet(
+            *[os.path.join(state, "dv", f"w{w}") for w in prior]
+        )
+        raw = raw.join(F.broadcast(tomb), "doc_id", "left_anti")
+    raw.filter(F.col("doc_id") % NDG_DV_MOD == rem).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state, "dv", f"w{wave}"))
+
 
 def _ndg_committed(state: str) -> list[int]:
     """Batches whose INDEX unit committed (its ``_SUCCESS`` marker is the
@@ -797,6 +862,13 @@ def neardup_gate_batch(spark: SparkSession, state: str, batch_df: DataFrame, bat
         idx = spark.read.parquet(
             *[os.path.join(idx_dir, f"b{i}") for i in done]
         )
+        # DV-aware (round 12): committed GDPR tombstone waves mask the
+        # index — erased signatures stop matching. Wave side is
+        # GDPR-sized: broadcast; the index side still never shuffles.
+        # A state with no DV face takes the original plan unchanged.
+        tomb = _ndg_tombstones(spark, state)
+        if tomb is not None:
+            idx = idx.join(F.broadcast(tomb), "doc_id", "left_anti")
         binv = sig.select(
             F.col("doc_id").alias("batch_id"),
             F.col("hs").alias("hs_b"),
@@ -920,6 +992,36 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    base = tempfile.mkdtemp(prefix="neardup_gate_")
+    try:
+        state = _ndg_run(spark, sf_dir, base)
+        # Collect-free return (judge r11 #5): the verdict table stays
+        # executor-held (localCheckpoint) while the temp state dir is
+        # removed — no output rows through the driver.
+        dec = spark.read.parquet(
+            *[f"{state}/decisions/b{i}" for i in _ndg_committed(state)]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return dec.orderBy("doc_id")
+
+
+def _ndg_run(
+    spark: SparkSession,
+    sf_dir: str,
+    base: str,
+    waves: dict[int, int] | None = None,
+) -> str:
+    """Drive the signature-gate stream to completion under ``base``;
+    returns the state dir. Slices land in arrival order and are
+    drained before the next lands — arrival order is the gate's
+    semantic, so the harness pins it. ``waves`` (round 12) interleaves
+    GDPR tombstone waves: after batch b commits and BEFORE batch b+1
+    is staged, wave b erases the live indexed docs with
+    doc_id % NDG_DV_MOD == waves[b]."""
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
 
     from ..streaming.file_stream import ensure_session_confs
@@ -927,37 +1029,136 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     aug = docs_with_truncated_copies(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="neardup_gate_")
     src, state = f"{base}/src", f"{base}/state"
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_gate_batch(spark, state, batch_df, batch_id)
+
+    q = stream.writeStream.foreachBatch(sink).start()
     try:
-        import os
+        # Land slice b and DRAIN it before landing b+1 — arrival
+        # order is the gate's semantic, so the harness pins it.
+        # Slices are staged then moved in as FLAT uniquely-named
+        # files (a partition subdir would change the stream schema).
+        for b in range(NDG_BATCHES):
+            stage = f"{base}/stage{b}"
+            aug.filter(F.col("doc_id") % NDG_BATCHES == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+            for i, f in enumerate(parts):
+                shutil.move(f"{stage}/{f}", f"{src}/slice_{b}_{i}.parquet")
+            q.processAllAvailable()
+            if waves and b in waves:  # GDPR wave between micro-batches
+                _ndg_land_wave(spark, state, b, _ndg_committed(state), waves[b])
+    finally:
+        q.stop()
+    return state
 
-        os.makedirs(src, exist_ok=True)
-        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            neardup_gate_batch(spark, state, batch_df, batch_id)
+def _ndg_dv_oracle_sql() -> str:
+    """The GDPR-interleaved signature-gate oracle: _ndg_oracle_sql's
+    unrolled replay with a dv{i} tombstone set threaded through — each
+    round's hit check runs against live{i} = idx{i} minus dv{i}, and
+    wave NDG_DV_WAVES[i] folds into dv{i+1} after round i."""
+    from ..functions import text as TX
+    from .dedup import (
+        INC_T_DEN,
+        INC_T_NUM,
+        SQL_DOCS_TRUNC,
+        SQL_HASHED_SHINGLES,
+    )
 
-        q = stream.writeStream.foreachBatch(sink).start()
-        try:
-            # Land slice b and DRAIN it before landing b+1 — arrival
-            # order is the gate's semantic, so the harness pins it.
-            # Slices are staged then moved in as FLAT uniquely-named
-            # files (a partition subdir would change the stream schema).
-            for b in range(NDG_BATCHES):
-                stage = f"{base}/stage{b}"
-                aug.filter(F.col("doc_id") % NDG_BATCHES == b).coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(stage)
-                parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-                for i, f in enumerate(parts):
-                    shutil.move(f"{stage}/{f}", f"{src}/slice_{b}_{i}.parquet")
-                q.processAllAvailable()
-        finally:
-            q.stop()
-        # Collect-free return (judge r11 #5): the verdict table stays
-        # executor-held (localCheckpoint) while the temp state dir is
-        # removed — no output rows through the driver.
+    rounds, decs = [], []
+    for i in range(NDG_BATCHES):
+        wave = (
+            f"""
+        UNION ALL
+        SELECT doc_id FROM idx{i + 1}
+        WHERE doc_id NOT IN (SELECT doc_id FROM dv{i})
+          AND doc_id % {NDG_DV_MOD} = {NDG_DV_WAVES[i]}"""
+            if i in NDG_DV_WAVES
+            else ""
+        )
+        rounds.append(
+            f""",
+    live{i} AS MATERIALIZED (
+        SELECT doc_id, hs FROM idx{i}
+        WHERE doc_id NOT IN (SELECT doc_id FROM dv{i})
+    ),
+    hit{i} AS MATERIALIZED (
+        SELECT b.doc_id, min(c.doc_id) AS first_match
+        FROM (SELECT doc_id, hs, unnest(hs) AS s FROM h
+              WHERE doc_id % {NDG_BATCHES} = {i}) b
+        JOIN (SELECT doc_id, hs, unnest(hs) AS s FROM live{i}) c USING (s)
+        WHERE len(list_intersect(b.hs, c.hs)) * {INC_T_DEN}
+              >= (len(b.hs) + len(c.hs) - len(list_intersect(b.hs, c.hs)))
+                 * {INC_T_NUM}
+        GROUP BY b.doc_id
+    ),
+    dec{i} AS MATERIALIZED (
+        SELECT a.doc_id, {i} AS batch,
+               t.first_match IS NULL AS accepted,
+               CAST(coalesce(t.first_match, -1) AS BIGINT) AS first_match
+        FROM (SELECT doc_id FROM aug WHERE doc_id % {NDG_BATCHES} = {i}) a
+        LEFT JOIN hit{i} t USING (doc_id)
+    ),
+    idx{i + 1} AS MATERIALIZED (
+        SELECT doc_id, hs FROM idx{i}
+        UNION ALL
+        SELECT h.doc_id, h.hs FROM h
+        WHERE h.doc_id % {NDG_BATCHES} = {i}
+          AND h.doc_id IN (SELECT doc_id FROM dec{i} WHERE accepted)
+    ),
+    dv{i + 1} AS MATERIALIZED (
+        SELECT doc_id FROM dv{i}{wave}
+    )"""
+        )
+        decs.append(f"SELECT doc_id, batch, accepted, first_match FROM dec{i}")
+    return f"""
+    WITH aug AS MATERIALIZED ({SQL_DOCS_TRUNC}),
+    sh AS (
+        SELECT doc_id, {TX.sql_shingles(TX.sql_words('text'))} AS sh
+        FROM aug
+        WHERE len({TX.sql_words('text')}) >= {TX.SHINGLE_N}
+    ),
+    h AS MATERIALIZED ({SQL_HASHED_SHINGLES}),
+    idx0 AS (SELECT doc_id, hs FROM h WHERE false),
+    dv0 AS (SELECT doc_id FROM h WHERE false)
+    {"".join(rounds)}
+    SELECT * FROM ({" UNION ALL ".join(decs)}) ORDER BY doc_id
+    """
+
+
+@query(
+    "stream_neardup_gdpr_interleave",
+    oracle=_ndg_dv_oracle_sql(),
+    doc="MID-STREAM GDPR DELETES on the SIGNATURE gate — the twin of "
+    "stream_ann_gdpr_interleave, completing the erasure story across "
+    "both standing dedup indexes: after batch b commits and before "
+    "batch b+1 arrives, tombstone wave b erases the live indexed docs "
+    f"with doc_id % {NDG_DV_MOD} in {sorted(NDG_DV_WAVES.values())} "
+    "(one overwrite-keyed write whose _SUCCESS is the wave's commit — "
+    "deterministic, idempotent replay; index units never rewrite). "
+    "The gate anti-joins committed tombstones, so erased signatures "
+    "STOP MATCHING: a planted 80%-prefix copy arriving after its "
+    "original's erasure is ACCEPTED instead of rejected (and the "
+    "wrap-around direction — original arriving after its copy's "
+    "erasure — re-enters). The oracle threads the dv set through the "
+    "unrolled replay; the crash/replay matrix extends "
+    "tests/test_neardup_gate.py. 100 TB: waves are GDPR-sized "
+    "broadcasts; the growing index side still never shuffles.",
+)
+def stream_neardup_gdpr_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="neardup_gdpr_")
+    try:
+        state = _ndg_run(spark, sf_dir, base, waves=dict(NDG_DV_WAVES))
+        # Collect-free return: executor-held verdicts across the rmtree.
         dec = spark.read.parquet(
             *[f"{state}/decisions/b{i}" for i in _ndg_committed(state)]
         ).localCheckpoint()

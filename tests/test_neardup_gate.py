@@ -127,3 +127,104 @@ def test_gate_stream_rejects_planted_copies(spark):
     for orig in range(0, n_docs, TRUNC_EVERY):
         copy = orig + TRUNC_OFFSET
         assert not (verdict[orig] and verdict[copy]), (orig, copy)
+
+
+def test_gdpr_wave_crash_replay_and_stop_matching(spark):
+    """Round-12 mid-stream GDPR deletes on the signature gate: a
+    crashed wave is invisible (gate behaves as if no deletes exist),
+    replay is idempotent, erased signatures stop matching (a copy
+    whose erased near-dup would have rejected it is accepted), the
+    serving leak counter is 0, and index units are never rewritten."""
+    from python_btc_etl_spark.plans.stream import (
+        NDG_DV_MOD,
+        NDG_DV_WAVES,
+        _ndg_committed_waves,
+        _ndg_land_wave,
+        _ndg_tombstones,
+    )
+
+    # synthetic corpus: near-identical pairs (a, a+1000) arriving one
+    # batch apart; ids chosen so the batch-0 member of the first pair
+    # is erased by wave 0 (id % 7 == NDG_DV_WAVES[0]) and the second
+    # pair's batch-0 member is NOT.
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    tb = "red orange yellow green blue indigo violet cyan magenta teal " * 3
+    # id 45: 45%3=0 (batch 0), 45%7=3 (erased by wave 0)
+    # id 1045: 1045%3=1 (batch 1, near-copy of 45)
+    # id 9: 9%3=0, 9%7=2 (survives wave 0)
+    # id 1009: 1009%3=1 (batch 1, near-copy of 9; vocabulary disjoint
+    # from pair A so erasing 45 cannot free 1009)
+    rows = [
+        (45, ta),
+        (1045, ta + "omega"),
+        (9, tb),
+        (1009, tb + "omega"),
+    ]
+    docs = _mk_docs(spark, rows)
+    b0 = docs.filter(F.col("doc_id") % NDG_BATCHES == 0)
+    b1 = docs.filter(F.col("doc_id") % NDG_BATCHES == 1)
+    base = tempfile.mkdtemp(prefix="ndg_gdpr_test_")
+    state = os.path.join(base, "state")
+    try:
+        neardup_gate_batch(spark, state, b0, 0)
+        inv0 = {
+            p: os.stat(p).st_mtime_ns
+            for p in [
+                os.path.join(state, "index", "b0", f)
+                for f in os.listdir(os.path.join(state, "index", "b0"))
+            ]
+        }
+        # wave 0 lands... and crashes before its _SUCCESS
+        _ndg_land_wave(spark, state, 0, _ndg_committed(state), NDG_DV_WAVES[0])
+        os.remove(os.path.join(state, "dv", "w0", "_SUCCESS"))
+        assert _ndg_committed_waves(state) == []
+        # batch 1 under the crashed wave: BOTH copies rejected (the
+        # plain-gate behavior — the orphan wave is invisible)
+        neardup_gate_batch(spark, state, b1, 1)
+        dec1 = {
+            r["doc_id"]: r["accepted"]
+            for r in spark.read.parquet(
+                os.path.join(state, "decisions", "b1")
+            ).collect()
+        }
+        assert dec1 == {1045: False, 1009: False}
+        # replay the wave to completion, un-commit batch 1, replay it:
+        # the erased original (45) stops matching -> its copy 1045 is
+        # now ACCEPTED; 9 survives the wave so 1009 stays rejected
+        shutil.rmtree(os.path.join(state, "index", "b1"))
+        shutil.rmtree(os.path.join(state, "decisions", "b1"))
+        _ndg_land_wave(spark, state, 0, [0], NDG_DV_WAVES[0])
+        assert _ndg_committed_waves(state) == [0]
+        tomb = {r["doc_id"] for r in _ndg_tombstones(spark, state).collect()}
+        assert tomb == {45}
+        neardup_gate_batch(spark, state, b1, 1)
+        dec1 = {
+            r["doc_id"]: r["accepted"]
+            for r in spark.read.parquet(
+                os.path.join(state, "decisions", "b1")
+            ).collect()
+        }
+        assert dec1 == {1045: True, 1009: False}
+        # wave replay is a no-op on the committed marker
+        _ndg_land_wave(spark, state, 0, [0], NDG_DV_WAVES[0])
+        assert _ndg_committed_waves(state) == [0]
+        # serving leak: live index (committed units anti waves) holds
+        # no tombstoned doc; the raw units still do (never rewritten)
+        raw = spark.read.parquet(
+            *[os.path.join(state, "index", f"b{i}") for i in _ndg_committed(state)]
+        )
+        tomb_df = _ndg_tombstones(spark, state)
+        assert raw.join(tomb_df, "doc_id", "left_anti").join(
+            tomb_df, "doc_id", "semi"
+        ).count() == 0
+        assert raw.join(tomb_df, "doc_id", "semi").count() == 1
+        # batch-0 index unit untouched through the whole matrix
+        assert inv0 == {
+            p: os.stat(p).st_mtime_ns
+            for p in [
+                os.path.join(state, "index", "b0", f)
+                for f in os.listdir(os.path.join(state, "index", "b0"))
+            ]
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
