@@ -85,3 +85,44 @@ def test_video_sequence_containment_and_matrix(spark):
     ip_n = _phash_pairs(spark, SF_SMALL).count()
     assert rows["agree_both"]["n_pairs"] + rows["image_only"]["n_pairs"] == ip_n
     assert rows["agree_both"]["n_pairs"] + rows["video_only"]["n_pairs"] == len(vp)
+
+
+def test_triple_audit_reconciles_with_all_three_detectors(spark):
+    """Round-12 triple audit: the 2x2x2 cells partition the union of
+    the three verdict tables, the text/image margins reconcile with
+    the standalone detectors, video-repost pairs land in
+    text_image_video (the CLIP repost set is a subset of the image
+    repost set, so text_video is structurally empty), and the
+    populated-cell set is exactly as designed."""
+    from python_btc_etl_spark.plans.dedup import (
+        TRUNC_OFFSET,
+        _containment_pairs,
+    )
+    from python_btc_etl_spark.plans.multimodal import (
+        _XM_VID_REPOST,
+        cross_modal_triple_audit,
+    )
+
+    rows = {r["cell"]: r for r in cross_modal_triple_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "text_image_video",
+        "text_image",
+        "text_video",
+        "image_video",
+        "text_only",
+        "image_only",
+        "video_only",
+    }
+    # text margin == standalone containment verdict
+    tp_n = _containment_pairs(spark, SF_SMALL).count()
+    t_cells = ("text_image_video", "text_image", "text_video", "text_only")
+    assert sum(rows[c]["n_pairs"] for c in t_cells) == tp_n
+    # clip reposts are image reposts too -> text_video empty,
+    # text_image_video populated by exactly the clip-repost pairs
+    assert rows["text_video"]["n_pairs"] == 0
+    assert rows["text_image_video"]["n_pairs"] > 0
+    ex_a, ex_b = rows["text_image_video"]["example_a"], rows["text_image_video"]["example_b"]
+    assert ex_b - TRUNC_OFFSET == ex_a and ex_a % _XM_VID_REPOST == 0
+    # the offset-grouping intersection and the single-modality cells
+    for c in ("image_video", "image_only", "video_only", "text_image", "text_only"):
+        assert rows[c]["n_pairs"] > 0, c
