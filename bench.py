@@ -340,7 +340,16 @@ def main() -> int:
         #       data fingerprint both match (testdata is regenerated
         #       per round; a stale fingerprint invalidates the cache) —
         #       coverage accumulates across same-corpus runs instead of
-        #       restarting from zero.
+        #       restarting from zero. ROTATING EXPIRY (ADVICE r12):
+        #       an inflated carried t_small LOWERS the ratio and — since
+        #       only already-flagged suspects are ever re-timed — could
+        #       mask a superlinear flag indefinitely. Each run therefore
+        #       re-measures one rotating decile of the carried set
+        #       (index % 10 == carry_rotation, rotation advancing per
+        #       run and stamped in the artifact) and keeps the MIN of
+        #       the carried and fresh samples, so within <= 10 runs
+        #       every carried sample is refreshed and a one-time
+        #       inflated sample cannot suppress a flag across rounds.
         #   (b) the wall budget (default 900 s) is an EMERGENCY
         #       BACKSTOP only; if it ever bites, every flaggable query
         #       it left unmeasured is individually stamped in
@@ -350,6 +359,7 @@ def main() -> int:
         fingerprint = _data_fingerprint()
         small_timings: dict[str, float] = {}
         carried: list[str] = []
+        carry_rotation = 0
         prev_detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
@@ -369,8 +379,15 @@ def main() -> int:
                     if k in timings and float(v) > 0:
                         small_timings[k] = float(v)
                         carried.append(k)
+                carry_rotation = (int(prev_sc.get("carry_rotation", -1)) + 1) % 10
         except Exception:  # noqa: BLE001 — no prior run is not an error
             pass
+        # Rotating expiry: this run's decile of the carried set is
+        # re-measured (min-merged below); the rest stay carried.
+        stale: dict[str, float] = {}
+        for i, k in enumerate(sorted(carried)):
+            if i % 10 == carry_rotation:
+                stale[k] = small_timings.pop(k)
         skipped_by_budget: list[str] = []
         below_flag_floor: list[str] = []
         t_pass0 = time.perf_counter()
@@ -404,6 +421,18 @@ def main() -> int:
                 file=sys.stderr,
                 flush=True,
             )
+        # Min-merge the rotating-expiry refresh: a fresh sample replaces
+        # an INFLATED carried one (the flag-masking hazard); a carried
+        # sample survives a fresh sample that itself landed in churn.
+        # Names the loop never reached (below flag floor / budget) keep
+        # their stale value so coverage never shrinks.
+        n_refreshed = 0
+        for k, v_old in stale.items():
+            if k in small_timings:
+                small_timings[k] = min(small_timings[k], v_old)
+                n_refreshed += 1
+            else:
+                small_timings[k] = v_old
         # data-growth factor: the max per-table row ratio between the
         # two dirs (different queries scan different tables; the max is
         # the conservative bound no linear plan can exceed)
@@ -471,6 +500,8 @@ def main() -> int:
             "budget_sec": budget,
             "n_covered": len(small_timings),
             "n_carried_forward": len(carried),
+            "carry_rotation": carry_rotation,
+            "n_carry_refreshed": n_refreshed,
             "n_below_flag_floor": len(below_flag_floor),
             "n_skipped_by_budget": len(skipped_by_budget),
             "skipped_by_budget": skipped_by_budget,
