@@ -259,3 +259,112 @@ def test_gdpr_txn_crash_matrix(spark):
             assert _file_inventory(data_units + idx_units) == inv0
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+def test_gdpr_txn3_crash_matrix(spark):
+    """Round-13 three-table atomic commit: kill the erasure cascade
+    after EACH of the three DV writes (data / sig-index / vector-index)
+    -> committed readers see the erasure in ALL tables or in NONE
+    (every pairwise half_applied pinned 0 at every stage), the naive
+    directory-listing reader leaks exactly the pairs the kill point
+    half-applies, replay completes idempotently, and base units are
+    never rewritten."""
+    from python_btc_etl_spark.plans.partitioned import (
+        DV_DEL_MOD,
+        DVTX_WAVE_1,
+        _dv_read,
+        _dvt3_vec_units,
+        _dvtx_base,
+        _dvtx_committed_dvs,
+        _dvtx_half_applied,
+        _dvtx_on_disk_dvs,
+        _dvtx_stage_tables,
+    )
+
+    rem = F.col("doc_id") % DV_DEL_MOD
+
+    for crash_after in (1, 2, 3):
+        base = tempfile.mkdtemp(prefix=f"dvt3_c{crash_after}_")
+        try:
+            data_units, idx_units = _dvtx_base(spark, SF_SMALL, base)
+            vec_units = _dvt3_vec_units(spark, SF_SMALL, base)
+            tables = [
+                ("data", data_units),
+                ("idx", idx_units),
+                ("vec", vec_units),
+            ]
+            bases = {
+                tag: spark.read.parquet(*units) for tag, units in tables
+            }
+            counts = {tag: df.count() for tag, df in bases.items()}
+            inv0 = _file_inventory(data_units + idx_units + vec_units)
+
+            # crash mid-transaction after the crash_after-th write
+            _dvtx_stage_tables(
+                spark, base, tables, 1, DVTX_WAVE_1, crash_after=crash_after
+            )
+            assert _dvtx_committed_dvs(base) == []  # nothing committed
+            reads = {
+                tag: _dv_read(spark, units, [], tag)
+                for tag, units in tables
+            }
+            for tag, df in reads.items():  # NO table changed (committed)
+                assert df.count() == counts[tag]
+            # the staged orphans exist on disk...
+            on_disk = _dvtx_on_disk_dvs(base)
+            assert len(on_disk) == crash_after
+            # ...and the naive reader half-applies exactly the pairs
+            # that straddle the kill point (committed never does)
+            naive = {
+                tag: _dv_read(spark, units, on_disk, tag)
+                for tag, units in tables
+            }
+            staged = {"data", "idx", "vec"}
+            done = [t for t, _ in tables][:crash_after]
+            for a, b in (("data", "idx"), ("data", "vec"), ("idx", "vec")):
+                assert (
+                    _dvtx_half_applied(
+                        bases[a], bases[b], reads[a], reads[b]
+                    )
+                    == 0
+                )
+                leak = _dvtx_half_applied(
+                    bases[a], bases[b], naive[a], naive[b]
+                )
+                if (a in done) != (b in done):  # straddles the kill
+                    assert leak > 0, (crash_after, a, b)
+                else:
+                    assert leak == 0, (crash_after, a, b)
+            assert staged >= set(done)
+
+            # replay to completion: idempotent overwrite + ONE commit
+            _dvtx_stage_tables(spark, base, tables, 1, DVTX_WAVE_1)
+            dvs = _dvtx_committed_dvs(base)
+            assert len(dvs) == 3  # one manifest covering all THREE
+            reads = {
+                tag: _dv_read(spark, units, dvs, tag)
+                for tag, units in tables
+            }
+            for df in reads.values():
+                assert df.filter(rem.isin(list(DVTX_WAVE_1))).count() == 0
+            for a, b in (("data", "idx"), ("data", "vec"), ("idx", "vec")):
+                assert (
+                    _dvtx_half_applied(
+                        bases[a], bases[b], reads[a], reads[b]
+                    )
+                    == 0
+                )
+
+            # double replay is a no-op: the manifest file is untouched
+            mpath = os.path.join(base, "manifests/txn_1.json")
+            m0 = os.stat(mpath).st_mtime_ns
+            _dvtx_stage_tables(spark, base, tables, 1, DVTX_WAVE_1)
+            assert os.stat(mpath).st_mtime_ns == m0
+            assert len(_dvtx_committed_dvs(base)) == 3
+
+            # base units never rewritten through the whole matrix
+            assert (
+                _file_inventory(data_units + idx_units + vec_units) == inv0
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
