@@ -9,6 +9,7 @@ from . import (  # noqa: F401  (registration side-effect)
     extended,
     graph,
     ingest,
+    mmstream,
     modern,
     multimodal,
     ordered_stats,
