@@ -2478,7 +2478,10 @@ def e2e_corpus_build_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XM_VID_REPOST = 4 * 50  # copies of originals % 200 == 0 re-post the CLIP
 
 
-def _xm3_oracle() -> str:
+def _xm_legs_sql() -> str:
+    """The shared oracle CTE chain computing the three verdict pair
+    tables (tp / ip / vp) over the augmented caption corpus — the
+    prefix of both the triple and the round-13 quad audit oracles."""
     from ..functions import text as TXT
     from .dedup import (
         CONTAIN_T,
@@ -2490,17 +2493,7 @@ def _xm3_oracle() -> str:
     )
 
     repost_img = 2 * TRUNC_EVERY
-    cells = [
-        "text_image_video",
-        "text_image",
-        "text_video",
-        "image_video",
-        "text_only",
-        "image_only",
-        "video_only",
-    ]
-    return f"""
-    WITH aug AS MATERIALIZED ({SQL_DOCS_TRUNC}),
+    return f"""aug AS MATERIALIZED ({SQL_DOCS_TRUNC}),
     sh AS (
         SELECT doc_id, {TXT.sql_shingles(TXT.sql_words('text'))} AS sh
         FROM aug
@@ -2588,7 +2581,21 @@ def _xm3_oracle() -> str:
         JOIN vns na ON na.doc_id = c.doc_a
         JOIN vns nb ON nb.doc_id = c.doc_b
         WHERE c.shared * {VSEQ_DEN} >= least(na.n_sh, nb.n_sh) * {VSEQ_NUM}
-    ),
+    )"""
+
+
+def _xm3_oracle() -> str:
+    cells = [
+        "text_image_video",
+        "text_image",
+        "text_video",
+        "image_video",
+        "text_only",
+        "image_only",
+        "video_only",
+    ]
+    return f"""
+    WITH {_xm_legs_sql()},
     t2 AS (
         SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
                coalesce(t.doc_b, i.doc_b) AS doc_b,
@@ -2652,6 +2659,50 @@ def _xm3_oracle() -> str:
     "one bounded 7-row rollup.",
 )
 def cross_modal_triple_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tp, ip, vp, _ = _xm3_legs(spark, sf_dir)
+    uni = (
+        tp.withColumn("is_t", F.lit(True))
+        .join(ip.withColumn("is_i", F.lit(True)), ["doc_a", "doc_b"], "full_outer")
+        .join(vp.withColumn("is_v", F.lit(True)), ["doc_a", "doc_b"], "full_outer")
+    )
+    t, i, v = (
+        F.col("is_t").isNotNull(),
+        F.col("is_i").isNotNull(),
+        F.col("is_v").isNotNull(),
+    )
+    cell = (
+        F.when(t & i & v, F.lit("text_image_video"))
+        .when(t & i, F.lit("text_image"))
+        .when(t & v, F.lit("text_video"))
+        .when(i & v, F.lit("image_video"))
+        .when(t, F.lit("text_only"))
+        .when(i, F.lit("image_only"))
+        .otherwise(F.lit("video_only"))
+    )
+    return _xm_rollup(
+        spark,
+        uni,
+        cell,
+        (
+            "text_image_video",
+            "text_image",
+            "text_video",
+            "image_video",
+            "text_only",
+            "image_only",
+            "video_only",
+        ),
+    )
+
+
+def _xm3_legs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The three blocked verdict tables of the triple audit — text
+    containment (tp), image phash (ip), video sequence containment
+    (vp) — plus the augmented id universe they run over. Shared by
+    cross_modal_triple_audit and the round-13 quad audit so the quad's
+    t/i/v marginals equal the triple's by construction."""
     from .dedup import (
         TRUNC_EVERY,
         TRUNC_OFFSET,
@@ -2744,25 +2795,14 @@ def cross_modal_triple_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    uni = (
-        tp.withColumn("is_t", F.lit(True))
-        .join(ip.withColumn("is_i", F.lit(True)), ["doc_a", "doc_b"], "full_outer")
-        .join(vp.withColumn("is_v", F.lit(True)), ["doc_a", "doc_b"], "full_outer")
-    )
-    t, i, v = (
-        F.col("is_t").isNotNull(),
-        F.col("is_i").isNotNull(),
-        F.col("is_v").isNotNull(),
-    )
-    cell = (
-        F.when(t & i & v, F.lit("text_image_video"))
-        .when(t & i, F.lit("text_image"))
-        .when(t & v, F.lit("text_video"))
-        .when(i & v, F.lit("image_video"))
-        .when(t, F.lit("text_only"))
-        .when(i, F.lit("image_only"))
-        .otherwise(F.lit("video_only"))
-    )
+    return tp, ip, vp, aug_ids
+
+
+def _xm_rollup(spark: SparkSession, uni: DataFrame, cell, cells) -> DataFrame:
+    """Label each pair with its agreement cell, roll up to
+    (cell, n_pairs, min evidence pair), and emit EVERY named cell
+    (zero-filled) in sorted order — the shared tail of the triple and
+    quad audits."""
     agg = {
         r["cell"]: r
         for r in uni.select(
@@ -2771,18 +2811,10 @@ def cross_modal_triple_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("pk").alias("mpk"))
-        .collect()  # bounded: <= 7 cells
+        .collect()  # bounded: <= len(cells) rows
     }
     rows = []
-    for c in (
-        "image_only",
-        "image_video",
-        "text_image",
-        "text_image_video",
-        "text_only",
-        "text_video",
-        "video_only",
-    ):
+    for c in sorted(cells):
         r = agg.get(c)
         if r is None:
             rows.append((c, 0, -1, -1))
@@ -2794,3 +2826,231 @@ def cross_modal_triple_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "cell string, n_pairs bigint, example_a bigint, example_b bigint",
     ).orderBy("cell")
+
+
+
+# --------------------------------------------------------------------------
+# Cross-modal QUAD audit (round 13, judge r12 #3): the audio leg
+# --------------------------------------------------------------------------
+
+# The triple audit covers text x image x video; the audio pair
+# machinery (_afp_pairs) existed but never joined the agreement
+# matrix. Here the same augmented caption corpus gains an audio
+# column: every 3rd planted copy re-posts its ORIGINAL's audio track
+# (aud_id = doc_id - offset for copies of originals % 150 == 0), so
+# the audio verdict intersects the text leg on a different residue
+# lattice than the image (% 100) and video (% 200) reposts — the
+# 2x2x2x2 matrix populates its mixed cells by construction, and the
+# t/i/v marginals equal cross_modal_triple_audit's by shared legs.
+
+_XM_AUD_REPOST = 3 * 50  # copies of originals % 150 == 0 re-post the AUDIO
+
+
+def _banded_hash_pairs(
+    df: DataFrame, col: str, n_bands: int, band_bits: int, hd_max: int
+) -> DataFrame:
+    """(doc_a, doc_b) pairs of a (doc_id, <col>) hash relation within
+    Hamming ``hd_max``, via pigeonhole band blocking + XOR/popcount
+    verification pushed into the join — the blocked-join core shared
+    by the phash/afp detectors, reusable over any id universe."""
+    bands = df.select(
+        "doc_id",
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col(col), band_bits * j)
+                        .bitwiseAND(F.lit(2**band_bits - 1))
+                        .alias("band"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", col, F.col("bs.j").alias("j"), F.col("bs.band").alias("band"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col(col).alias("h_a"), "j", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col(col).alias("h_b"), "j", "band"
+    )
+    return (
+        a.join(b, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+        .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= hd_max)
+        .select("doc_a", "doc_b")
+    )
+
+
+_XM4_CELLS = (
+    "t", "i", "v", "a",
+    "ti", "tv", "ta", "iv", "ia", "va",
+    "tiv", "tia", "tva", "iva", "tiva",
+)
+
+
+def _xm4_oracle() -> str:
+    from .dedup import TRUNC_OFFSET
+
+    return f"""
+    WITH {_xm_legs_sql()},
+    am AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN doc_id >= {TRUNC_OFFSET}
+                     AND (doc_id - {TRUNC_OFFSET}) % {_XM_AUD_REPOST} = 0
+                    THEN doc_id - {TRUNC_OFFSET} ELSE doc_id END AS aud_id
+        FROM aug
+    ),
+    aids AS (SELECT DISTINCT aud_id AS doc_id FROM am),
+    av AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (CASE WHEN i < doc_id % 4
+                         THEN 255 - {_SQL_AFP_U}
+                         ELSE {_SQL_AFP_U} END) >= 128
+                    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS afp
+        FROM aids, unnest(range(0, {AFP_BITS})) AS u(i)
+        GROUP BY doc_id
+    ),
+    dpa AS (SELECT am.doc_id, av.afp FROM am JOIN av ON av.doc_id = am.aud_id),
+    ap AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM dpa a JOIN dpa b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_HD_MAX}
+    ),
+    t2 AS (
+        SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
+               coalesce(t.doc_b, i.doc_b) AS doc_b,
+               t.doc_a IS NOT NULL AS is_t,
+               i.doc_a IS NOT NULL AS is_i
+        FROM tp t FULL OUTER JOIN ip i
+          ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
+    ),
+    t3 AS (
+        SELECT coalesce(x.doc_a, v.doc_a) AS doc_a,
+               coalesce(x.doc_b, v.doc_b) AS doc_b,
+               coalesce(x.is_t, false) AS is_t,
+               coalesce(x.is_i, false) AS is_i,
+               v.doc_a IS NOT NULL AS is_v
+        FROM t2 x FULL OUTER JOIN vp v
+          ON x.doc_a = v.doc_a AND x.doc_b = v.doc_b
+    ),
+    uni AS (
+        SELECT coalesce(x.doc_a, w.doc_a) AS doc_a,
+               coalesce(x.doc_b, w.doc_b) AS doc_b,
+               coalesce(x.is_t, false) AS is_t,
+               coalesce(x.is_i, false) AS is_i,
+               coalesce(x.is_v, false) AS is_v,
+               w.doc_a IS NOT NULL AS is_a
+        FROM t3 x FULL OUTER JOIN ap w
+          ON x.doc_a = w.doc_a AND x.doc_b = w.doc_b
+    ),
+    lab AS (
+        SELECT CASE
+                 WHEN is_t AND is_i AND is_v AND is_a THEN 'tiva'
+                 WHEN is_t AND is_i AND is_v THEN 'tiv'
+                 WHEN is_t AND is_i AND is_a THEN 'tia'
+                 WHEN is_t AND is_v AND is_a THEN 'tva'
+                 WHEN is_i AND is_v AND is_a THEN 'iva'
+                 WHEN is_t AND is_i THEN 'ti'
+                 WHEN is_t AND is_v THEN 'tv'
+                 WHEN is_t AND is_a THEN 'ta'
+                 WHEN is_i AND is_v THEN 'iv'
+                 WHEN is_i AND is_a THEN 'ia'
+                 WHEN is_v AND is_a THEN 'va'
+                 WHEN is_t THEN 't'
+                 WHEN is_i THEN 'i'
+                 WHEN is_v THEN 'v'
+                 ELSE 'a' END AS cell,
+               doc_a * {_XM_PK} + doc_b AS pk
+        FROM uni
+    ),
+    agg AS (SELECT cell, count(*) AS n_pairs, min(pk) AS mpk FROM lab GROUP BY cell)
+    SELECT c.cell,
+           CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(a.mpk // {_XM_PK}, -1) AS BIGINT) AS example_a,
+           CAST(coalesce(a.mpk % {_XM_PK}, -1) AS BIGINT) AS example_b
+    FROM (VALUES {", ".join(f"('{c}')" for c in _XM4_CELLS)}) AS c(cell)
+    LEFT JOIN agg a ON a.cell = c.cell
+    ORDER BY c.cell
+    """
+
+
+@query(
+    "cross_modal_quad_audit",
+    oracle=_xm4_oracle(),
+    doc="CROSS-MODAL QUAD AUDIT (judge r12 #3) — the agreement matrix "
+    "gains its AUDIO leg: the full 2x2x2x2 matrix between the text "
+    "containment, image phash, video sequence-containment, and audio "
+    "fingerprint verdicts over the augmented caption corpus. Every "
+    "3rd planted copy re-posts its original's AUDIO track (a residue "
+    "lattice distinct from the image %100 and video %200 reposts, so "
+    "the mixed cells populate by construction: ta at %150, tia at "
+    "%300, tiva at %600 plus natural group overlaps). The t/i/v legs "
+    "are the EXACT shared functions of cross_modal_triple_audit "
+    "(_xm3_legs), so the quad's t/i/v marginals equal the committed "
+    "triple audit's cell-for-cell (pinned in "
+    "tests/test_cross_modal_quad.py); the audio leg reuses "
+    "audio_fingerprint_neardup's fingerprint pass and threshold. The "
+    "oracle re-derives all four legs — the audio one with the PLAIN "
+    "pairwise Hamming check, so the differential also proves the "
+    "engine's audio band blocking is lossless over the reposted "
+    "universe. Emits all 15 non-empty-modality cells with counts + "
+    "minimum evidence pair. 100 TB: four id-list pair tables chained "
+    "through three full-outer joins on the pair key — never an "
+    "all-pairs scan; payloads never shuffle (hashing is per-row Arrow "
+    "compute); one bounded 15-row rollup.",
+)
+def cross_modal_quad_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import TRUNC_OFFSET
+
+    tp, ip, vp, aug_ids = _xm3_legs(spark, sf_dir)
+    aud_id = F.when(
+        (F.col("doc_id") >= TRUNC_OFFSET)
+        & ((F.col("doc_id") - TRUNC_OFFSET) % _XM_AUD_REPOST == 0),
+        F.col("doc_id") - TRUNC_OFFSET,
+    ).otherwise(F.col("doc_id"))
+    am = aug_ids.select("doc_id", aud_id.alias("aud_id"))
+    # one fingerprint per DISTINCT track (reposts share their
+    # original's), cached: the band self-join reads it twice
+    afp = managed_cache(
+        am.select(F.col("aud_id").alias("doc_id"))
+        .distinct()
+        .mapInPandas(_afp_batches, schema="doc_id bigint, afp bigint")
+        .withColumnRenamed("doc_id", "aud_id")
+    )
+    dpa = am.join(afp, "aud_id").select("doc_id", "afp")
+    ap = _banded_hash_pairs(dpa, "afp", AFP_BANDS, AFP_BAND_BITS, AFP_HD_MAX)
+    uni = (
+        tp.withColumn("is_t", F.lit(True))
+        .join(ip.withColumn("is_i", F.lit(True)), ["doc_a", "doc_b"], "full_outer")
+        .join(vp.withColumn("is_v", F.lit(True)), ["doc_a", "doc_b"], "full_outer")
+        .join(ap.withColumn("is_a", F.lit(True)), ["doc_a", "doc_b"], "full_outer")
+    )
+    t, i, v, a = (
+        F.col("is_t").isNotNull(),
+        F.col("is_i").isNotNull(),
+        F.col("is_v").isNotNull(),
+        F.col("is_a").isNotNull(),
+    )
+    cell = (
+        F.when(t & i & v & a, F.lit("tiva"))
+        .when(t & i & v, F.lit("tiv"))
+        .when(t & i & a, F.lit("tia"))
+        .when(t & v & a, F.lit("tva"))
+        .when(i & v & a, F.lit("iva"))
+        .when(t & i, F.lit("ti"))
+        .when(t & v, F.lit("tv"))
+        .when(t & a, F.lit("ta"))
+        .when(i & v, F.lit("iv"))
+        .when(i & a, F.lit("ia"))
+        .when(v & a, F.lit("va"))
+        .when(t, F.lit("t"))
+        .when(i, F.lit("i"))
+        .when(v, F.lit("v"))
+        .otherwise(F.lit("a"))
+    )
+    return _xm_rollup(spark, uni, cell, _XM4_CELLS)
