@@ -3438,6 +3438,95 @@ def quality_train_serve_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QCB_BINS = 10  # calibration deciles over the served score distribution
+
+
+@query(
+    "quality_calibration_bins",
+    oracle=f"""
+    WITH {_qct_sql_base()},
+    w AS (
+        SELECT {_det3(_qct_replace_col(0))} AS w1_num,
+               {_det3(_qct_replace_col(1))} AS w2_num,
+               {_det3(_qct_replace_col(2))} AS b_num,
+               {_det3(_QCT_A)} AS det
+        FROM g
+    ),
+    p AS (
+        SELECT l.doc_id, l.y,
+               l.x1 * w.w1_num + l.x2 * w.w2_num + w.b_num AS pred_num
+        FROM lab l, w
+    ),
+    b AS (
+        SELECT y, pred_num,
+               ntile({QCB_BINS}) OVER (ORDER BY pred_num, doc_id) AS bin
+        FROM p
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(pred_num) AS DECIMAL(38,0)) AS pred_min_num,
+           CAST(max(pred_num) AS DECIMAL(38,0)) AS pred_max_num,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_y
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    doc=f"CLASSIFIER CALIBRATION / RELIABILITY TABLE: the served quality "
+    f"scores cut into {QCB_BINS} equi-depth deciles (ntile over the "
+    "total order pred_num, doc_id — the predictions share the common "
+    "positive denominator det, so ordering by the exact integer "
+    "numerator IS ordering by the score), each bin reporting its size, "
+    "its exact score range (min/max pred_num as decimal — no float "
+    "summation anywhere), and the observed label mass (sum_y bigint; "
+    "mean_y is the query's only division). A well-calibrated monotone "
+    "ranker shows mean_y rising with bin — the reliability-diagram "
+    "check every FineWeb-Edu-style quality filter needs before its "
+    "keep threshold is trusted; a flat or non-monotone table means the "
+    "score is noise at that operating range. Scale note (the "
+    "rfm_customer_segments argument): the global ntile is one "
+    "sort-based exchange over a 3-column projection; at 100 TB the cut "
+    "points come from approx quantiles + width_bucket instead, "
+    "trading exactness for a scan — exactness is this query's "
+    "contract. Train and serve stay the bit-exact Cramer path of "
+    "quality_train_serve_scores (pipeline.py:3415).",
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = managed_cache(_qct_features(spark, sf_dir))
+    nums, det = _qct_weight_cols()
+    w = _qct_gram(feats).select(
+        nums[0].alias("w1_num"),
+        nums[1].alias("w2_num"),
+        nums[2].alias("b_num"),
+        det.alias("det"),
+    )
+    pred = (
+        F.col("x1").cast("decimal(20,0)") * F.col("w1_num")
+        + F.col("x2").cast("decimal(20,0)") * F.col("w2_num")
+        + F.col("b_num")
+    )
+    p = (
+        feats.crossJoin(F.broadcast(w))  # 1-row weight table
+        .select("doc_id", "y", pred.cast("decimal(38,0)").alias("pred_num"))
+    )
+    b = p.select(
+        "y",
+        "pred_num",
+        F.ntile(QCB_BINS).over(W.orderBy("pred_num", "doc_id")).alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("pred_num").cast("decimal(38,0)").alias("pred_min_num"),
+            F.max("pred_num").cast("decimal(38,0)").alias("pred_max_num"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_y"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup-corrected mixing weights (round 9)
 # --------------------------------------------------------------------------

@@ -13,6 +13,9 @@ scan speed with zero Python in the hot path.
 
 from __future__ import annotations
 
+import itertools
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -858,6 +861,133 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rel_in_top10").cast("double")
                 / F.col("n_relevant").cast("double")
             ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --- Retrieval evaluation: nDCG@k with a fixed-point discount table -------
+
+# DCG's 1/log2(rank+1) discount is irrational, and libm log differs in
+# the last ulp across engines (the same hazard the BM25 idf avoids with
+# sqrt). Instead of dropping the log, FREEZE it: the discount table is
+# computed ONCE here in Python as fixed-point integers D_i =
+# round(2^24 / log2(i+1)), and the SAME integer literals are embedded in
+# both the Spark plan and the DuckDB oracle — DCG and ideal-DCG become
+# exact BIGINT sums, and the only floating-point operation in the whole
+# query is the single final dcg_fp/idcg_fp division. |table error| <
+# 2^-24 relative per term, orders of magnitude under any ranking
+# decision boundary.
+_NDCG_B = 24  # fractional bits of the fixed-point discount
+_NDCG_D = tuple(
+    round((1 << _NDCG_B) / math.log2(i + 1)) for i in range(1, BM25_TOP_K + 1)
+)
+_NDCG_P = tuple(itertools.accumulate(_NDCG_D))  # ideal-DCG prefix sums
+
+
+def _sql_int_list(xs: tuple[int, ...]) -> str:
+    return "[" + ", ".join(str(int(x)) for x in xs) + "]"
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES},
+    rel AS (
+        SELECT qt.query_id, tf.doc_id
+        FROM qt JOIN tf ON tf.word = qt.term
+        GROUP BY qt.query_id, tf.doc_id
+        HAVING count(*) = (SELECT count(*) FROM qt q2
+                           WHERE q2.query_id = qt.query_id)
+    ),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+             FROM rel GROUP BY query_id),
+    j AS (
+        SELECT b.query_id, b.rnk,
+               CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+        FROM bm25 b
+        LEFT JOIN rel ON rel.query_id = b.query_id AND rel.doc_id = b.doc_id
+    ),
+    dcg AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN is_rel = 1
+                        THEN ({_sql_int_list(_NDCG_D)})[rnk]
+                        ELSE 0 END) AS BIGINT) AS dcg_fp
+        FROM j GROUP BY query_id
+    )
+    SELECT d.query_id, n.n_relevant, d.dcg_fp,
+           CAST(({_sql_int_list(_NDCG_P)})[least(n.n_relevant,
+                                                 {BM25_TOP_K})]
+                AS BIGINT) AS idcg_fp,
+           CAST(d.dcg_fp AS DOUBLE)
+           / CAST(({_sql_int_list(_NDCG_P)})[least(n.n_relevant,
+                                                   {BM25_TOP_K})]
+                  AS DOUBLE) AS ndcg_at_10
+    FROM dcg d JOIN nrel n ON n.query_id = d.query_id
+    ORDER BY d.query_id
+    """,
+    doc=f"RETRIEVAL EVALUATION (nDCG@{BM25_TOP_K}): position-discounted "
+    "ranking quality of the BM25 top-K against the same exact AND-"
+    "semantics relevance oracle as retrieval_eval_mrr (relevant = "
+    "contains ALL query terms, derived in-engine from the inverted "
+    "index — no human labels, bit-identical label sets). The classic "
+    "1/log2(rank+1) discount is FROZEN into a fixed-point integer "
+    f"table (D_i = round(2^{_NDCG_B}/log2(i+1)), computed once at "
+    "plan-build time and embedded as the same literals in both "
+    "engines), so DCG and the ideal DCG (prefix sums of the table, "
+    "indexed at min(n_relevant, K)) are exact BIGINT sums; the single "
+    "final dcg_fp/idcg_fp division is the query's only float. "
+    "Plan shape identical to the MRR eval: broadcast-probed postings "
+    "for the relevance set, a top-K-sized grade join, nothing rescans "
+    "the corpus — at 100 TB this is the per-experiment ranking-eval "
+    "loop over millions of logged queries.",
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    w = _words(d).select("doc_id", F.explode("w").alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(BM25_QUERIES.items()) for t in terms],
+        "query_id int, term string",
+    )
+    qsize = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("qn"))
+    rel = (
+        tf.join(F.broadcast(qt), tf.word == qt.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .join(F.broadcast(qsize), "query_id")
+        .filter(F.col("hits") == F.col("qn"))
+        .select("query_id", "doc_id")
+    )
+    rel = managed_cache(rel)
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    b = _bm25_ranked(spark, sf_dir)
+    disc = F.element_at(
+        F.array(*[F.lit(int(x)).cast("bigint") for x in _NDCG_D]),
+        F.col("rnk").cast("int"),
+    )
+    j = b.join(rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left")
+    dcg = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("is_rel") == 1, disc).otherwise(F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("dcg_fp")
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(int(x)).cast("bigint") for x in _NDCG_P]),
+        F.least(F.col("n_relevant"), F.lit(BM25_TOP_K)).cast("int"),
+    )
+    return (
+        dcg.join(F.broadcast(nrel), "query_id")
+        .withColumn("idcg_fp", idcg)
+        .select(
+            "query_id",
+            "n_relevant",
+            "dcg_fp",
+            "idcg_fp",
+            (F.col("dcg_fp").cast("double") / F.col("idcg_fp").cast("double"))
+            .alias("ndcg_at_10"),
         )
         .orderBy("query_id")
     )
