@@ -6894,3 +6894,223 @@ def corpus_datacard_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DP_DC_CLAMP * DP_EPS_PPM).cast("bigint").alias("eps_tokens_ppm"),
         F.lit(DP_DC_EPS_TOTAL_PPM).cast("bigint").alias("eps_total_ppm"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# PSI drift with exact fixed-point log2 (round 13) — ks_drift_binned's
+# industry-standard twin, on the same slices and the same binning
+# --------------------------------------------------------------------------
+
+from .analytics import KS_A as _KS_A  # noqa: E402
+from .analytics import KS_B as _KS_B  # noqa: E402
+from .analytics import KS_K as _KS_K  # noqa: E402
+
+# L(x) is exact for any bigint x >= 1 (mantissa normalization bounds
+# every intermediate), but the PSI arguments are count PRODUCTS
+# (n_b+1)*(M+K): past 2^62 the Spark product wraps silently where the
+# DuckDB HUGEINT would keep going — fail LOUDLY at the same boundary
+# instead (the _qct_overflow_guard discipline). PSI is ratio-based, so
+# a corpus past the bound quantizes counts (e.g. to ppb) first.
+_PSI_DOMAIN = 1 << 62
+
+
+def _psi_guard(c: "F.Column") -> "F.Column":
+    return F.when(
+        c < F.lit(_PSI_DOMAIN).cast("decimal(20,0)"), c.cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "psi: count product exceeds the exact log2 domain (2^62) "
+                "— quantize counts before the PSI pass"
+            )
+        ).cast("bigint")
+    )
+
+
+@query(
+    "psi_drift_fixed_point",
+    oracle=f"""
+    WITH v AS (SELECT value, event_type FROM events
+               WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+    r AS (SELECT min(value) AS lo, max(value) AS hi FROM v),
+    bc AS (
+        SELECT CASE WHEN r.hi = r.lo THEN 0
+               ELSE LEAST({_KS_K - 1},
+                          CAST(floor((v.value - r.lo) / (r.hi - r.lo)
+                                     * CAST({_KS_K} AS DOUBLE)) AS INT))
+               END AS bin,
+               count(*) FILTER (WHERE event_type = '{_KS_A}') AS ca,
+               count(*) FILTER (WHERE event_type = '{_KS_B}') AS cb
+        FROM v, r GROUP BY 1
+    ),
+    spine AS (SELECT CAST(unnest(range(0, {_KS_K})) AS INT) AS bin),
+    b AS (
+        SELECT s.bin, coalesce(bc.ca, 0) AS ca, coalesce(bc.cb, 0) AS cb
+        FROM spine s LEFT JOIN bc ON bc.bin = s.bin
+    ),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM b),
+    sm AS (
+        SELECT bin,
+               CAST(ca + 1 AS BIGINT) AS np, CAST(cb + 1 AS BIGINT) AS mp,
+               CAST(t.na + {_KS_K} AS BIGINT) AS np_tot,
+               CAST(t.nb + {_KS_K} AS BIGINT) AS mp_tot
+        FROM b, t
+    ),
+    ab AS (
+        SELECT bin, np_tot, mp_tot,
+               CASE WHEN CAST(np AS HUGEINT) * mp_tot >= {_PSI_DOMAIN}
+                    THEN CAST(error('psi: count product exceeds the exact '
+                                    'log2 domain (2^62)') AS BIGINT)
+                    ELSE CAST(CAST(np AS HUGEINT) * mp_tot AS BIGINT)
+               END AS a,
+               CASE WHEN CAST(mp AS HUGEINT) * np_tot >= {_PSI_DOMAIN}
+                    THEN CAST(error('psi: count product exceeds the exact '
+                                    'log2 domain (2^62)') AS BIGINT)
+                    ELSE CAST(CAST(mp AS HUGEINT) * np_tot AS BIGINT)
+               END AS bq
+        FROM sm
+    ),
+    xspsi AS (
+        SELECT DISTINCT x FROM (
+            SELECT a AS x FROM ab UNION SELECT bq FROM ab
+        )
+    ){_lm_log_sql('psi', 'xspsi')},
+    terms AS (
+        SELECT ab.a, ab.bq, la.lgv AS la, lb.lgv AS lb
+        FROM ab
+        JOIN lgpsi la ON la.x = ab.a
+        JOIN lgpsi lb ON lb.x = ab.bq
+    ),
+    s AS (
+        SELECT CAST(sum(CAST(a - bq AS HUGEINT) * (la - lb)) AS HUGEINT)
+               AS psi_fp
+        FROM terms
+    ),
+    dd AS (
+        SELECT DISTINCT CAST(np_tot AS HUGEINT) * mp_tot * {1 << LM_B} AS den
+        FROM sm
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(s.psi_fp AS DECIMAL(38,0)) AS psi_fp,
+           CAST(s.psi_fp AS DOUBLE) / CAST(dd.den AS DOUBLE) AS psi_bits,
+           s.psi_fp * 4 > dd.den AS psi_gt_025
+    FROM t, s, dd
+    """,
+    doc=f"POPULATION STABILITY INDEX, division-free: the industry-"
+    f"standard drift score Σ_b (p_b − q_b)·log2(p_b/q_b) between "
+    f"'{_KS_A}' and '{_KS_B}' event values over ks_drift_binned's exact "
+    f"{_KS_K}-bin equi-width histogram (same slices, same binning — the "
+    "two monitors read side by side), with add-one smoothing per bin so "
+    "empty bins are defined (the standard epsilon treatment, declared: "
+    f"n'=n+1, N'=N+{_KS_K}). Each term is rewritten as the exact "
+    "integer (n'M' − m'N')·(L(n'M') − L(m'N')) where L is the "
+    "shift-and-square fixed-point log2 the LM gate trains with "
+    f"(LM_B={LM_B} fractional bits, evaluated once per distinct "
+    "product value — a ≤ 2·{_KS_K}-row dictionary); sign-consistency "
+    "of the two factors makes every term ≥ 0 exactly as in the real "
+    "function, and the sum is a single decimal. psi_bits (the log2-"
+    "base PSI; multiply by ln 2 for nats) is the query's only float "
+    "division, and the classic 0.25 alarm threshold is evaluated "
+    "CROSS-MULTIPLIED in exact integers (psi_fp·4 > N'M'·2^B), so the "
+    "alert line every drift monitor pages on is float-free. 100 TB: "
+    "one partial-aggregable GROUP BY over a bounded bin space, a "
+    "128-value log dictionary, a 64-row fold — scan-bound, like the "
+    "KS twin. Products past 2^62 fail loudly on BOTH engines (Spark "
+    "raise_error guard, DuckDB HUGEINT-vs-error CASE) — quantize "
+    "counts first at that scale.",
+)
+def psi_drift_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select("value", "event_type")
+    )
+    r = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(_KS_K - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.lit(float(_KS_K))
+            ).cast("int"),
+        )
+    )
+    bc = (
+        v.crossJoin(F.broadcast(r))
+        .select(bin_.alias("bin"), "event_type")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("event_type") == _KS_A, 1)).alias("ca"),
+            F.count(F.when(F.col("event_type") == _KS_B, 1)).alias("cb"),
+        )
+    )
+    spine = spark.range(_KS_K).select(F.col("id").cast("int").alias("bin"))
+    b = spine.join(bc, "bin", "left").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+    )
+    b = managed_cache(b)
+    t = b.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    sm = b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        (F.col("ca") + 1).alias("np"),
+        (F.col("cb") + 1).alias("mp"),
+        (F.col("na") + _KS_K).alias("np_tot"),
+        (F.col("nb") + _KS_K).alias("mp_tot"),
+    )
+    dec19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    ab = sm.select(
+        "bin",
+        "np_tot",
+        "mp_tot",
+        _psi_guard(dec19("np") * dec19("mp_tot")).alias("a"),
+        _psi_guard(dec19("mp") * dec19("np_tot")).alias("bq"),
+    )
+    ab = managed_cache(ab)
+    xs = ab.select(F.col("a").alias("x")).union(
+        ab.select(F.col("bq").alias("x"))
+    ).distinct()
+    lg = _fp_log2_dict(xs)  # bounded: <= 2*_KS_K rows, localCheckpointed
+    terms = (
+        ab.join(
+            F.broadcast(lg.select(F.col("x").alias("a"), F.col("lgv").alias("la"))),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                lg.select(F.col("x").alias("bq"), F.col("lgv").alias("lb"))
+            ),
+            "bq",
+        )
+        .select(
+            "np_tot",
+            "mp_tot",
+            (
+                (F.col("a") - F.col("bq")).cast("decimal(20,0)")
+                * (F.col("la") - F.col("lb")).cast("decimal(10,0)")
+            ).alias("term"),
+        )
+    )
+    s = terms.agg(
+        F.sum("term").cast("decimal(38,0)").alias("psi_fp"),
+        (
+            F.max("np_tot").cast("decimal(19,0)")
+            * F.max("mp_tot").cast("decimal(19,0)")
+            * F.lit(1 << LM_B).cast("decimal(10,0)")
+        ).alias("den"),
+    )
+    return t.crossJoin(F.broadcast(s)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("psi_fp"),
+        (F.col("psi_fp").cast("double") / F.col("den").cast("double")).alias(
+            "psi_bits"
+        ),
+        (F.col("psi_fp") * 4 > F.col("den")).alias("psi_gt_025"),
+    )
