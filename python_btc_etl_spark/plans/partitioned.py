@@ -2116,3 +2116,256 @@ def gdpr_txn3_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ha_di bigint, ha_dv bigint, ha_iv bigint, "
         "ha_naive_di bigint, ha_naive_dv bigint, ha_naive_iv bigint",
     ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Four-table atomic GDPR transaction — every standing table (round 13)
+# --------------------------------------------------------------------------
+
+DV_PH_UNITS = 2  # phash-index base units
+
+
+def _dvt4_ph_units(spark: SparkSession, sf_dir: str, base: str) -> list:
+    """The FOURTH standing table a forget-me request touches: the
+    multimodal fingerprint index (stream_phash_gate's standing store,
+    round 13) — one 60-bit perceptual hash per document, computed by
+    the REAL decode -> resize -> threshold Arrow pass
+    (multimodal._phash_batches), laid out positionally like the other
+    DV tables."""
+    from pyspark.sql.window import Window as PW
+
+    from ..catalog import managed_cache, spread
+    from .multimodal import _phash_batches
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    ph = managed_cache(
+        d.mapInPandas(_phash_batches, schema="doc_id bigint, phash bigint")
+        .withColumn("unit", (F.col("doc_id") % DV_PH_UNITS).cast("int"))
+        .withColumn(
+            "pos", F.row_number().over(PW.partitionBy("unit").orderBy("doc_id"))
+        )
+    )
+    units = []
+    for k in range(DV_PH_UNITS):
+        unit = os.path.join(base, f"files/ph_u{k}")
+        ph.filter(F.col("unit") == k).select(
+            "doc_id", "phash", "unit", "pos"
+        ).write.mode("overwrite").parquet(unit)
+        units.append(unit)
+    return units
+
+
+def _dvt4_del_flags(base_df: DataFrame, read_df: DataFrame, tag: str) -> DataFrame:
+    """(doc_id, del_<tag>): 1 iff the reader sees the doc deleted from
+    this table (present in base, absent from the read)."""
+    return (
+        base_df.select("doc_id")
+        .join(read_df.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit(1).alias(f"del_{tag}"))
+    )
+
+
+def _dvt4_ha_any(
+    inter: DataFrame, bases: dict, reads: dict
+) -> int:
+    """Docs present in ALL FOUR base tables whose deletion status is
+    NON-UNIFORM across the four under ``reads`` — the N-table
+    half-applied counter (0 or 4 deletions is consistent; anything
+    between is a leak). One join pipeline instead of 6 pairwise scans."""
+    df = inter
+    for tag in ("data", "idx", "vec", "ph"):
+        df = df.join(_dvt4_del_flags(bases[tag], reads[tag], tag), "doc_id", "left")
+    s = sum(F.coalesce(F.col(f"del_{t}"), F.lit(0)) for t in ("data", "idx", "vec", "ph"))
+    return df.filter(~s.isin(0, 4)).count()
+
+
+def _dvt4_oracle() -> str:
+    from .mmstream import SQL_PHASH_V
+
+    w1 = _sql_in(DVTX_WAVE_1)
+    w12 = _sql_in(DVTX_WAVE_1 + DVTX_WAVE_2)
+    m = DV_DEL_MOD
+    # per-table deleted-doc counts for a wave set
+    dd = lambda w: f"(SELECT count(*) FROM documents WHERE doc_id % {m} IN {w})"
+    di = lambda w: f"(SELECT count(*) FROM sig WHERE doc_id % {m} IN {w})"
+    dv = lambda w: f"(SELECT count(*) FROM embeddings WHERE vec_id % {m} IN {w})"
+    dp = lambda w: f"(SELECT count(*) FROM v WHERE doc_id % {m} IN {w})"
+    # docs present in all four base tables (phash base == documents)
+    inter = (
+        "SELECT d.doc_id FROM documents d "
+        "JOIN sig s ON s.doc_id = d.doc_id "
+        "JOIN embeddings e ON e.vec_id = d.doc_id"
+    )
+    ha = lambda w: f"(SELECT count(*) FROM ({inter}) i WHERE i.doc_id % {m} IN {w})"
+    live = lambda col, tbl, key, w: (
+        f"(SELECT CAST(coalesce(sum({col}), 0) AS BIGINT) FROM {tbl} "
+        f"WHERE {key} % {m} NOT IN {w})"
+    )
+    stages = []
+    # committed aggregates: stages 1-3 = baseline, 4 = minus W1, 5 = minus W1+W2
+    for stage, w, txns, orphans, nd, ha_naive in (
+        (1, None, 0, "0", (0, 0, 0, 0), "0"),
+        (2, None, 0, dd(w1), (dd(w1), "0", "0", "0"), ha(w1)),
+        (3, None, 0, f"{dd(w1)} + {di(w1)} + {dv(w1)}",
+         (dd(w1), di(w1), dv(w1), "0"), ha(w1)),
+        (4, w1, 1, "0", (dd(w1), di(w1), dv(w1), dp(w1)), "0"),
+        (5, w12, 2, "0", (dd(w12), di(w12), dv(w12), dp(w12)), "0"),
+    ):
+        keep = w if w is not None else "(-1)"
+        stages.append(f"""
+        SELECT {stage} AS stage,
+               (SELECT count(*) FROM documents
+                WHERE doc_id % {m} NOT IN {keep}) AS n_rows,
+               {live('doc_id', 'documents', 'doc_id', keep)} AS docid_sum,
+               (SELECT count(*) FROM sig
+                WHERE doc_id % {m} NOT IN {keep}) AS idx_docs,
+               {live('n_sigs', 'sig', 'doc_id', keep)} AS idx_sigs,
+               (SELECT count(*) FROM embeddings
+                WHERE vec_id % {m} NOT IN {keep}) AS vec_docs,
+               {live('label', 'embeddings', 'vec_id', keep)} AS vec_lbl,
+               (SELECT count(*) FROM v
+                WHERE doc_id % {m} NOT IN {keep}) AS ph_docs,
+               {live('bit_count(phash)', 'v', 'doc_id', keep)} AS ph_bits,
+               CAST({txns} AS INT) AS txns_committed,
+               CAST({orphans} AS BIGINT) AS orphan_dv_rows,
+               CAST({nd[0]} AS BIGINT) AS nd_data,
+               CAST({nd[1]} AS BIGINT) AS nd_idx,
+               CAST({nd[2]} AS BIGINT) AS nd_vec,
+               CAST({nd[3]} AS BIGINT) AS nd_ph,
+               CAST(0 AS BIGINT) AS ha_all,
+               CAST({ha_naive} AS BIGINT) AS ha_naive""")
+    return f"""
+    WITH {_DVC_SIG_SQL},{SQL_PHASH_V}
+    SELECT * FROM ({" UNION ALL ".join(stages)}) ORDER BY stage
+    """
+
+
+@query(
+    "gdpr_txn4_atomic_audit",
+    oracle=_dvt4_oracle(),
+    doc="FOUR-TABLE ATOMIC GDPR COMMIT — the erasure transaction "
+    "extended over EVERY standing table a forget-me request touches "
+    "after round 13: the documents table, the dedup signature index, "
+    "the ANN embedding index, AND the multimodal fingerprint (phash) "
+    "index that stream_phash_gate made a standing store (closing at "
+    "four-table scope the same half-applied hazard rounds 12-13 "
+    "killed at two and three). All four DV waves stage under one txn "
+    "directory; the commit is still ONE atomic manifest rename "
+    "(_dvtx_commit, unchanged: the N-table stager is table-count "
+    "agnostic), and readers resolve DVs only through committed "
+    "manifests. Stage 2 kills the cascade after the data write; stage "
+    "3 kills it at the NEW kill point — after the vector write, "
+    "before the fingerprint write (doc forgotten by storage, dedup "
+    "AND retrieval, yet its perceptual hash still gates incoming "
+    "images: nd_ph = 0 while nd_data/nd_idx/nd_vec > 0 is exactly "
+    "that leak, and ha_naive > 0 proves the naive directory-listing "
+    "reader serves it); committed readers hold the N-table "
+    "non-uniformity counter ha_all at 0 and aggregates at stage-1 "
+    "values through every crash. Stage 4 replays the SAME transaction "
+    "idempotently; stage 5 lands a second wave cleanly. The oracle "
+    "re-derives all five stages closed-form, including the per-table "
+    "naive deleted-count staircase (nd_*) that distinguishes the two "
+    "kill points, the orphan row counts, and the phash checksum "
+    "(sum of bit_count over live fingerprints). Crash matrix with "
+    "kill points after EACH of the four writes in "
+    "tests/test_deletion_vectors.py. 100 TB: the commit stays one "
+    "metadata rename no matter how many tables participate.",
+)
+def gdpr_txn4_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ensure_session_confs(spark)
+    base = tempfile.mkdtemp(prefix="dv_txn4_")
+    try:
+        data_units, idx_units = _dvtx_base(spark, sf_dir, base)
+        vec_units = _dvt3_vec_units(spark, sf_dir, base)
+        ph_units = _dvt4_ph_units(spark, sf_dir, base)
+        tables = [
+            ("data", data_units),
+            ("idx", idx_units),
+            ("vec", vec_units),
+            ("ph", ph_units),
+        ]
+        units = dict(tables)
+        bases = {tag: spark.read.parquet(*us) for tag, us in tables}
+        # docs present in all four base tables (ph base == documents)
+        inter = (
+            bases["data"]
+            .select("doc_id")
+            .join(bases["idx"].select("doc_id"), "doc_id")
+            .join(bases["vec"].select("doc_id"), "doc_id")
+        )
+
+        def snap(stage: int, txns: int) -> tuple:
+            dvs = _dvtx_committed_dvs(base)
+            on_disk = _dvtx_on_disk_dvs(base)
+            reads = {t: _dv_read(spark, us, dvs, t) for t, us in tables}
+            naive = {t: _dv_read(spark, us, on_disk, t) for t, us in tables}
+            orphans = sorted(set(on_disk) - set(dvs))
+            orphan_rows = (
+                spark.read.parquet(*orphans).count() if orphans else 0
+            )
+            a = reads["data"].agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("doc_id").cast("bigint").alias("docid_sum"),
+            )
+            b = reads["idx"].agg(
+                F.count(F.lit(1)).cast("bigint").alias("idx_docs"),
+                F.sum("n_sigs").cast("bigint").alias("idx_sigs"),
+            )
+            c = reads["vec"].agg(
+                F.count(F.lit(1)).cast("bigint").alias("vec_docs"),
+                F.sum("label").cast("bigint").alias("vec_lbl"),
+            )
+            p = reads["ph"].agg(
+                F.count(F.lit(1)).cast("bigint").alias("ph_docs"),
+                F.sum(F.bit_count("phash")).cast("bigint").alias("ph_bits"),
+            )
+            row = a.crossJoin(b).crossJoin(c).crossJoin(p).collect()[0]
+            # bounded: one audit row; nd_* are GDPR-wave-sized counts
+            nd = tuple(
+                bases[t].join(naive[t].select("doc_id"), "doc_id", "left_anti").count()
+                for t in ("data", "idx", "vec", "ph")
+            )
+            return (
+                stage,
+                row["n_rows"],
+                row["docid_sum"],
+                row["idx_docs"],
+                row["idx_sigs"],
+                row["vec_docs"],
+                row["vec_lbl"],
+                row["ph_docs"],
+                row["ph_bits"],
+                txns,
+                orphan_rows,
+                *nd,
+                _dvt4_ha_any(inter, bases, reads),
+                _dvt4_ha_any(inter, bases, naive),
+            )
+
+        rows = [snap(1, 0)]
+        # Stage 2: the cascade dies after the data-table write.
+        _dvtx_stage_tables(spark, base, tables, 1, DVTX_WAVE_1, crash_after=1)
+        rows.append(snap(2, 0))
+        # Stage 3: replay dies at the NEW kill point — after the
+        # vector-index write, before the fingerprint-index write.
+        _dvtx_stage_tables(spark, base, tables, 1, DVTX_WAVE_1, crash_after=3)
+        rows.append(snap(3, 0))
+        # Stage 4: replay the SAME transaction to completion.
+        _dvtx_stage_tables(spark, base, tables, 1, DVTX_WAVE_1)
+        rows.append(snap(4, 1))
+        # Stage 5: a second wave commits cleanly in one pass.
+        _dvtx_stage_tables(spark, base, tables, 2, DVTX_WAVE_2)
+        rows.append(snap(5, 2))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage int, n_rows bigint, docid_sum bigint, idx_docs bigint, "
+        "idx_sigs bigint, vec_docs bigint, vec_lbl bigint, "
+        "ph_docs bigint, ph_bits bigint, txns_committed int, "
+        "orphan_dv_rows bigint, nd_data bigint, nd_idx bigint, "
+        "nd_vec bigint, nd_ph bigint, ha_all bigint, ha_naive bigint",
+    ).orderBy("stage")

@@ -368,3 +368,96 @@ def test_gdpr_txn3_crash_matrix(spark):
             )
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+def test_gdpr_txn4_crash_matrix(spark):
+    """Round-13 FOUR-table atomic commit (documents / sig index / ANN
+    embedding index / multimodal phash index): kill the erasure cascade
+    after EACH of the four DV writes -> committed readers see the
+    erasure in ALL tables or in NONE (the N-table non-uniformity
+    counter ha_all pinned 0 at every stage), the naive
+    directory-listing reader leaks exactly when the kill point
+    half-applies, replay completes idempotently under ONE manifest, and
+    base units are never rewritten."""
+    from python_btc_etl_spark.plans.partitioned import (
+        DV_DEL_MOD,
+        DVTX_WAVE_1,
+        _dv_read,
+        _dvt3_vec_units,
+        _dvt4_ha_any,
+        _dvt4_ph_units,
+        _dvtx_base,
+        _dvtx_committed_dvs,
+        _dvtx_on_disk_dvs,
+        _dvtx_stage_tables,
+    )
+
+    rem = F.col("doc_id") % DV_DEL_MOD
+
+    for crash_after in (1, 2, 3, 4):
+        base = tempfile.mkdtemp(prefix=f"dvt4_c{crash_after}_")
+        try:
+            data_units, idx_units = _dvtx_base(spark, SF_SMALL, base)
+            vec_units = _dvt3_vec_units(spark, SF_SMALL, base)
+            ph_units = _dvt4_ph_units(spark, SF_SMALL, base)
+            tables = [
+                ("data", data_units),
+                ("idx", idx_units),
+                ("vec", vec_units),
+                ("ph", ph_units),
+            ]
+            all_units = data_units + idx_units + vec_units + ph_units
+            bases = {tag: spark.read.parquet(*us) for tag, us in tables}
+            counts = {tag: df.count() for tag, df in bases.items()}
+            inter = (
+                bases["data"]
+                .select("doc_id")
+                .join(bases["idx"].select("doc_id"), "doc_id")
+                .join(bases["vec"].select("doc_id"), "doc_id")
+            )
+            inv0 = _file_inventory(all_units)
+
+            # crash mid-transaction after the crash_after-th write
+            _dvtx_stage_tables(
+                spark, base, tables, 1, DVTX_WAVE_1, crash_after=crash_after
+            )
+            assert _dvtx_committed_dvs(base) == []  # nothing committed
+            reads = {
+                tag: _dv_read(spark, us, [], tag) for tag, us in tables
+            }
+            for tag, df in reads.items():  # NO table changed (committed)
+                assert df.count() == counts[tag]
+            assert _dvt4_ha_any(inter, bases, reads) == 0
+            on_disk = _dvtx_on_disk_dvs(base)
+            assert len(on_disk) == crash_after
+            naive = {
+                tag: _dv_read(spark, us, on_disk, tag) for tag, us in tables
+            }
+            leak = _dvt4_ha_any(inter, bases, naive)
+            if crash_after < 4:  # some table straddles the kill point
+                assert leak > 0, crash_after
+            else:  # all four staged, only the manifest missing:
+                assert leak == 0  # naive is uniform (but premature)
+
+            # replay to completion: idempotent overwrite + ONE commit
+            _dvtx_stage_tables(spark, base, tables, 1, DVTX_WAVE_1)
+            dvs = _dvtx_committed_dvs(base)
+            assert len(dvs) == 4  # one manifest covering all FOUR
+            reads = {
+                tag: _dv_read(spark, us, dvs, tag) for tag, us in tables
+            }
+            for df in reads.values():
+                assert df.filter(rem.isin(list(DVTX_WAVE_1))).count() == 0
+            assert _dvt4_ha_any(inter, bases, reads) == 0
+
+            # double replay is a no-op: the manifest file is untouched
+            mpath = os.path.join(base, "manifests/txn_1.json")
+            m0 = os.stat(mpath).st_mtime_ns
+            _dvtx_stage_tables(spark, base, tables, 1, DVTX_WAVE_1)
+            assert os.stat(mpath).st_mtime_ns == m0
+            assert len(_dvtx_committed_dvs(base)) == 4
+
+            # base units never rewritten through the whole matrix
+            assert _file_inventory(all_units) == inv0
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
