@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..catalog import stream_partitions
 from ..functions import vectors as VX
 from .registry import query
 from .similarity import (
@@ -358,22 +359,39 @@ def _sai_run(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ann_ingest_batch(spark, state, cents, batch_df)
 
-    q = stream.writeStream.foreachBatch(sink).start()
+    with stream_partitions(spark):
+        q = stream.writeStream.foreachBatch(sink).start()
     try:
-        home = F.col("vec_id") % ANN_SI_BATCHES
+        # All slices pre-staged in ONE partitioned write (optimization
+        # r13 — the loop previously re-ran the aug plan once per slice).
+        # A row's delivery list is its home slice plus, for re-delivery
+        # rows (vec_id % ANN_SI_RED_MOD == 0, not in the last slice),
+        # the following slice — exploded so each delivery carries its
+        # own ``arrival`` stamp, identical to the old per-slice filters.
+        from .stream import _move_slice
+
+        home = (F.col("vec_id") % ANN_SI_BATCHES).cast("int")
+        red = (F.col("vec_id") % ANN_SI_RED_MOD == 0) & (
+            home < ANN_SI_BATCHES - 1
+        )
+        stage = f"{base}/stage_all"
+        (
+            aug.withColumn(
+                "arrival",
+                F.explode(
+                    F.when(
+                        red, F.array(home, (home + F.lit(1)).cast("int"))
+                    ).otherwise(F.array(home))
+                ),
+            )
+            .withColumn("b", F.col("arrival"))
+            .repartition("b")
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(stage)
+        )
         for b in range(ANN_SI_BATCHES):
-            cond = home == b
-            if b >= 1:  # previous slice's re-deliveries ride along
-                cond = cond | (
-                    (home == b - 1) & (F.col("vec_id") % ANN_SI_RED_MOD == 0)
-                )
-            stage = f"{base}/stage{b}"
-            aug.filter(cond).withColumn(
-                "arrival", F.lit(b).cast("int")
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-            for i, f_ in enumerate(parts):
-                shutil.move(f"{stage}/{f_}", f"{src}/slice_{b}_{i}.parquet")
+            _move_slice(stage, b, src)
             q.processAllAvailable()
             if waves and b in waves:  # GDPR wave between micro-batches
                 _sgd_land_wave(

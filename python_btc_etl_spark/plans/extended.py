@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, stream_partitions
 from ..sources.pyds import MINUTES_PER_DAY as PYDS_MPD
 from ..sources.pyds import STREAM_STEP as PYDS_STEP
 from ..streaming.file_stream import run_stream_static_enrich
@@ -430,13 +430,14 @@ def pyds_stream_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("pyds_stream_rollup")
     except Exception:
         pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("pyds_stream_rollup")
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    with stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("pyds_stream_rollup")
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
     try:
         # Event-driven completion, no poll loop: the paced reader's
         # latestOffset stops advancing at n_days*MINUTES_PER_DAY, so the
@@ -1131,14 +1132,15 @@ def pyds_stream_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # latestOffset stops advancing once all rows are emitted, so
         # processAllAvailable returns exactly when the final batch has
         # committed — no manifest-polling sleep loop (verdict task #5).
-        q = (
-            bars.writeStream.format("synthetic_bars")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
+        with stream_partitions(spark):
+            q = (
+                bars.writeStream.format("synthetic_bars")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
         q.processAllAvailable()
         q.stop()
         q.awaitTermination()

@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 
 from typing import NamedTuple
 
-from ..catalog import load
+from ..catalog import load, stream_partitions
 from .multimodal import (
     AFP_BAND_BITS,
     AFP_BANDS,
@@ -77,7 +77,13 @@ from .multimodal import (
     _sql_afp_mix,
 )
 from .registry import query
-from .stream import _ndg_committed, _ndg_committed_waves, _ndg_tombstones
+from .stream import (
+    _move_slice,
+    _ndg_committed,
+    _ndg_committed_waves,
+    _ndg_tombstones,
+    _stage_slices,
+)
 
 MPG_BATCHES = 3  # stream slices: batch b = docs with doc_id % 3 == b
 MPG_DV_MOD = 7
@@ -314,16 +320,12 @@ def _mpg_run(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         gate(spark, state, batch_df, batch_id)
 
-    q = stream.writeStream.foreachBatch(sink).start()
+    with stream_partitions(spark):
+        q = stream.writeStream.foreachBatch(sink).start()
     try:
+        stage = _stage_slices(docs, MPG_BATCHES, base)
         for b in range(MPG_BATCHES):
-            stage = f"{base}/stage{b}"
-            docs.filter(F.col("doc_id") % MPG_BATCHES == b).coalesce(
-                1
-            ).write.mode("overwrite").parquet(stage)
-            parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-            for i, f_ in enumerate(parts):
-                shutil.move(f"{stage}/{f_}", f"{src}/slice_{b}_{i}.parquet")
+            _move_slice(stage, b, src)
             q.processAllAvailable()
             if waves and b in waves:  # GDPR wave between micro-batches
                 land(spark, state, b, _ndg_committed(state), waves[b])

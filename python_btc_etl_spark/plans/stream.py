@@ -22,6 +22,7 @@ from ..streaming.file_stream import (
     run_windowed_ohlcv,
 )
 from ..streaming.stateful import run_user_lifetime_stats
+from ..catalog import stream_partitions
 from .ingest import _DUCK_RAW, CORPUS
 from .registry import query
 
@@ -403,8 +404,9 @@ def stream_foreach_batch_partials(spark: SparkSession, sf_dir: str) -> DataFrame
                 "partitionOverwriteMode", "dynamic"
             ).parquet(base)
 
-        q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-        q.awaitTermination()
+        with stream_partitions(spark):
+            q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+            q.awaitTermination()
         partials = spark.read.parquet(base)
         # Collect-free return (judge r11 #5): checkpoint the bounded
         # summary executor-side before the temp dir goes away — no
@@ -471,14 +473,15 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").alias("user_id_sum"),
             F.max("event_id").alias("max_event_id"),
         )
-        q = (
-            agg.writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_partitions(spark):
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # The state rows ARE the aggregation buffers (count/sum/max per
         # key); positional access — buffer field NAMES are internal.
         #
@@ -669,8 +672,9 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df, batch_id: int) -> None:
             merge_upsert_batch(spark, state, batch_df, batch_id)
 
-        q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
-        q.awaitTermination()
+        with stream_partitions(spark):
+            q = raw.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+            q.awaitTermination()
         # Collect-free return (judge r11 #5): executor-held checkpoint
         # of the bounded summary instead of collect+createDataFrame.
         out = (
@@ -738,6 +742,46 @@ NDG_BATCHES = 3  # stream slices: batch b = docs with doc_id % 3 == b
 # no 'suppressed' verdict class exists here: every doc arrives once.)
 NDG_DV_MOD = 7
 NDG_DV_WAVES = {0: 3, 1: 5}  # after-batch -> deleted remainder class
+
+
+def _stage_slices(df: DataFrame, n_batches: int, base: str) -> str:
+    """Pre-stage ALL modulo slices of ``df`` in ONE partitioned write
+    (optimization r13, guide §1.2/§2.4): the per-slice staging loops
+    previously re-ran the full augmented-corpus plan once per slice
+    (N scans + N jobs for N micro-batches); one shuffle on the slice
+    key writes every slice's files up front. The slice key lives in
+    the PATH (partitionBy), not the data, so the stream schema is
+    unchanged; arrival order is still pinned by the caller, which
+    moves slice b's files in only after slice b-1 has drained. Empty
+    slices simply produce no directory (the old path produced a 0-row
+    parquet whose micro-batch was a no-op — same decisions either
+    way)."""
+    from pyspark.sql import functions as F
+
+    stage = f"{base}/stage_all"
+    (
+        df.withColumn("b", (F.col("doc_id") % n_batches).cast("int"))
+        .repartition("b")
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(stage)
+    )
+    return stage
+
+
+def _move_slice(stage: str, b: int, src: str) -> None:
+    """Move slice ``b``'s pre-staged files into the live source dir as
+    flat uniquely-named files (a partition subdir would change the
+    stream schema)."""
+    import os
+    import shutil
+
+    sdir = f"{stage}/b={b}"
+    if not os.path.isdir(sdir):
+        return  # empty slice: nothing arrives, the micro-batch is a no-op
+    parts = [f for f in os.listdir(sdir) if f.startswith("part-")]
+    for i, f in enumerate(parts):
+        shutil.move(f"{sdir}/{f}", f"{src}/slice_{b}_{i}.parquet")
 
 
 def _ndg_committed_waves(state: str) -> list[int]:
@@ -1036,20 +1080,17 @@ def _ndg_run(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         neardup_gate_batch(spark, state, batch_df, batch_id)
 
-    q = stream.writeStream.foreachBatch(sink).start()
+    with stream_partitions(spark):
+        q = stream.writeStream.foreachBatch(sink).start()
     try:
         # Land slice b and DRAIN it before landing b+1 — arrival
         # order is the gate's semantic, so the harness pins it.
-        # Slices are staged then moved in as FLAT uniquely-named
-        # files (a partition subdir would change the stream schema).
+        # All slices pre-staged in ONE partitioned write (see
+        # _stage_slices); each is moved in as FLAT uniquely-named
+        # files only after its predecessor drained.
+        stage = _stage_slices(aug, NDG_BATCHES, base)
         for b in range(NDG_BATCHES):
-            stage = f"{base}/stage{b}"
-            aug.filter(F.col("doc_id") % NDG_BATCHES == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-            for i, f in enumerate(parts):
-                shutil.move(f"{stage}/{f}", f"{src}/slice_{b}_{i}.parquet")
+            _move_slice(stage, b, src)
             q.processAllAvailable()
             if waves and b in waves:  # GDPR wave between micro-batches
                 _ndg_land_wave(spark, state, b, _ndg_committed(state), waves[b])
@@ -1538,16 +1579,12 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             quality_gate_batch(spark, state, model, batch_df)
 
-        q = stream.writeStream.foreachBatch(sink).start()
+        with stream_partitions(spark):
+            q = stream.writeStream.foreachBatch(sink).start()
         try:
+            stage = _stage_slices(strm, SQG_BATCHES, base)
             for b in range(SQG_BATCHES):
-                stage = f"{base}/stage{b}"
-                strm.filter(F.col("doc_id") % SQG_BATCHES == b).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(stage)
-                parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-                for i, f in enumerate(parts):
-                    shutil.move(f"{stage}/{f}", f"{src}/slice_{b}_{i}.parquet")
+                _move_slice(stage, b, src)
                 q.processAllAvailable()
         finally:
             q.stop()
@@ -1830,16 +1867,12 @@ def stream_quality_gdpr_interleave(spark: SparkSession, sf_dir: str) -> DataFram
                 spark, state, holder["model"], holder["v"], batch_df
             )
 
-        q = stream.writeStream.foreachBatch(sink).start()
+        with stream_partitions(spark):
+            q = stream.writeStream.foreachBatch(sink).start()
         try:
+            stage = _stage_slices(strm, SQG_BATCHES, base)
             for b in range(SQG_BATCHES):
-                stage = f"{base}/stage{b}"
-                strm.filter(F.col("doc_id") % SQG_BATCHES == b).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(stage)
-                parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-                for i, f in enumerate(parts):
-                    shutil.move(f"{stage}/{f}", f"{src}/slice_{b}_{i}.parquet")
+                _move_slice(stage, b, src)
                 q.processAllAvailable()
                 if b in SQG_DV_WAVES:  # GDPR wave between micro-batches
                     _sqgd_land_wave(spark, state, b, base_slice, SQG_DV_WAVES[b])

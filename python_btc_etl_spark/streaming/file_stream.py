@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import ensure_session_confs
+from ..catalog import ensure_session_confs, stream_partitions
 from ..sources.csv_bars import BAR_SCHEMA, transform_bars
 
 DEFAULT_WATERMARK = "1 day"
@@ -72,16 +72,17 @@ def stream_ingest_once(
     set, reference utils.py:24-36, but transactional)."""
     bars = stream_bars(spark, directory, max_files_per_trigger)
     out = bars.withColumn("date", F.col("date_time").cast("date"))
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", table_path)
-        .option("checkpointLocation", checkpoint)
-        .partitionBy("date")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", table_path)
+            .option("checkpointLocation", checkpoint)
+            .partitionBy("date")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_ingest_daemon(
@@ -114,15 +115,16 @@ def stream_ingest_daemon(
     """
     bars = stream_bars(spark, directory, max_files_per_trigger)
     out = bars.withColumn("date", F.col("date_time").cast("date"))
-    return (
-        out.writeStream.format("parquet")
-        .option("path", table_path)
-        .option("checkpointLocation", checkpoint)
-        .partitionBy("date")
-        .outputMode("append")
-        .trigger(processingTime=poll_interval)
-        .start()
-    )
+    with stream_partitions(spark):
+        return (
+            out.writeStream.format("parquet")
+            .option("path", table_path)
+            .option("checkpointLocation", checkpoint)
+            .partitionBy("date")
+            .outputMode("append")
+            .trigger(processingTime=poll_interval)
+            .start()
+        )
 
 
 def _run_to_memory(df: DataFrame, name: str) -> DataFrame:
@@ -135,14 +137,15 @@ def _run_to_memory(df: DataFrame, name: str) -> DataFrame:
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -222,14 +225,15 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_.catalog.dropTempView("stream_dedup")
     except Exception:
         pass
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("stream_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark_):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("stream_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark_.table("stream_dedup").orderBy("event_id")
 
 
@@ -263,14 +267,15 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_.catalog.dropTempView("stream_join")
     except Exception:
         pass
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("stream_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark_):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark_.table("stream_join").orderBy("purchase_id", "click_id")
 
 
@@ -315,14 +320,15 @@ def run_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_.catalog.dropTempView("stream_full_join")
     except Exception:
         pass
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("stream_full_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark_):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_full_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # NULLS LAST to mirror the oracle's ORDER BY ... NULLS LAST (Spark's
     # ascending default is nulls-first; both sides must pin the same).
     return spark_.table("stream_full_join").orderBy(
@@ -366,14 +372,15 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_.catalog.dropTempView("stream_left_join")
     except Exception:
         pass
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("stream_left_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark_):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_left_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark_.table("stream_left_join").orderBy("purchase_id", "click_id")
 
 
@@ -393,14 +400,15 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_.catalog.dropTempView("stream_enrich")
     except Exception:
         pass
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("stream_enrich")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark_):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_enrich")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark_.table("stream_enrich")
 
 
@@ -492,14 +500,15 @@ def run_stream_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
         spark_.catalog.dropTempView("stream_topk_users")
     except Exception:
         pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("stream_topk_users")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark_):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_topk_users")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark_.table("stream_topk_users")
         .orderBy(F.desc("total_value"), "user_id")
@@ -539,14 +548,15 @@ def run_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_.catalog.dropTempView("stream_dedup_window")
     except Exception:
         pass
-    q = (
-        out.writeStream.format("memory")
-        .queryName("stream_dedup_window")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark_):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_dedup_window")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark_.table("stream_dedup_window").orderBy("day", "event_type")
 
 
@@ -607,14 +617,15 @@ def run_stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     sink = spark.table(name)
     return (
         sink.groupBy("event_type")

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..catalog import ensure_session_confs
+from ..catalog import ensure_session_confs, stream_partitions
 
 STATE_SCHEMA = T.StructType(
     [
@@ -207,14 +207,15 @@ def run_user_stats_tws(
     except Exception:
         pass
     try:
-        q = (
-            updates.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_partitions(spark):
+            q = (
+                updates.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prev_provider is None:
             spark.conf.unset(provider_key)
@@ -256,14 +257,15 @@ def run_user_lifetime_stats(
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_partitions(spark):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     all_updates = spark.table(name)
     final = F.max_by(
         F.struct("n_events", "total_value", "max_value"), F.col("n_events")
