@@ -1578,20 +1578,33 @@ DVTX_WAVE_2 = (23,)  # second wave, committed cleanly (disjoint from wave 1)
 def _dvtx_base(spark: SparkSession, sf_dir: str, base: str) -> tuple[list, list]:
     """Write the base data/index units once (same layout as
     _dv_lifecycle; positions are write-time file facts)."""
+    from ..catalog import run_parallel
+
     data, idx = _dv_tables(spark, sf_dir)
-    data_units, idx_units = [], []
-    for k in range(DV_DATA_UNITS):
-        unit = os.path.join(base, f"files/data_u{k}")
-        data.filter(F.col("unit") == k).select(
+    data_units = [
+        os.path.join(base, f"files/data_u{k}") for k in range(DV_DATA_UNITS)
+    ]
+    idx_units = [
+        os.path.join(base, f"files/idx_u{k}") for k in range(DV_IDX_UNITS)
+    ]
+
+    def _wd(k):
+        return lambda: data.filter(F.col("unit") == k).select(
             "doc_id", "text", "unit", "pos"
-        ).write.mode("overwrite").parquet(unit)
-        data_units.append(unit)
-    for k in range(DV_IDX_UNITS):
-        unit = os.path.join(base, f"files/idx_u{k}")
-        idx.filter(F.col("unit") == k).select(
+        ).write.mode("overwrite").parquet(data_units[k])
+
+    def _wi(k):
+        return lambda: idx.filter(F.col("unit") == k).select(
             "doc_id", "n_sigs", "unit", "pos"
-        ).write.mode("overwrite").parquet(unit)
-        idx_units.append(unit)
+        ).write.mode("overwrite").parquet(idx_units[k])
+
+    # Base-unit writes are independent setup writes (no commit-order
+    # contract — the audit's commit marker is the txn manifest, not
+    # these) — overlap them from driver threads (r13, guide §2.6).
+    run_parallel(
+        [_wd(k) for k in range(DV_DATA_UNITS)]
+        + [_wi(k) for k in range(DV_IDX_UNITS)]
+    )
     return data_units, idx_units
 
 
@@ -1832,7 +1845,18 @@ def gdpr_txn_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("idx_docs"),
                 F.sum("n_sigs").cast("bigint").alias("idx_sigs"),
             )
-            row = a.crossJoin(b).collect()[0]  # bounded: one audit row
+            # Three independent audit jobs per snapshot, overlapped from
+            # driver threads (optimization r13, guide §2.6) — same
+            # plans, same counts, one job latency instead of three.
+            from ..catalog import run_parallel
+
+            row, ha, han = run_parallel(
+                [
+                    lambda: a.crossJoin(b).collect()[0],
+                    lambda: _dvtx_half_applied(base_d, base_i, dat, idx),
+                    lambda: _dvtx_half_applied(base_d, base_i, datn, idxn),
+                ]
+            )
             return (
                 stage,
                 row["n_rows"],
@@ -1841,8 +1865,8 @@ def gdpr_txn_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row["idx_sigs"],
                 txns,
                 orphan_rows,
-                _dvtx_half_applied(base_d, base_i, dat, idx),
-                _dvtx_half_applied(base_d, base_i, datn, idxn),
+                ha,
+                han,
             )
 
         rows = [snap(1, 0)]
@@ -2069,7 +2093,25 @@ def gdpr_txn3_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("vec_docs"),
                 F.sum("label").cast("bigint").alias("vec_lbl"),
             )
-            row = a.crossJoin(b).crossJoin(c).collect()[0]  # bounded: 1 row
+            # The seven audit jobs per snapshot (one aggregate collect +
+            # six pairwise half-applied counts) are independent — overlap
+            # them from driver threads (optimization r13, guide §2.6)
+            # instead of paying seven serial job latencies; each job is
+            # a small broadcast-join plan on a mostly idle scheduler.
+            # Values and semantics unchanged (same plans, same counts).
+            from ..catalog import run_parallel
+
+            row, ha_di, ha_dv, ha_iv, han_di, han_dv, han_iv = run_parallel(
+                [
+                    lambda: a.crossJoin(b).crossJoin(c).collect()[0],
+                    lambda: _dvtx_half_applied(base_d, base_i, dat, idx),
+                    lambda: _dvtx_half_applied(base_d, base_v, dat, vec),
+                    lambda: _dvtx_half_applied(base_i, base_v, idx, vec),
+                    lambda: _dvtx_half_applied(base_d, base_i, datn, idxn),
+                    lambda: _dvtx_half_applied(base_d, base_v, datn, vecn),
+                    lambda: _dvtx_half_applied(base_i, base_v, idxn, vecn),
+                ]
+            )
             return (
                 stage,
                 row["n_rows"],
@@ -2080,12 +2122,12 @@ def gdpr_txn3_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row["vec_lbl"],
                 txns,
                 orphan_rows,
-                _dvtx_half_applied(base_d, base_i, dat, idx),
-                _dvtx_half_applied(base_d, base_v, dat, vec),
-                _dvtx_half_applied(base_i, base_v, idx, vec),
-                _dvtx_half_applied(base_d, base_i, datn, idxn),
-                _dvtx_half_applied(base_d, base_v, datn, vecn),
-                _dvtx_half_applied(base_i, base_v, idxn, vecn),
+                ha_di,
+                ha_dv,
+                ha_iv,
+                han_di,
+                han_dv,
+                han_iv,
             )
 
         rows = [snap(1, 0)]
@@ -2322,11 +2364,29 @@ def gdpr_txn4_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("ph_docs"),
                 F.sum(F.bit_count("phash")).cast("bigint").alias("ph_bits"),
             )
-            row = a.crossJoin(b).crossJoin(c).crossJoin(p).collect()[0]
-            # bounded: one audit row; nd_* are GDPR-wave-sized counts
-            nd = tuple(
-                bases[t].join(naive[t].select("doc_id"), "doc_id", "left_anti").count()
-                for t in ("data", "idx", "vec", "ph")
+            # Seven independent audit jobs per snapshot (aggregate
+            # collect, four naive deleted counts, two N-table
+            # non-uniformity counts), overlapped from driver threads
+            # (optimization r13, guide §2.6) — same plans, same counts.
+            from ..catalog import run_parallel
+
+            def _nd(t):
+                return lambda: (
+                    bases[t]
+                    .join(naive[t].select("doc_id"), "doc_id", "left_anti")
+                    .count()
+                )
+
+            row, nd0, nd1, nd2, nd3, ha_all, ha_naive = run_parallel(
+                [
+                    lambda: a.crossJoin(b).crossJoin(c).crossJoin(p).collect()[0],
+                    _nd("data"),
+                    _nd("idx"),
+                    _nd("vec"),
+                    _nd("ph"),
+                    lambda: _dvt4_ha_any(inter, bases, reads),
+                    lambda: _dvt4_ha_any(inter, bases, naive),
+                ]
             )
             return (
                 stage,
@@ -2340,9 +2400,12 @@ def gdpr_txn4_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row["ph_bits"],
                 txns,
                 orphan_rows,
-                *nd,
-                _dvt4_ha_any(inter, bases, reads),
-                _dvt4_ha_any(inter, bases, naive),
+                nd0,
+                nd1,
+                nd2,
+                nd3,
+                ha_all,
+                ha_naive,
             )
 
         rows = [snap(1, 0)]
