@@ -858,14 +858,26 @@ def dedup_index_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
     h = _hashed_shingles(spark, sf_dir)
     corpus = h.filter(F.col("doc_id") % INC_EVERY != 7)
     batch = h.filter(F.col("doc_id") % INC_EVERY == 7)
+    from ..catalog import run_parallel
+
     units = {}
     for k in range(DIM_UNITS_V1):
-        unit = os.path.join(base, f"files/c1_u{k}")
-        corpus.filter(F.col("doc_id") % DIM_UNITS_V1 == k).write.mode(
-            "overwrite"
-        ).parquet(unit)
-        units[f"c1_u{k}"] = unit
+        units[f"c1_u{k}"] = os.path.join(base, f"files/c1_u{k}")
     v1 = [units[f"c1_u{k}"] for k in range(DIM_UNITS_V1)]
+
+    def _wv1(k):
+        return lambda: corpus.filter(
+            F.col("doc_id") % DIM_UNITS_V1 == k
+        ).write.mode("overwrite").parquet(v1[k])
+
+    # v1 unit writes: independent paths, no commit-order contract (the
+    # snapshot becomes live only when the caller reads *v1 after this
+    # returns) — overlapped from driver threads (r13, guide §2.6).
+    # The cached shingle pass is materialized ONCE first: concurrent
+    # first-touch of an unpopulated cache serializes on block locks and
+    # re-computes partitions (measured 6.4 s -> 14.8 s without this).
+    h.write.mode("overwrite").format("noop").save()
+    run_parallel([_wv1(k) for k in range(DIM_UNITS_V1)])
     # Acceptance gate: batch vs the INDEX AS MATERIALIZED (read from
     # v1's units, not recomputed). Batch side broadcast; index streamed.
     idx = spark.read.parquet(*v1)
@@ -897,20 +909,29 @@ def dedup_index_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
     accepted.write.mode("overwrite").parquet(append_unit)
     units["c2_batch"] = append_unit
     v2 = v1 + [append_unit]
-    # Pre-vacuum audits of the snapshots that will lose their units.
+    # Pre-vacuum audits of the snapshots that will lose their units,
+    # overlapped with the v3 compaction rewrites: the audits read the
+    # IMMUTABLE v1/v2 units while the rewrites only create NEW c3 paths,
+    # so neither observes the other (vacuum, which mutates, stays after).
     agg1 = _dim_sig_aggs(spark.read.parquet(*v1), 1)
     agg2 = _dim_sig_aggs(spark.read.parquet(*v2), 2)
-    pre = agg1.unionByName(agg2).collect()
-    # Compaction: v2 rewritten into DIM_UNITS_V3 units, manifest swap.
     full = spark.read.parquet(*v2)
     v3 = []
     for k in range(DIM_UNITS_V3):
         unit = os.path.join(base, f"files/c3_u{k}")
-        full.filter(F.col("doc_id") % DIM_UNITS_V3 == k).write.mode(
-            "overwrite"
-        ).parquet(unit)
         units[f"c3_u{k}"] = unit
         v3.append(unit)
+
+    def _wv3(k):
+        return lambda: full.filter(
+            F.col("doc_id") % DIM_UNITS_V3 == k
+        ).write.mode("overwrite").parquet(v3[k])
+
+    results = run_parallel(
+        [lambda: agg1.unionByName(agg2).collect()]
+        + [_wv3(k) for k in range(DIM_UNITS_V3)]
+    )
+    pre = results[0]
     # Vacuum: only v3 is retained; every unit no live manifest
     # references is physically deleted.
     import shutil as _sh
@@ -1282,56 +1303,94 @@ def _dvc_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
     decisions so tests can pin the file inventory."""
     from pyspark.sql.window import Window as PW
 
+    from ..catalog import run_parallel
+
     data, idx = _dv_tables(spark, sf_dir)
-    data_units, idx_units = [], []
-    for k in range(DV_DATA_UNITS):
-        unit = os.path.join(base, f"files/data_u{k}")
-        data.filter(F.col("unit") == k).select(
-            "doc_id", "text", "unit", "pos"
-        ).write.mode("overwrite").parquet(unit)
-        data_units.append(unit)
-    for k in range(DV_IDX_UNITS):
-        unit = os.path.join(base, f"files/idx_u{k}")
-        idx.filter(F.col("unit") == k).select(
-            "doc_id", "n_sigs", "unit", "pos"
-        ).write.mode("overwrite").parquet(unit)
-        idx_units.append(unit)
+    # Lifecycle writes are parallelized WITHIN each phase (optimization
+    # r13, guide §2.6): every phase's writes target distinct paths with
+    # no commit-order contract between them (the oracle derives each
+    # version's content from first principles, not from write order);
+    # phase boundaries — base -> wave A -> decisions -> rewrites ->
+    # retained -> wave B — stay strictly sequential.
+    data_units = [
+        os.path.join(base, f"files/data_u{k}") for k in range(DV_DATA_UNITS)
+    ]
+    idx_units = [
+        os.path.join(base, f"files/idx_u{k}") for k in range(DV_IDX_UNITS)
+    ]
+
+    def _wbase(src, k, cols, path):
+        return lambda: src.filter(F.col("unit") == k).select(*cols).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    # Materialize both caches first (different caches — parallel is
+    # safe); parallel first-touch of ONE unpopulated cache serializes
+    # on block locks and recomputes partitions.
+    run_parallel(
+        [
+            lambda: data.write.mode("overwrite").format("noop").save(),
+            lambda: idx.write.mode("overwrite").format("noop").save(),
+        ]
+    )
+    run_parallel(
+        [
+            _wbase(data, k, ["doc_id", "text", "unit", "pos"], data_units[k])
+            for k in range(DV_DATA_UNITS)
+        ]
+        + [
+            _wbase(idx, k, ["doc_id", "n_sigs", "unit", "pos"], idx_units[k])
+            for k in range(DV_IDX_UNITS)
+        ]
+    )
     all_t = {
         "data": spark.read.parquet(*data_units),
         "idx": spark.read.parquet(*idx_units),
     }
     # Wave A: positions read from the committed units (file facts)
-    wave_a = []
-    for tag, src in all_t.items():
-        p = os.path.join(base, f"files/dv_a_{tag}")
-        src.filter(
+    wave_a = [os.path.join(base, f"files/dv_a_{tag}") for tag in all_t]
+
+    def _wwave(src, tag, path):
+        return lambda: src.filter(
             (F.col("doc_id") % DV_DEL_MOD).isin(list(DVC_WAVE_A))
         ).select(F.lit(tag).alias("tbl"), "unit", "pos").write.mode(
             "overwrite"
-        ).parquet(p)
-        wave_a.append(p)
+        ).parquet(path)
+
+    run_parallel(
+        [_wwave(src, tag, p) for (tag, src), p in zip(all_t.items(), wave_a)]
+    )
     dv_a = spark.read.parquet(*wave_a)
     # Compaction decision: exact integer threshold per unit, computed
     # from the FILES (rows per unit, tombstones per unit) — the same
     # numbers the oracle derives from first principles.
     decisions: dict[tuple[str, int], bool] = {}
-    for tag, src in all_t.items():
-        rows = {
-            r["unit"]: r["c"]
-            for r in src.groupBy("unit").agg(F.count(F.lit(1)).alias("c")).collect()
-        }  # bounded: <= DV_DATA_UNITS rows
-        dels = {
-            r["unit"]: r["c"]
-            for r in dv_a.filter(F.col("tbl") == tag)
+
+    def _rows(src):
+        return lambda: src.groupBy("unit").agg(F.count(F.lit(1)).alias("c")).collect()
+
+    def _dels(tag):
+        return lambda: (
+            dv_a.filter(F.col("tbl") == tag)
             .groupBy("unit")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
-        }
+        )
+
+    # bounded collects (<= DV_DATA_UNITS rows each), overlapped
+    tags = list(all_t)
+    results = run_parallel(
+        [_rows(all_t[t]) for t in tags] + [_dels(t) for t in tags]
+    )
+    for i, tag in enumerate(tags):
+        rows = {r["unit"]: r["c"] for r in results[i]}
+        dels = {r["unit"]: r["c"] for r in results[len(tags) + i]}
         for u, c in rows.items():
             decisions[(tag, u)] = dels.get(u, 0) * DVC_DEN >= c * DVC_NUM
     # Rewrite exactly the over-threshold units minus their tombstones,
     # re-ordinalizing pos (write-time window, per-unit, like the base).
     manifest3: dict[str, list[str]] = {"data": [], "idx": []}
+    rewrites = []
     for tag, units in (("data", data_units), ("idx", idx_units)):
         cols = ["doc_id", "text" if tag == "data" else "n_sigs", "unit", "pos"]
         for u_path in units:
@@ -1339,39 +1398,56 @@ def _dvc_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
             if not decisions[(tag, u)]:
                 manifest3[tag].append(u_path)
                 continue
-            old = spark.read.parquet(u_path)
-            tomb = (
-                dv_a.filter((F.col("tbl") == tag) & (F.col("unit") == u))
-                .select("unit", "pos")
-            )
             newp = os.path.join(base, f"files/c_{tag}_u{u}")
-            old.join(tomb, ["unit", "pos"], "left_anti").drop("pos").withColumn(
-                "pos",
-                F.row_number().over(PW.partitionBy("unit").orderBy("doc_id")),
-            ).select(*cols).write.mode("overwrite").parquet(newp)
+
+            def _rw(u_path=u_path, tag=tag, u=u, cols=tuple(cols), newp=newp):
+                old = spark.read.parquet(u_path)
+                tomb = (
+                    dv_a.filter((F.col("tbl") == tag) & (F.col("unit") == u))
+                    .select("unit", "pos")
+                )
+                old.join(tomb, ["unit", "pos"], "left_anti").drop(
+                    "pos"
+                ).withColumn(
+                    "pos",
+                    F.row_number().over(
+                        PW.partitionBy("unit").orderBy("doc_id")
+                    ),
+                ).select(*cols).write.mode("overwrite").parquet(newp)
+
+            rewrites.append(_rw)
             manifest3[tag].append(newp)
+    if rewrites:  # independent per-unit rewrites, distinct target paths
+        run_parallel(rewrites)
     # Manifest-swap retirement: the v3 manifest references a NEW dv
     # file per table holding only the under-threshold units' entries;
     # the wave-A file itself is never touched (v2 stays readable).
-    retained = []
-    for tag in ("data", "idx"):
+    retained = [
+        os.path.join(base, f"files/dv_a_retained_{tag}")
+        for tag in ("data", "idx")
+    ]
+
+    def _wret(tag, path):
         keep = [u for (t, u), dec in decisions.items() if t == tag and not dec]
-        p = os.path.join(base, f"files/dv_a_retained_{tag}")
-        dv_a.filter(
+        return lambda: dv_a.filter(
             (F.col("tbl") == tag) & F.col("unit").isin(keep or [-1])
-        ).write.mode("overwrite").parquet(p)
-        retained.append(p)
+        ).write.mode("overwrite").parquet(path)
+
+    run_parallel([_wret(t, p) for t, p in zip(("data", "idx"), retained)])
     # Wave B: positions from the DV-MASKED v3 read — tombstones land on
     # live rows at their CURRENT (post-rewrite) positions.
-    wave_b = []
-    for tag in ("data", "idx"):
-        p = os.path.join(base, f"files/dv_b_{tag}")
-        _dv_read(spark, manifest3[tag], retained, tag).filter(
+    wave_b = [
+        os.path.join(base, f"files/dv_b_{tag}") for tag in ("data", "idx")
+    ]
+
+    def _wb(tag, path):
+        return lambda: _dv_read(spark, manifest3[tag], retained, tag).filter(
             (F.col("doc_id") % DV_DEL_MOD).isin(list(DVC_WAVE_B))
         ).select(F.lit(tag).alias("tbl"), "unit", "pos").write.mode(
             "overwrite"
-        ).parquet(p)
-        wave_b.append(p)
+        ).parquet(path)
+
+    run_parallel([_wb(t, p) for t, p in zip(("data", "idx"), wave_b)])
     return {
         "data": data_units,
         "idx": idx_units,
@@ -1601,6 +1677,15 @@ def _dvtx_base(spark: SparkSession, sf_dir: str, base: str) -> tuple[list, list]
     # Base-unit writes are independent setup writes (no commit-order
     # contract — the audit's commit marker is the txn manifest, not
     # these) — overlap them from driver threads (r13, guide §2.6).
+    # Both cached relations are materialized first (in parallel — they
+    # are DIFFERENT caches): concurrent first-touch of one unpopulated
+    # cache from several writer threads serializes on block locks.
+    run_parallel(
+        [
+            lambda: data.write.mode("overwrite").format("noop").save(),
+            lambda: idx.write.mode("overwrite").format("noop").save(),
+        ]
+    )
     run_parallel(
         [_wd(k) for k in range(DV_DATA_UNITS)]
         + [_wi(k) for k in range(DV_IDX_UNITS)]
