@@ -633,6 +633,14 @@ def pagerank_trade_graph_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting over the co-purchase graph
 # ---------------------------------------------------------------------------
 
+# Closing-join strategy cutover: broadcast the packed edge-key set while
+# |E| is under this bound (~32 B/entry in the built long-keyed hash
+# relation -> ~1 GB at the bound, comfortably under Spark's 8 GB hard
+# cap on a 32 GB driver); bigger graphs fall back to a shuffle-hash
+# join on the same packed key. Decision input is the EXACT edge count
+# (edges.count() materializes the cache anyway), not an estimate.
+TRI_CLOSE_BCAST_EDGES = 32_000_000
+
 
 @query(
     "triangle_count_copurchase",
@@ -691,16 +699,24 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = managed_cache(edges)
+    # Counted FIRST (optimization r14): materializes the cache before
+    # any consumer and the exact |E| drives the closing-join strategy
+    # below — a data-driven decision, not a size-estimate guess.
+    n_edges = edges.count()
     deg = managed_cache(
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # Orient each edge from its lower-(degree, id) endpoint.
+    # Orient each edge from its lower-(degree, id) endpoint. The degree
+    # table is node-sized (|V| = live part keys ≪ |E|), so both side
+    # joins broadcast — the same node-table-broadcast budget as the
+    # PageRank/k-core plans; past ~1e8 nodes drop the hints and the
+    # planner falls back to shuffle joins unchanged.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ed = edges.join(du, "u").join(dv, "v")
+    ed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -716,14 +732,37 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
     # Close each wedge with the oriented edge between b and c (either
     # orientation — b<c is id order, the edge's direction is by degree).
-    close = oriented.select(
-        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    # CLOSING-JOIN RESHAPE (optimization r14, guide §2.3/§2.4/§3.1):
+    # wedges outnumber edges ~34:1 (41M wedges vs 1.2M edges at sf0.1,
+    # 10x both at sf1) and the closing join matches each wedge against
+    # the edge SET — so the wedge side must never be the shuffled side.
+    # (1) the (b, c) pair packs into ONE bigint (l_partkey is a 32-bit
+    #     id: pk = b << 32 | c is exact and order-preserving), halving
+    #     the join-key bytes and turning the build side into a dense
+    #     long-keyed relation;
+    # (2) under TRI_CLOSE_BCAST_EDGES edges the edge-pk set broadcasts
+    #     (exact |E| from the count above — e.g. ~96 MB of raw keys at
+    #     sf1's 12M edges, far under the 8 GB broadcast cap), so the
+    #     wedge stream pipelines scan -> wedge join -> hash probe ->
+    #     partial count with ZERO exchange of wedge rows;
+    # (3) past the cutover the build side instead takes a shuffle-hash
+    #     hint: the wedge side pays one narrow-key exchange but never
+    #     the 410M-row SORT a sort-merge join would (measured: the SMJ
+    #     closing join was 246 s at sf1 — the suite's worst scale point).
+    pk = F.shiftleft(F.col("b").cast("bigint"), 32) + F.col("c").cast("bigint")
+    wedge_pk = (
+        e1.join(e2, "a").filter(F.col("b") < F.col("c")).select(pk.alias("pk"))
     )
-    n_tri = wedges.join(close, ["b", "c"]).count()
-    n_edges = edges.count()
+    close_pk = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    ).select(pk.alias("pk"))
+    if n_edges <= TRI_CLOSE_BCAST_EDGES:
+        close_side = F.broadcast(close_pk)
+    else:
+        close_side = close_pk.hint("shuffle_hash")
+    n_tri = wedge_pk.join(close_side, "pk").count()
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
