@@ -1618,33 +1618,32 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _hashed_shingles(spark, sf_dir)
     batch = h.filter(F.col("doc_id") % INC_EVERY == 7)
     corpus = h.filter(F.col("doc_id") % INC_EVERY != 7)
+    # SHUFFLE KEYS, NOT PAYLOADS (optimization r14, guide §2.3): hs is
+    # a DISTINCT-hash set on both sides, so |hs_b ∩ hs_c| equals the
+    # number of probe-join matches per (batch_id, corpus_id) — counted
+    # with map-side partial aggregation instead of shipping both
+    # signature arrays through a distinct exchange and re-intersecting
+    # them. Same integers, same verdicts (stream_neardup_gate got the
+    # identical reshape this round).
     binv = batch.select(
         F.col("doc_id").alias("batch_id"),
-        F.col("hs").alias("hs_b"),
+        F.size("hs").alias("nb"),
         F.explode("hs").alias("s"),
     )
     cinv = corpus.select(
         F.col("doc_id").alias("corpus_id"),
-        F.col("hs").alias("hs_c"),
+        F.size("hs").alias("nc"),
         F.explode("hs").alias("s"),
     )
-    cand = (
+    hits = (
         F.broadcast(binv)
         .join(cinv, "s")
-        .select("batch_id", "corpus_id", "hs_b", "hs_c")
-        .distinct()
-    )
-    shared = F.size(F.array_intersect("hs_b", "hs_c"))
-    nb, nc = F.size("hs_b"), F.size("hs_c")
-    hits = cand.select(
-        "batch_id",
-        "corpus_id",
-        shared.alias("shared"),
-        nb.alias("nb"),
-        nc.alias("nc"),
-    ).filter(
-        F.col("shared") * INC_T_DEN
-        >= (F.col("nb") + F.col("nc") - F.col("shared")) * INC_T_NUM
+        .groupBy("batch_id", "corpus_id", "nb", "nc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(
+            F.col("shared") * INC_T_DEN
+            >= (F.col("nb") + F.col("nc") - F.col("shared")) * INC_T_NUM
+        )
     )
     best = hits.groupBy("batch_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),

@@ -881,23 +881,28 @@ def dedup_index_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
     # Acceptance gate: batch vs the INDEX AS MATERIALIZED (read from
     # v1's units, not recomputed). Batch side broadcast; index streamed.
     idx = spark.read.parquet(*v1)
+    # Count-based acceptance gate (optimization r14, guide §2.3): hs is
+    # a distinct-hash set on both sides, so the per-pair match count IS
+    # |hs_b ∩ hs_c| — partial-aggregated map-side instead of shipping
+    # both arrays through a distinct exchange (same reshape as
+    # stream_neardup_gate / dedup_incremental_batch; verdict set is
+    # identical).
     binv = batch.select(
-        F.col("doc_id").alias("batch_id"), F.col("hs").alias("hs_b"),
+        F.col("doc_id").alias("batch_id"), F.size("hs").alias("nb"),
         F.explode("hs").alias("s"),
     )
     cinv = idx.select(
-        F.col("doc_id").alias("corpus_id"), F.col("hs").alias("hs_c"),
+        F.col("doc_id").alias("corpus_id"), F.size("hs").alias("nc"),
         F.explode("hs").alias("s"),
     )
-    shared = F.size(F.array_intersect("hs_b", "hs_c"))
     dup_ids = (
         F.broadcast(binv)
         .join(cinv, "s")
-        .select("batch_id", "hs_b", "hs_c")
-        .distinct()
+        .groupBy("batch_id", "corpus_id", "nb", "nc")
+        .agg(F.count(F.lit(1)).alias("shared"))
         .filter(
-            shared * INC_T_DEN
-            >= (F.size("hs_b") + F.size("hs_c") - shared) * INC_T_NUM
+            F.col("shared") * INC_T_DEN
+            >= (F.col("nb") + F.col("nc") - F.col("shared")) * INC_T_NUM
         )
         .select("batch_id")
         .distinct()

@@ -913,25 +913,34 @@ def neardup_gate_batch(spark: SparkSession, state: str, batch_df: DataFrame, bat
         tomb = _ndg_tombstones(spark, state)
         if tomb is not None:
             idx = idx.join(F.broadcast(tomb), "doc_id", "left_anti")
+        # SHUFFLE KEYS, NOT PAYLOADS (optimization r14, guide §2.3):
+        # both signature arrays are hash-DEDUPED (dedup_hashes=True on
+        # the batch pass; index units store those same arrays), so
+        # |hs_b ∩ hs_c| equals the NUMBER OF JOIN MATCHES on s — the
+        # old plan shipped both ~45-element arrays per matching hash
+        # through a distinct exchange (measured 50 s of the 60 s sf1
+        # batch loop) only to recompute that count with array_intersect.
+        # Now the probe join carries two ids, the shared count partial-
+        # aggregates map-side, and the (small) per-doc sizes join back
+        # onto candidate pairs. Same integers, same verdicts.
         binv = sig.select(
             F.col("doc_id").alias("batch_id"),
-            F.col("hs").alias("hs_b"),
+            F.size("hs").alias("nb"),
             F.explode("hs").alias("s"),
         )
         cinv = idx.select(
             F.col("doc_id").alias("corpus_id"),
-            F.col("hs").alias("hs_c"),
+            F.size("hs").alias("nc"),
             F.explode("hs").alias("s"),
         )
-        shared = F.size(F.array_intersect("hs_b", "hs_c"))
         hits = (
             F.broadcast(binv)
             .join(cinv, "s")
-            .select("batch_id", "corpus_id", "hs_b", "hs_c")
-            .distinct()
+            .groupBy("batch_id", "corpus_id", "nb", "nc")
+            .agg(F.count(F.lit(1)).alias("shared"))
             .filter(
-                shared * INC_T_DEN
-                >= (F.size("hs_b") + F.size("hs_c") - shared) * INC_T_NUM
+                F.col("shared") * INC_T_DEN
+                >= (F.col("nb") + F.col("nc") - F.col("shared")) * INC_T_NUM
             )
             .groupBy("batch_id")
             .agg(F.min("corpus_id").alias("first_match"))
