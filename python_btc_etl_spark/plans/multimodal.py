@@ -790,17 +790,20 @@ def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "j", "band"
     )
-    cand = (
-        a.join(b, ["j", "band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
-        .distinct()
-    )
+    # Hamming filter BEFORE the band-dedup (optimization r14, guide
+    # §2.3/§2.4): the verdict is a pure function of (ph_a, ph_b), so
+    # every duplicate band match passes or fails together — filtering
+    # the raw join output first shrinks the distinct's exchange to the
+    # surviving pairs (measured 42M -> 16M rows on the phash bands at
+    # sf1) and the dedup key to the projected columns. Same pair set.
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
     return (
-        cand.withColumn("hamming", hamming)
+        a.join(b, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= PH_HD_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -1029,17 +1032,17 @@ def _afp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("afp").alias("fp_b"), "j", "band"
     )
-    cand = (
-        a.join(b, ["j", "band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
+    # Hamming filter BEFORE the band-dedup — same reshape and argument
+    # as _phash_pairs above (r14): verdict is pair-deterministic, so
+    # the distinct sees only surviving pairs and narrower rows.
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return (
-        cand.withColumn("hamming", hamming)
+        a.join(b, ["j", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= AFP_HD_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -1611,12 +1614,13 @@ def cross_modal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip = (
         a.join(b, ["j", "band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
-        .distinct()
+        # filter-before-distinct (r14): pair-deterministic verdict, so
+        # the dedup exchange carries only surviving (doc_a, doc_b)
         .filter(
             F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= PH_HD_MAX
         )
         .select("doc_a", "doc_b")
+        .distinct()
     )
     uni = tp.withColumn("is_text", F.lit(True)).join(
         ip.withColumn("is_img", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
@@ -2752,12 +2756,13 @@ def _xm3_legs(
     ip = (
         ia.join(ib, ["j", "band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
-        .distinct()
+        # filter-before-distinct (r14): pair-deterministic verdict, so
+        # the dedup exchange carries only surviving (doc_a, doc_b)
         .filter(
             F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= PH_HD_MAX
         )
         .select("doc_a", "doc_b")
+        .distinct()
     )
     vid_id = F.when(
         (F.col("doc_id") >= TRUNC_OFFSET)
@@ -2879,10 +2884,11 @@ def _banded_hash_pairs(
     return (
         a.join(b, ["j", "band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "h_a", "h_b")
-        .distinct()
+        # filter-before-distinct (r14): pair-deterministic verdict, so
+        # the dedup exchange carries only surviving (doc_a, doc_b)
         .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= hd_max)
         .select("doc_a", "doc_b")
+        .distinct()
     )
 
 
