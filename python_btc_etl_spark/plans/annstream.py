@@ -265,18 +265,28 @@ def ann_ingest_batch(
         asg = asg.join(F.broadcast(tomb), "vec_id", "left_anti")
     red = asg.join(idx.select("vec_id"), "vec_id", "semi")
     fresh = asg.join(idx.select("vec_id"), "vec_id", "left_anti")
-    # batch side BROADCAST; the growing index side never shuffles
+    # batch side BROADCAST; the growing index side never shuffles.
+    # Norms projected once per row on each side (r14, VX.cosine_pre):
+    # the tau check runs per (batch vector x cell-mate) pair, so the
+    # inline form re-ran both norm folds for every pair.
     hits = (
-        F.broadcast(fresh.select("vec_id", "v", "cell_id"))
+        F.broadcast(
+            fresh.select("vec_id", "v", "cell_id").withColumn(
+                "nv", VX.norm(F.col("v"))
+            )
+        )
         .join(
             idx.select(
                 F.col("vec_id").alias("ivec_id"),
                 F.col("v").alias("iv"),
                 "cell_id",
-            ),
+            ).withColumn("niv", VX.norm(F.col("iv"))),
             "cell_id",
         )
-        .filter(VX.cosine(F.col("v"), F.col("iv")) >= F.lit(ANN_SI_TAU))
+        .filter(
+            VX.cosine_pre(F.col("v"), F.col("iv"), F.col("nv"), F.col("niv"))
+            >= F.lit(ANN_SI_TAU)
+        )
         .groupBy("vec_id")
         .agg(F.min("ivec_id").alias("first_match"))
     )
@@ -621,13 +631,18 @@ def stream_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_r = _ivf_topk(rebuild, probes)
         gt_win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
         gt = (
-            idx_stream.join(
-                F.broadcast(q), F.col("vec_id") != F.col("query_id")
+            idx_stream.withColumn("niv", VX.norm(F.col("v")))
+            .join(
+                F.broadcast(q.withColumn("nqv", VX.norm(F.col("qv")))),
+                F.col("vec_id") != F.col("query_id"),
             )
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                VX.cosine(F.col("qv"), F.col("v")).alias("cosine"),
+                # per-row norms (r14, VX.cosine_pre): one fold per pair
+                VX.cosine_pre(
+                    F.col("qv"), F.col("v"), F.col("nqv"), F.col("niv")
+                ).alias("cosine"),
             )
             .withColumn("rank", F.row_number().over(gt_win))
             .filter(F.col("rank") <= TOP_K)

@@ -1498,24 +1498,35 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= SD_C0) & (F.col("vec_id") < SD_C0 + SD_CELLS)
     ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
     win = W.partitionBy("vec_id").orderBy(F.desc("cell_sim"), "cell_id")
+    # Per-row norms on the assignment cross join AND the within-cell
+    # pair join (r14, VX.cosine_pre): one dot fold per pair, not three.
     assigned = managed_cache(
-        aug.crossJoin(F.broadcast(cents))
-        .withColumn("cell_sim", VX.cosine(F.col("cv"), F.col("v")))
+        aug.withColumn("nv", VX.norm(F.col("v")))
+        .crossJoin(F.broadcast(cents.withColumn("ncv", VX.norm(F.col("cv")))))
+        .withColumn(
+            "cell_sim",
+            VX.cosine_pre(F.col("cv"), F.col("v"), F.col("ncv"), F.col("nv")),
+        )
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell_id")
+        .select("vec_id", "v", "nv", "cell_id")
     )
     _sd_skew_guard(assigned)
     a = assigned.select(
-        "cell_id", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        "cell_id", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = assigned.select(
-        "cell_id", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        "cell_id", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     pruned = (
         a.join(b, "cell_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(VX.cosine(F.col("va"), F.col("vb")) >= COSINE_T)
+        .filter(
+            VX.cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= COSINE_T
+        )
         .select("cell_id", F.col("vec_b").alias("vec_id"))
         .distinct()
     )

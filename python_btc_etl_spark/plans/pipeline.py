@@ -1744,14 +1744,20 @@ DECON_COS_T = 0.99  # flag train vectors this close to any benchmark vector
     "order-deterministic fold (bit-identical vs DuckDB).",
 )
 def decontam_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = _vecs_scaled(spark, sf_dir).withColumn("bucket", VX.lsh_bucket(F.col("v")))
+    # Per-row norms on both bucket-join sides (r14, VX.cosine_pre)
+    aug = (
+        _vecs_scaled(spark, sf_dir)
+        .withColumn("bucket", VX.lsh_bucket(F.col("v")))
+        .withColumn("nv", VX.norm(F.col("v")))
+    )
     train = aug.filter(F.col("vec_id") < _VEC_OFFSET)
     bench = aug.filter(F.col("vec_id") >= _VEC_OFFSET).select(
         F.col("vec_id").alias("bench_id"),
         F.col("v").alias("bv"),
         F.col("bucket").alias("bbucket"),
+        F.col("nv").alias("nbv"),
     )
-    cos = VX.cosine(F.col("v"), F.col("bv"))
+    cos = VX.cosine_pre(F.col("v"), F.col("bv"), F.col("nv"), F.col("nbv"))
     return (
         train.join(F.broadcast(bench), F.col("bucket") == F.col("bbucket"))
         .select(
@@ -3890,12 +3896,18 @@ def decontam_union_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_ngram_docs"),
         )
     )
-    aug = _vecs_scaled(spark, sf_dir).withColumn("bucket", VX.lsh_bucket(F.col("v")))
+    # Per-row norms on both bucket-join sides (r14, VX.cosine_pre)
+    aug = (
+        _vecs_scaled(spark, sf_dir)
+        .withColumn("bucket", VX.lsh_bucket(F.col("v")))
+        .withColumn("nv", VX.norm(F.col("v")))
+    )
     etr = aug.filter(F.col("vec_id") < _VEC_OFFSET)
     ebn = aug.filter(F.col("vec_id") >= _VEC_OFFSET).select(
-        F.col("v").alias("bv"), F.col("bucket").alias("bbucket")
+        F.col("v").alias("bv"), F.col("bucket").alias("bbucket"),
+        F.col("nv").alias("nbv"),
     )
-    cosv = VX.cosine(F.col("v"), F.col("bv"))
+    cosv = VX.cosine_pre(F.col("v"), F.col("bv"), F.col("nv"), F.col("nbv"))
     emb = (
         etr.join(F.broadcast(ebn), F.col("bucket") == F.col("bbucket"))
         .select(F.col("vec_id").alias("train_id"), cosv.alias("cosine"))
@@ -4454,9 +4466,16 @@ def _lm_model(bg: DataFrame):
         bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    # V from the CACHED distinct-pair table, not a second corpus pass
+    # (optimization r14, guide §2.3): the distinct words over bigram
+    # positions equal the distinct words over c12's key pairs (c12 is
+    # exactly the distinct (w1, w2) set), and c12 is orders of
+    # magnitude smaller than the token-level bg it summarizes — the
+    # old plan re-shuffled 2x the corpus bigram tokens through a
+    # countDistinct per model build (~20 builds across the suite).
     voc = (
-        bg.select(F.col("w1").alias("w"))
-        .unionAll(bg.select(F.col("w2").alias("w")))
+        c12.select(F.col("w1").alias("w"))
+        .unionAll(c12.select(F.col("w2").alias("w")))
         .agg(F.countDistinct("w").cast("bigint").alias("v"))
     )
     c1v = c1.crossJoin(F.broadcast(voc)).select(

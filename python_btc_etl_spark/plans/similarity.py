@@ -65,11 +65,15 @@ SQL_VECS = "SELECT vec_id, label, (embedding::DOUBLE[]) AS v FROM embeddings"
     "vec_id tie-break. The exact ANN baseline.",
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vecs(spark, sf_dir)
+    # Norms projected once per ROW before the pair join (r14, see
+    # VX.cosine_pre): per (query, corpus) pair only the dot fold runs.
+    e = _vecs(spark, sf_dir).withColumn("nv", VX.norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    cos = VX.cosine(F.col("qv"), F.col("v"))
+    cos = VX.cosine_pre(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"))
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -105,11 +109,16 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket fan-out.",
 )
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vecs(spark, sf_dir).withColumn("bucket", VX.lsh_bucket(F.col("v")))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    e = (
+        _vecs(spark, sf_dir)
+        .withColumn("bucket", VX.lsh_bucket(F.col("v")))
+        .withColumn("nv", VX.norm(F.col("v")))  # per-row norm (r14)
     )
-    cos = VX.cosine(F.col("qv"), F.col("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"), F.col("nv").alias("nq"),
+    )
+    cos = VX.cosine_pre(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"))
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         e.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
@@ -191,11 +200,18 @@ def _ivf_cents(e: DataFrame) -> DataFrame:
 
 def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, cell_id): nearest-centroid cell assignment — broadcast
-    nested-loop argmax, O(N·K), no shuffle of the corpus."""
+    nested-loop argmax, O(N·K), no shuffle of the corpus. Norms are
+    projected once per vector / per centroid (r14, VX.cosine_pre), so
+    each of the N·K pairs pays one dot fold, not three."""
     assign_win = W.partitionBy("vec_id").orderBy(F.desc("cell_sim"), "cell_id")
+    cn = cents.withColumn("ncv", VX.norm(F.col("cv")))
     return (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cell_sim", VX.cosine(F.col("cv"), F.col("v")))
+        e.withColumn("nv", VX.norm(F.col("v")))
+        .crossJoin(F.broadcast(cn))
+        .withColumn(
+            "cell_sim",
+            VX.cosine_pre(F.col("cv"), F.col("v"), F.col("ncv"), F.col("nv")),
+        )
         .withColumn("rn", F.row_number().over(assign_win))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cell_id")
@@ -205,9 +221,14 @@ def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
 def _ivf_probes(q: DataFrame, cents: DataFrame) -> DataFrame:
     """(query_id, qv, pcell): each query's N_PROBE nearest cells."""
     probe_win = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell_id")
+    cn = cents.withColumn("ncv", VX.norm(F.col("cv")))
     return (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("cell_sim", VX.cosine(F.col("cv"), F.col("qv")))
+        q.withColumn("nqv", VX.norm(F.col("qv")))
+        .crossJoin(F.broadcast(cn))
+        .withColumn(
+            "cell_sim",
+            VX.cosine_pre(F.col("cv"), F.col("qv"), F.col("ncv"), F.col("nqv")),
+        )
         .withColumn("rn", F.row_number().over(probe_win))
         .filter(F.col("rn") <= N_PROBE)
         .select("query_id", "qv", F.col("cell_id").alias("pcell"))
@@ -215,12 +236,14 @@ def _ivf_probes(q: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _ivf_topk(assigned: DataFrame, probes: DataFrame) -> DataFrame:
-    """Exact cosine re-rank inside the probed cells -> per-query TOP_K."""
-    cos = VX.cosine(F.col("qv"), F.col("v"))
+    """Exact cosine re-rank inside the probed cells -> per-query TOP_K.
+    Per-row norms on both sides (r14): one dot fold per candidate."""
+    cos = VX.cosine_pre(F.col("qv"), F.col("v"), F.col("nqv2"), F.col("nv2"))
     rank_win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        assigned.join(
-            F.broadcast(probes),
+        assigned.withColumn("nv2", VX.norm(F.col("v")))
+        .join(
+            F.broadcast(probes.withColumn("nqv2", VX.norm(F.col("qv")))),
             (F.col("cell_id") == F.col("pcell"))
             & (F.col("vec_id") != F.col("query_id")),
         )
@@ -1588,26 +1611,36 @@ def _mmr_oracle() -> str:
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import managed_cache
 
-    e = _vecs(spark, sf_dir)
+    # Per-row norms carried through both pair joins (r14, VX.cosine_pre)
+    e = _vecs(spark, sf_dir).withColumn("nv", VX.norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    rel = VX.cosine(F.col("qv"), F.col("v"))
+    rel = VX.cosine_pre(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"))
     rn = F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id"))
     cand = managed_cache(
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "v", rel.alias("rel"))
+        .select("query_id", "vec_id", "v", "nv", rel.alias("rel"))
         .withColumn("rn", rn)
         .filter(F.col("rn") <= MMR_N)
         .drop("rn")
     )
-    a = cand.select("query_id", F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("ida"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
     b = cand.select(
-        F.col("query_id").alias("qb"), F.col("vec_id").alias("idb"), F.col("v").alias("vb")
+        F.col("query_id").alias("qb"), F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
     sims = managed_cache(
         a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("ida") != F.col("idb")))
-        .select("query_id", "ida", "idb", VX.cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select(
+            "query_id", "ida", "idb",
+            VX.cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
     )
     sel_rn = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.desc("mmr"), "neighbor_id")
@@ -1722,14 +1755,16 @@ HN_K = 5  # hardest negatives kept per query
     "in this module; the mining join shape is unchanged.",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = _vecs_scaled(spark, sf_dir)
-    train = aug.filter(F.col("vec_id") < _VEC_OFFSET).select("vec_id", "v")
+    # Per-row norms on both sides of the mining join (r14, VX.cosine_pre)
+    aug = _vecs_scaled(spark, sf_dir).withColumn("nv", VX.norm(F.col("v")))
+    train = aug.filter(F.col("vec_id") < _VEC_OFFSET).select("vec_id", "v", "nv")
     q = aug.filter(F.col("vec_id") >= _VEC_OFFSET).select(
         F.col("vec_id").alias("query_id"),
         (F.col("vec_id") - _VEC_OFFSET).alias("pos_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
-    cos = VX.cosine(F.col("qv"), F.col("v"))
+    cos = VX.cosine_pre(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"))
     pos = (
         train.join(F.broadcast(q), F.col("vec_id") == F.col("pos_id"))
         .select("query_id", cos.alias("pos_cosine"))
@@ -2215,11 +2250,18 @@ def ann_recall_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         gt_win = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
         gt = (
             e.filter(F.col("vec_id") % ANN_DEL_MOD != ANN_DEL_REM)
-            .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .withColumn("nv", VX.norm(F.col("v")))
+            .join(
+                F.broadcast(q.withColumn("nqv", VX.norm(F.col("qv")))),
+                F.col("vec_id") != F.col("query_id"),
+            )
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                VX.cosine(F.col("qv"), F.col("v")).alias("cosine"),
+                # per-row norms (r14, VX.cosine_pre): one fold per pair
+                VX.cosine_pre(
+                    F.col("qv"), F.col("v"), F.col("nqv"), F.col("nv")
+                ).alias("cosine"),
             )
             .withColumn("rank", F.row_number().over(gt_win))
             .filter(F.col("rank") <= TOP_K)

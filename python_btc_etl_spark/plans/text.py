@@ -660,15 +660,19 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", VX.as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", VX.norm(F.col("v")))  # per-row norm (r14)
     qv = e.filter(F.col("vec_id").isin(*sorted(BM25_QUERIES))).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"),
+        F.col("nv").alias("nqv"),
     )
     vwin = W.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
     vec_rank = (
         e.crossJoin(F.broadcast(qv))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", VX.cosine(F.col("qvec"), F.col("v")))
+        .withColumn(
+            "cos",
+            VX.cosine_pre(F.col("qvec"), F.col("v"), F.col("nqv"), F.col("nv")),
+        )
         .withColumn("doc_id", F.col("vec_id"))
         .withColumn("rnk", F.row_number().over(vwin))
         .filter(F.col("rnk") <= BM25_TOP_K)
