@@ -1297,14 +1297,26 @@ def _sqg_model_from(spark: SparkSession, base: DataFrame):
     from ..functions import text as TX
     from .pipeline import LM_B, LM_RATE_Q, _fp_log2_dict
 
+    from ..catalog import run_parallel
+
     bbg = _sqg_bigrams(base).localCheckpoint()  # feeds model AND in-sample cut
-    c12 = bbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
-    cu = (
-        base.select(F.explode(TX.words(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    # The two count tables each feed THREE consumers (xs, the model
+    # joins, the backoff constant); pinning them once replaces repeated
+    # re-aggregation, and the two pin jobs are independent so they
+    # overlap from driver threads (optimization r14, guide §2.6 — the
+    # GDPR interleave builds this model three times, once per version).
+    c12, cu = run_parallel(
+        [
+            lambda: bbg.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+            .localCheckpoint(),
+            lambda: base.select(F.explode(TX.words(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+            .localCheckpoint(),
+        ]
     )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     uv = cu.agg(
         F.sum("cu").cast("bigint").alias("u"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
@@ -1327,44 +1339,56 @@ def _sqg_model_from(spark: SparkSession, base: DataFrame):
         .select("w1", "w2", (F.col("l1") - F.col("l12")).alias("nll"))
         .localCheckpoint()
     )
-    cul = (
-        cu.withColumn("x", (F.col("cu") + 1).cast("bigint"))
-        .join(F.broadcast(lg), "x")
-        .select("word", F.col("lgv").alias("lgc"))
-        .localCheckpoint()
-    )
-    kuv = (
-        uv.withColumn("x", (F.col("u") + F.col("v")).cast("bigint"))
-        .join(F.broadcast(lg), "x")
-        .select((F.lit(1 << LM_B) + F.col("lgv")).cast("bigint").alias("kuv"))
-        .localCheckpoint()
-    )
-    # In-sample rates of the base slice -> tercile cut2 over the bounded
-    # rate histogram (the lm_perplexity_gate banding, frozen at train time).
-    bsc = (
-        bbg.join(F.broadcast(m12), ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("nll").cast("bigint").alias("s"),
+
+    def _cul():
+        return (
+            cu.withColumn("x", (F.col("cu") + 1).cast("bigint"))
+            .join(F.broadcast(lg), "x")
+            .select("word", F.col("lgv").alias("lgc"))
+            .localCheckpoint()
         )
-        .select(F.expr(f"shiftleft(s, {LM_RATE_Q}) div n").alias("q"))
-    )
-    n_tot = bsc.agg(F.count(F.lit(1)).alias("nb"))
-    hist = bsc.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
-    cum = hist.withColumn(
-        "cum",
-        F.sum("c").over(W.orderBy("q").rowsBetween(W.unboundedPreceding, 0)),
-    )
-    cut = (
-        cum.crossJoin(F.broadcast(n_tot))
-        .agg(
-            F.min(
-                F.when(F.col("cum") * 3 >= 2 * F.col("nb"), F.col("q"))
-            ).alias("cut2")
+
+    def _kuv():
+        return (
+            uv.withColumn("x", (F.col("u") + F.col("v")).cast("bigint"))
+            .join(F.broadcast(lg), "x")
+            .select((F.lit(1 << LM_B) + F.col("lgv")).cast("bigint").alias("kuv"))
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
+
+    def _cut():
+        # In-sample rates of the base slice -> tercile cut2 over the
+        # bounded rate histogram (the lm_perplexity_gate banding,
+        # frozen at train time).
+        bsc = (
+            bbg.join(F.broadcast(m12), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("nll").cast("bigint").alias("s"),
+            )
+            .select(F.expr(f"shiftleft(s, {LM_RATE_Q}) div n").alias("q"))
+        )
+        n_tot = bsc.agg(F.count(F.lit(1)).alias("nb"))
+        hist = bsc.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+        cum = hist.withColumn(
+            "cum",
+            F.sum("c").over(W.orderBy("q").rowsBetween(W.unboundedPreceding, 0)),
+        )
+        return (
+            cum.crossJoin(F.broadcast(n_tot))
+            .agg(
+                F.min(
+                    F.when(F.col("cum") * 3 >= 2 * F.col("nb"), F.col("q"))
+                ).alias("cut2")
+            )
+            .localCheckpoint()
+        )
+
+    # Three independent pin jobs off the already-materialized bbg/cu/
+    # uv/lg/m12 — no cold shared cache between them (the r13 lesson),
+    # no ordering contract, so they overlap (guide §2.6).
+    cul, kuv, cut = run_parallel([_cul, _kuv, _cut])
     return m12, cul, kuv, cut
 
 
