@@ -2159,14 +2159,29 @@ def gdpr_txn3_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_v = spark.read.parquet(*vec_units)
 
         def snap(stage: int, txns: int) -> tuple:
+            from ..catalog import run_parallel
+
             dvs = _dvtx_committed_dvs(base)
             on_disk = _dvtx_on_disk_dvs(base)
-            dat = _dv_read(spark, data_units, dvs, "data")
-            idx = _dv_read(spark, idx_units, dvs, "idx")
-            vec = _dv_read(spark, vec_units, dvs, "vec")
-            datn = _dv_read(spark, data_units, on_disk, "data")
-            idxn = _dv_read(spark, idx_units, on_disk, "idx")
-            vecn = _dv_read(spark, vec_units, on_disk, "vec")
+            # Building the six version reads is driver-side work (file
+            # listing + parquet footer schema per read, ~0.1 s each) —
+            # independent, so constructed from driver threads too
+            # (optimization r14, guide §2.6/§7.3: plan construction is
+            # single-threaded driver time the scheduler never sees).
+            dat, idx, vec, datn, idxn, vecn = run_parallel(
+                [
+                    lambda u=u, d=d, t=t: _dv_read(spark, u, d, t)
+                    for (u, d, t) in (
+                        (data_units, dvs, "data"),
+                        (idx_units, dvs, "idx"),
+                        (vec_units, dvs, "vec"),
+                        (data_units, on_disk, "data"),
+                        (idx_units, on_disk, "idx"),
+                        (vec_units, on_disk, "vec"),
+                    )
+                ],
+                max_workers=6,
+            )
             orphans = sorted(set(on_disk) - set(dvs))
             orphan_rows = (
                 spark.read.parquet(*orphans).count() if orphans else 0
@@ -2189,8 +2204,8 @@ def gdpr_txn3_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # instead of paying seven serial job latencies; each job is
             # a small broadcast-join plan on a mostly idle scheduler.
             # Values and semantics unchanged (same plans, same counts).
-            from ..catalog import run_parallel
-
+            # Workers = thunks (r14): at 4 the seven latency-bound jobs
+            # ran in two serial waves.
             row, ha_di, ha_dv, ha_iv, han_di, han_dv, han_iv = run_parallel(
                 [
                     lambda: a.crossJoin(b).crossJoin(c).collect()[0],
@@ -2200,7 +2215,8 @@ def gdpr_txn3_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda: _dvtx_half_applied(base_d, base_i, datn, idxn),
                     lambda: _dvtx_half_applied(base_d, base_v, datn, vecn),
                     lambda: _dvtx_half_applied(base_i, base_v, idxn, vecn),
-                ]
+                ],
+                max_workers=7,
             )
             return (
                 stage,
@@ -2430,10 +2446,24 @@ def gdpr_txn4_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def snap(stage: int, txns: int) -> tuple:
+            from ..catalog import run_parallel as _rp
+
             dvs = _dvtx_committed_dvs(base)
             on_disk = _dvtx_on_disk_dvs(base)
-            reads = {t: _dv_read(spark, us, dvs, t) for t, us in tables}
-            naive = {t: _dv_read(spark, us, on_disk, t) for t, us in tables}
+            # Driver-threaded construction of the eight version reads
+            # (r14, guide §2.6/§7.3): each _dv_read pays file listing +
+            # parquet footer schema on the driver (~0.1 s), serially
+            # ~1 s per snapshot across five snapshots.
+            built = _rp(
+                [
+                    lambda us=us, d=d, t=t: _dv_read(spark, us, d, t)
+                    for d in (dvs, on_disk)
+                    for t, us in tables
+                ],
+                max_workers=8,
+            )
+            reads = dict(zip([t for t, _ in tables], built[: len(tables)]))
+            naive = dict(zip([t for t, _ in tables], built[len(tables):]))
             orphans = sorted(set(on_disk) - set(dvs))
             orphan_rows = (
                 spark.read.parquet(*orphans).count() if orphans else 0
@@ -2467,6 +2497,8 @@ def gdpr_txn4_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .count()
                 )
 
+            # Workers = thunks (r14): at 4 the seven latency-bound jobs
+            # ran in two serial waves.
             row, nd0, nd1, nd2, nd3, ha_all, ha_naive = run_parallel(
                 [
                     lambda: a.crossJoin(b).crossJoin(c).crossJoin(p).collect()[0],
@@ -2476,7 +2508,8 @@ def gdpr_txn4_atomic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _nd("ph"),
                     lambda: _dvt4_ha_any(inter, bases, reads),
                     lambda: _dvt4_ha_any(inter, bases, naive),
-                ]
+                ],
+                max_workers=7,
             )
             return (
                 stage,
