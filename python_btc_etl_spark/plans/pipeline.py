@@ -6385,8 +6385,20 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", TX.words(F.col("text")).alias("w")
     )
-    ent = _entropy_scores_from(d).select("doc_id", "h_rate_q")
-    lm = _lm_scores(spark, sf_dir).select("doc_id", "nll_rate_q")
+    # The two score frames are independent and each materializes its
+    # own fixed-point log dictionary eagerly at CONSTRUCTION time
+    # (_fp_log2_dict's localCheckpoint — profiled at 4.5 s of the 8.4 s
+    # query when built serially). Construct them from driver threads so
+    # the two dictionary jobs overlap (optimization r14, guide §2.6);
+    # plans and values unchanged.
+    from ..catalog import run_parallel
+
+    ent, lm = run_parallel(
+        [
+            lambda: _entropy_scores_from(d).select("doc_id", "h_rate_q"),
+            lambda: _lm_scores(spark, sf_dir).select("doc_id", "nll_rate_q"),
+        ]
+    )
     j = managed_cache(ent.join(lm, "doc_id"))
     rh = _rank_distributed(j, "h_rate_q", "rh")
     rl = _rank_distributed(j, "nll_rate_q", "rl")
@@ -6522,8 +6534,16 @@ def quality_signal_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", TX.words(F.col("text")).alias("w")
     )
-    ent = _entropy_scores_from(d).select("doc_id", "h_rate_q")
-    lm = _lm_scores(spark, sf_dir).select("doc_id", "nll_rate_q")
+    # Same driver-threaded construction as quality_signal_correlation
+    # (r14): the two log-dictionary materializations overlap.
+    from ..catalog import run_parallel
+
+    ent, lm = run_parallel(
+        [
+            lambda: _entropy_scores_from(d).select("doc_id", "h_rate_q"),
+            lambda: _lm_scores(spark, sf_dir).select("doc_id", "nll_rate_q"),
+        ]
+    )
     j = managed_cache(ent.join(lm, "doc_id"))
     ch = _tercile_cuts(j, "h_rate_q").select(
         F.col("cut1").alias("h_rate_q_cut1"), F.col("cut2").alias("h_rate_q_cut2")
@@ -6750,27 +6770,39 @@ def pipeline_order_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_bigrams")
         )
 
-    # order A: gate on the raw-corpus model, then dedup among survivors
-    sc_a = managed_cache(
-        _lm_scores(spark, sf_dir).select("doc_id", "n_bigrams", "nll_rate_q")
-    )
-    deda = (
-        _gate(sc_a)
-        .join(d, "doc_id")
-        .withColumn("keeper", keeper)
-        .filter(F.col("keeper") == F.col("doc_id"))
-        .select("doc_id", "n_bigrams")
-    )
-    # order B: dedup first, model trained on the deduped corpus
-    ded = managed_cache(
-        d.withColumn("keeper", keeper)
-        .filter(F.col("keeper") == F.col("doc_id"))
-        .select("doc_id", "text")
-    )
-    sc_b = _lm_scores_from(_lm_bigrams_from(ded)).select(
-        "doc_id", "n_bigrams", "nll_rate_q"
-    )
-    surv_b = _gate(managed_cache(sc_b))
+    # The two orders are independent legs, and each trains its own LM
+    # (its _fp_log2_dict log dictionary materializes eagerly at plan
+    # CONSTRUCTION time) — built from driver threads so the two
+    # dictionary jobs overlap (optimization r14, guide §2.6; the legs
+    # touch disjoint managed caches). Plans and values unchanged.
+    def _order_a() -> DataFrame:
+        # order A: gate on the raw-corpus model, dedup among survivors
+        sc_a = managed_cache(
+            _lm_scores(spark, sf_dir).select("doc_id", "n_bigrams", "nll_rate_q")
+        )
+        return (
+            _gate(sc_a)
+            .join(d, "doc_id")
+            .withColumn("keeper", keeper)
+            .filter(F.col("keeper") == F.col("doc_id"))
+            .select("doc_id", "n_bigrams")
+        )
+
+    def _order_b() -> DataFrame:
+        # order B: dedup first, model trained on the deduped corpus
+        ded = managed_cache(
+            d.withColumn("keeper", keeper)
+            .filter(F.col("keeper") == F.col("doc_id"))
+            .select("doc_id", "text")
+        )
+        sc_b = _lm_scores_from(_lm_bigrams_from(ded)).select(
+            "doc_id", "n_bigrams", "nll_rate_q"
+        )
+        return _gate(managed_cache(sc_b))
+
+    from ..catalog import run_parallel
+
+    deda, surv_b = run_parallel([_order_a, _order_b])
 
     def _mass(dfx: DataFrame, order: str) -> DataFrame:
         return dfx.agg(
