@@ -41,6 +41,13 @@ from .registry import query
 
 MAX_ITERS = 10
 
+# Star-round broadcast bound (r14): the per-vertex min table joined in
+# each large/small-star round has at most min(|V|, 2|E|) rows; under
+# this edge count the typical dup graph's min table is tens of MB and
+# broadcasting it removes every edge-list exchange except the two
+# groupBys. Past the bound the rounds keep their shuffle joins.
+CC_STAR_BCAST_EDGES = 16_000_000
+
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(nodes, edges) of the duplicate graph.
@@ -190,16 +197,19 @@ def _cc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, bcast: bool = False) -> DataFrame:
     """large-star(u): connect every STRICTLY LARGER neighbor of u to the
     minimum of N(u) ∪ {u}. Keeps large components shrinking toward their
-    minimum in O(log n) rounds regardless of diameter."""
+    minimum in O(log n) rounds regardless of diameter. ``bcast``
+    broadcasts the per-vertex min table into the star join (r14): it is
+    node-sized (one row per live source), so under the caller's
+    edge-count bound the edge list never exchanges for the join."""
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     m = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
     return (
-        sym.join(m, "src")
+        sym.join(F.broadcast(m) if bcast else m, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -214,15 +224,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, bcast: bool = False) -> DataFrame:
     """small-star(u): orient each edge toward its smaller endpoint, then
     connect all of u's smaller neighbors (and u) to the minimum among
-    them — flattening local chains into stars."""
+    them — flattening local chains into stars. ``bcast`` as in
+    :func:`_large_star`."""
     oriented = e.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    joined = oriented.join(m, "src")
+    joined = oriented.join(F.broadcast(m) if bcast else m, "src")
     to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     self_edge = m.select("src", F.col("m").alias("dst"))
     return (
@@ -279,10 +290,20 @@ def cc_large_small_star(
         return (row["n"], row["h"])
 
     sig = _sig(e)
+    # Broadcast the per-vertex min tables into the star joins while the
+    # CURRENT edge set is under the bound (optimization r14, guide
+    # §3.1): each star's min table is node-sized (|m| <= min(|V|,
+    # 2|E|)), so broadcasting it leaves only the two groupBy exchanges
+    # and the final distinct per round — the edge list stops exchanging
+    # for the joins. The decision re-reads each round's EXACT edge
+    # count from the convergence signature (already computed, no extra
+    # job), so a graph past the bound falls back to shuffle joins with
+    # no code change — and the star rounds only ever shrink the set.
     rounds = 0
     converged = False
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        bcast = sig[0] <= CC_STAR_BCAST_EDGES
+        e = _small_star(_large_star(e, bcast), bcast).localCheckpoint(eager=True)
         rounds += 1
         new_sig = _sig(e)
         if new_sig == sig:
